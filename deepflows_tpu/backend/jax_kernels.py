@@ -236,18 +236,13 @@ def max_pool2d_grad(x, gy, kernel_size, stride=None, padding=0):
 
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding"))
 def _avg_pool2d(x, ksize, stride, padding):
+    # constant depthwise conv: MXU-friendly, and reverse-differentiable
+    # (reduce_window-sum lacks a VJP in this JAX version); divides by the
+    # full window incl. zero padding (torch count_include_pad=True).
     kh, kw = ksize
-    sh, sw = stride
-    ph, pw = padding
-    s = lax.reduce_window(
-        x,
-        jnp.asarray(0, x.dtype),
-        lax.add,
-        window_dimensions=(1, 1, kh, kw),
-        window_strides=(1, 1, sh, sw),
-        padding=((0, 0), (0, 0), (ph, ph), (pw, pw)),
-    )
-    return s / jnp.asarray(kh * kw, x.dtype)
+    c = x.shape[1]
+    kernel = jnp.full((c, 1, kh, kw), 1.0 / (kh * kw), x.dtype)
+    return _conv2d(x, kernel, stride, padding, groups=c)
 
 
 def avg_pool2d(x, kernel_size, stride=None, padding=0):

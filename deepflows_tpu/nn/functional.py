@@ -1,0 +1,380 @@
+"""nn.functional — activations, losses, conv/pool ops on the autograd tape.
+
+Rebuild of `DeepFlows/nn/functional.py` (406 LoC).  The conv/pool path is the
+headline TPU translation: the reference lowers conv2d to an im2col slice-loop
+plus a naive CUDA matmul (`functional.py:249-344`, SURVEY §3.1 hot loops);
+here each conv/pool is ONE tape node whose forward/backward dispatch to the
+device kernel module — `lax.conv_general_dilated` / `lax.reduce_window` on
+TPU (MXU-tiled by XLA), im2col+tensordot on the NumPy device.  Backward uses
+a per-node cache so one kernel call serves both parents' gradients.
+
+Deliberate fixes vs the reference (SURVEY §7.1):
+- conv backward scatter-ADDS overlapping windows (reference overwrote,
+  `functional.py:285-294`);
+- ``gelu`` is implemented (reference stub, `functional.py:38-40`);
+- ``binary_cross_entropy`` is implemented (reference stub, `functional.py:100-101`);
+- ``l1_loss`` works (reference called the commented-out ``tensor.abs``);
+- ``cross_entropy`` accepts integer class targets in addition to the
+  reference's one-hot targets (`functional.py:104-115`);
+- dropout in eval mode is the identity (the reference multiplied by (1-p)
+  on top of train-time inverted scaling, `dropout.py:33`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import tensor
+from ..autograd import is_grad_enable, no_grad
+from ..backend import BackendTensor
+from ..tensor import BinaryOperator, Tensor, UnaryOperator
+
+
+# ------------------------------------------------------------------ linear
+def linear(input: Tensor, weight: Tensor, bias: Optional[Tensor] = None) -> Tensor:
+    """y = x @ W (+ b); weight is (in_features, out_features), the
+    reference's convention (`DeepFlows/nn/modules/linear.py:40`)."""
+    affine = input @ weight
+    if bias is not None:
+        affine = affine + bias
+    return affine
+
+
+# ------------------------------------------------------------------ activations
+def relu(input: Tensor) -> Tensor:
+    return tensor.maximum(input, 0.0)
+
+
+class sigmoid(UnaryOperator):
+    """Numerically-split sigmoid (reference `functional.py:19-27`)."""
+
+    def forward(self, x):
+        d = x.data
+        xp = d.device.xp
+        z = xp.exp(-xp.abs(d.array))
+        out = xp.where(d.array >= 0, 1.0 / (1.0 + z), z / (1.0 + z))
+        return BackendTensor._wrap(out.astype(d.array.dtype), d.device)
+
+    def grad_fn(self, x, grad):
+        return grad * self.data * (1.0 - self.data)
+
+
+class tanh(UnaryOperator):
+    def forward(self, x):
+        return x.data.tanh()
+
+    def grad_fn(self, x, grad):
+        return grad * (1.0 - self.data * self.data)
+
+
+class gelu(UnaryOperator):
+    """GELU, exact (erf) or tanh-approximate — implemented, unlike the
+    reference's empty stub (`functional.py:38-40`)."""
+
+    def __init__(self, input: Tensor, approximate: str = "none"):
+        self.approximate = approximate
+        super().__init__(input)
+
+    def forward(self, x):
+        d = x.data
+        xp = d.device.xp
+        a = d.array
+        if self.approximate == "tanh":
+            c = np.sqrt(2.0 / np.pi).astype(np.float32)
+            inner = c * (a + 0.044715 * a**3)
+            out = 0.5 * a * (1.0 + xp.tanh(inner))
+        else:
+            out = 0.5 * a * (1.0 + _erf(xp, a / np.float32(np.sqrt(2.0))))
+        return BackendTensor._wrap(out.astype(a.dtype), d.device)
+
+    def grad_fn(self, x, grad):
+        d = x.data
+        xp = d.device.xp
+        a = d.array
+        if self.approximate == "tanh":
+            c = np.float32(np.sqrt(2.0 / np.pi))
+            inner = c * (a + 0.044715 * a**3)
+            t = xp.tanh(inner)
+            dinner = c * (1.0 + 3 * 0.044715 * a**2)
+            g = 0.5 * (1.0 + t) + 0.5 * a * (1.0 - t**2) * dinner
+        else:
+            cdf = 0.5 * (1.0 + _erf(xp, a / np.float32(np.sqrt(2.0))))
+            pdf = xp.exp(-0.5 * a**2) / np.float32(np.sqrt(2.0 * np.pi))
+            g = cdf + a * pdf
+        return grad * BackendTensor._wrap(g.astype(a.dtype), d.device)
+
+
+def _erf(xp, a):
+    if xp is np:
+        from scipy.special import erf as _scipy_erf
+
+        return _scipy_erf(a)
+    import jax
+
+    return jax.lax.erf(a)
+
+
+def leaky_relu(input: Tensor, negative_slope: float = 0.01) -> Tensor:
+    return tensor.maximum(input, input * negative_slope)
+
+
+def softmax(input: Tensor, dim=None, keepdims: bool = False) -> Tensor:
+    if dim is None:
+        dim = 1
+    m = tensor.max(input, dim, True)
+    shifted = input - m
+    e = tensor.exp(shifted)
+    return e / tensor.sum(e, dim, True)
+
+
+def log_softmax(input: Tensor, dim=None, keepdims: bool = False) -> Tensor:
+    if dim is None:
+        dim = 1
+    m = tensor.max(input, dim, True)
+    shifted = input - m
+    logsumexp = tensor.log(tensor.sum(tensor.exp(shifted), dim, True))
+    return shifted - logsumexp
+
+
+# ------------------------------------------------------------------ losses
+def _reduce(loss: Tensor, reduction: str) -> Tensor:
+    if reduction == "mean":
+        return tensor.mean(loss)
+    if reduction == "sum":
+        return tensor.sum(loss)
+    if reduction == "none":
+        return loss
+    raise ValueError("reduction must be 'mean', 'sum' or 'none'")
+
+
+def l1_loss(input: Tensor, target: Tensor, reduction: str = "mean") -> Tensor:
+    return _reduce(tensor.abs(input - target), reduction)
+
+
+def mse_loss(input: Tensor, target: Tensor, reduction: str = "mean") -> Tensor:
+    return _reduce(tensor.square(input - target), reduction)
+
+
+def nll_loss(input: Tensor, target: Tensor, reduction: str = "mean") -> Tensor:
+    """-input * target with one-hot target (reference `functional.py:76-87`)."""
+    target = _maybe_one_hot(target, input)
+    return _reduce(-input * target, reduction)
+
+
+def binary_cross_entropy(
+    input: Tensor, target: Tensor, reduction: str = "mean", eps: float = 1e-7
+) -> Tensor:
+    p = tensor.maximum(tensor.minimum(input, 1.0 - eps), eps)
+    loss = -(target * tensor.log(p) + (1.0 - target) * tensor.log(1.0 - p))
+    return _reduce(loss, reduction)
+
+
+def _maybe_one_hot(target: Tensor, input: Tensor) -> Tensor:
+    """Accept integer class-index targets by one-hotting them on device (the
+    reference required pre-one-hot float targets)."""
+    if not isinstance(target, Tensor):
+        target = Tensor(target, device=input.device)
+    if target.ndim == input.ndim and target.shape == input.shape:
+        return target
+    with no_grad():
+        num_classes = input.shape[1] if input.ndim > 1 else input.shape[-1]
+        oh = input.device.mod.one_hot(
+            target.data.array, num_classes, dtype=input.dtype
+        )
+        return Tensor(BackendTensor._wrap(oh, input.device))
+
+
+def cross_entropy(
+    input: Tensor, target: Tensor, reduction: str = "mean", dim: int = 1
+) -> Tensor:
+    """Stable log-softmax cross-entropy vs one-hot (or integer) target;
+    'mean' divides by the batch size (reference `functional.py:104-115`)."""
+    target = _maybe_one_hot(target, input)
+    m = tensor.max(input, dim, True)
+    shifted = input - m
+    log_sum_exp = tensor.log(tensor.sum(tensor.exp(shifted), dim, True))
+    nll = -(shifted - log_sum_exp) * target
+    if reduction == "mean":
+        return tensor.sum(nll) * (1.0 / input.shape[0])
+    if reduction == "sum":
+        return tensor.sum(nll)
+    if reduction == "none":
+        return tensor.sum(nll, dim)
+    raise ValueError("reduction must be 'mean', 'sum' or 'none'")
+
+
+# ------------------------------------------------------------------ dropout
+def dropout(input: Tensor, p: float = 0.5, training: bool = True) -> Tensor:
+    if not training or p == 0.0:
+        return input
+    from .. import random as df_random
+
+    dev = input.device
+    if getattr(dev, "is_jax", False):
+        mask = dev.dropout_mask(
+            input.shape, 1.0 - p, dtype=input.dtype, key=df_random.next_key()
+        )
+    else:
+        mask = dev.dropout_mask(input.shape, 1.0 - p, dtype=input.dtype)
+    return input * Tensor(BackendTensor._wrap(mask, dev))
+
+
+# ------------------------------------------------------------------ conv ops
+class _ConvNd(Tensor):
+    """One tape node per convolution; backward computes (gx, gw) in a single
+    device call and caches for the second parent."""
+
+    _fwd_name = "conv2d"
+    _grad_name = "conv2d_grad"
+
+    def __init__(self, x: Tensor, w: Tensor, stride, padding, groups):
+        assert x.device is w.device, "conv operands on different devices"
+        self.stride, self.padding, self.groups = stride, padding, groups
+        dev = x.device
+        out = getattr(dev, self._fwd_name)(
+            x.data.array, w.data.array, stride, padding, groups
+        )
+        super().__init__(
+            BackendTensor._wrap(out, dev),
+            device=dev,
+            requires_grad=is_grad_enable() and (x.requires_grad or w.requires_grad),
+        )
+        self._x, self._w = x, w
+        self._gcache = None
+        if self.requires_grad:
+            x.build_edge(self)
+            w.build_edge(self)
+
+    def grad_fn(self, node, grad):
+        if self._gcache is None or self._gcache[0] is not grad:
+            gx, gw = getattr(self.device, self._grad_name)(
+                self._x.data.array,
+                self._w.data.array,
+                grad.array,
+                self.stride,
+                self.padding,
+                self.groups,
+            )
+            self._gcache = (grad, gx, gw)
+        _, gx, gw = self._gcache
+        if node is self._x:
+            return BackendTensor._wrap(gx, self.device)
+        return BackendTensor._wrap(gw, self.device)
+
+
+class _Conv2dOp(_ConvNd):
+    _fwd_name = "conv2d"
+    _grad_name = "conv2d_grad"
+
+
+class _Conv1dOp(_ConvNd):
+    _fwd_name = "conv1d"
+    _grad_name = "conv1d_grad"
+
+
+def conv2d(
+    x: Tensor,
+    weight: Tensor,
+    padding: int = 0,
+    stride: int = 1,
+    groups: int = 1,
+) -> Tensor:
+    """(N,Cin,H,W) × (Cout,Cin/groups,kh,kw) — argument order (padding,
+    stride) matches the reference (`nn/modules/conv.py:104-108`).  ``groups``
+    is an extension (reference had none) enabling true depthwise convs."""
+    return _Conv2dOp(x, weight, stride, padding, groups)
+
+
+def conv1d(
+    x: Tensor,
+    weight: Tensor,
+    padding: int = 0,
+    stride: int = 1,
+    groups: int = 1,
+) -> Tensor:
+    return _Conv1dOp(x, weight, stride, padding, groups)
+
+
+# ------------------------------------------------------------------ pool ops
+class _PoolNd(UnaryOperator):
+    _fwd_name = "max_pool2d"
+    _grad_name = "max_pool2d_grad"
+
+    def __init__(self, x: Tensor, kernel_size, stride, padding):
+        self.kernel_size = kernel_size
+        self.stride = stride or kernel_size
+        self.pad_ = padding
+        super().__init__(x)
+
+    def forward(self, x):
+        out = getattr(x.device, self._fwd_name)(
+            x.data.array, self.kernel_size, self.stride, self.pad_
+        )
+        return BackendTensor._wrap(out, x.device)
+
+    def grad_fn(self, x, grad):
+        gx = getattr(x.device, self._grad_name)(
+            x.data.array, grad.array, self.kernel_size, self.stride, self.pad_
+        )
+        return BackendTensor._wrap(gx, x.device)
+
+
+class _MaxPool2dOp(_PoolNd):
+    _fwd_name, _grad_name = "max_pool2d", "max_pool2d_grad"
+
+
+class _AvgPool2dOp(_PoolNd):
+    _fwd_name, _grad_name = "avg_pool2d", "avg_pool2d_grad"
+
+
+class _MaxPool1dOp(_PoolNd):
+    _fwd_name, _grad_name = "max_pool1d", "max_pool1d_grad"
+
+
+class _AvgPool1dOp(_PoolNd):
+    _fwd_name, _grad_name = "avg_pool1d", "avg_pool1d_grad"
+
+
+def max_pool2d(x: Tensor, kernel_size: int, stride: int = 0, padding: int = 0):
+    return _MaxPool2dOp(x, kernel_size, stride or kernel_size, padding)
+
+
+def avg_pool2d(x: Tensor, kernel_size: int, stride: int = 0, padding: int = 0):
+    return _AvgPool2dOp(x, kernel_size, stride or kernel_size, padding)
+
+
+def max_pool1d(x: Tensor, kernel_size: int, stride: int = 0, padding: int = 0):
+    return _MaxPool1dOp(x, kernel_size, stride or kernel_size, padding)
+
+
+def avg_pool1d(x: Tensor, kernel_size: int, stride: int = 0, padding: int = 0):
+    return _AvgPool1dOp(x, kernel_size, stride or kernel_size, padding)
+
+
+def adaptive_avg_pool2d(x: Tensor, output_size: int = 1) -> Tensor:
+    """Global/adaptive average pool.  output_size=1 is GAP — the reference's
+    models hand-roll it as two means (`test/ResNet.py:141-143`)."""
+    if output_size == 1:
+        return tensor.mean(tensor.mean(x, 3, True), 2, True)
+    n, c, h, w = x.shape
+    assert h % output_size == 0 and w % output_size == 0, (
+        "adaptive_avg_pool2d requires divisible spatial dims"
+    )
+    k = h // output_size
+    return _AvgPool2dOp(x, k, k, 0)
+
+
+def flatten(x: Tensor, start_dim: int = 1) -> Tensor:
+    return x.flatten(start_dim)
+
+
+def one_hot(indices, num_classes: int, device=None) -> Tensor:
+    from ..backend import Device, default_device
+
+    dev = Device(device) if device else default_device()
+    if isinstance(indices, Tensor):
+        indices = indices.data.array
+    with no_grad():
+        return Tensor(BackendTensor._wrap(dev.mod.one_hot(indices, num_classes), dev))

@@ -1,0 +1,57 @@
+"""nn.modules exports (reference: `DeepFlows/nn/modules/__init__.py:1-8`)."""
+
+from .activation import (
+    GELU,
+    LeakyReLU,
+    LogSoftmax,
+    ReLU,
+    Sigmoid,
+    Softmax,
+    Tanh,
+)
+from .batchnorm import BatchNorm1d, BatchNorm2d
+from .container import ModuleDict, ModuleList, Sequential
+from .conv import Conv1d, Conv2d
+from .dropout import Dropout
+from .flatten import Flatten
+from .linear import Linear
+from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
+from .module import Module
+from .pool import (
+    AdaptiveAvgPool2d,
+    AvgPool1d,
+    AvgPool2d,
+    MaxPool1d,
+    MaxPool2d,
+)
+
+__all__ = [
+    "Module",
+    "Linear",
+    "Conv1d",
+    "Conv2d",
+    "MaxPool1d",
+    "MaxPool2d",
+    "AvgPool1d",
+    "AvgPool2d",
+    "AdaptiveAvgPool2d",
+    "BatchNorm1d",
+    "BatchNorm2d",
+    "Dropout",
+    "Flatten",
+    "Sequential",
+    "ModuleList",
+    "ModuleDict",
+    "ReLU",
+    "Sigmoid",
+    "Tanh",
+    "GELU",
+    "LeakyReLU",
+    "Softmax",
+    "LogSoftmax",
+    "L1Loss",
+    "NLLLoss",
+    "MSELoss",
+    "BCELoss",
+    "CrossEntropyLoss",
+]

@@ -1,0 +1,77 @@
+"""Adam (reference: `DeepFlows/optim/adam.py`): EMA order, bias correction
+and update sequence match the reference (`adam.py:47-60`); t starts at 1 and
+increments after the step.  The step count lives in the state pytree as a
+device scalar so compiled steps never retrace."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..tensor import Tensor
+from .optimizer import Optimizer
+
+
+class Adam(Optimizer):
+    def __init__(
+        self,
+        params: List[Tensor],
+        lr: float = 1e-3,
+        betas=(0.9, 0.999),
+        eps: float = 1e-8,
+        weight_decay: float = 0.0,
+    ) -> None:
+        super().__init__(params)
+        self.lr = lr
+        self.beta1, self.beta2 = betas
+        self.eps = eps
+        self.weight_decay = weight_decay
+
+    def init_state(self):
+        return {
+            "v": self._zeros_like_params(),
+            "s": self._zeros_like_params(),
+            "t": np.asarray(0, dtype=np.int32),
+        }
+
+    def pure_update(self, params, grads, state, lr):
+        t = state["t"] + 1
+        tf = t.astype(np.float32) if hasattr(t, "astype") else float(t)
+        bc1 = 1.0 - self.beta1**tf
+        bc2 = 1.0 - self.beta2**tf
+        new_params, new_v, new_s = [], [], []
+        for p, g, v, s in zip(params, grads, state["v"], state["s"]):
+            if g is None:
+                new_params.append(p)
+                new_v.append(v)
+                new_s.append(s)
+                continue
+            if self.weight_decay:
+                g = g + p * self.weight_decay
+            v = v * self.beta1 + g * (1.0 - self.beta1)
+            s = s * self.beta2 + g * g * (1.0 - self.beta2)
+            v_hat = v / bc1
+            s_hat = s / bc2
+            update = v_hat / (s_hat**0.5 + self.eps) * lr
+            new_params.append(p - update)
+            new_v.append(v)
+            new_s.append(s)
+        return new_params, {"v": new_v, "s": new_s, "t": t}
+
+    # reference-compatible accessors (checkpointing reads v/s/t,
+    # `DeepFlows/utils/model_utils.py:60-74`)
+    @property
+    def v(self):
+        self._ensure_state()
+        return self._state["v"]
+
+    @property
+    def s(self):
+        self._ensure_state()
+        return self._state["s"]
+
+    @property
+    def t(self):
+        self._ensure_state()
+        return int(self._state["t"]) + 1  # reference t starts at 1

@@ -58,7 +58,6 @@ __all__ = [
     "transpose",
     "concat",
     "get_slice",
-    "tensor",
     "empty",
     "zeros",
     "ones",

@@ -1,0 +1,404 @@
+"""nn library tests: differential vs torch (CPU golden oracle), finite
+differences for conv/pool/bn gradients, cross-device agreement, Module
+mechanics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, nn
+from deepflows_tpu.nn import functional as F
+
+RNG = np.random.default_rng(0)
+
+
+def t2n(t):
+    return t.detach().numpy()
+
+
+@pytest.fixture(autouse=True)
+def _clean_tape():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+# --------------------------------------------------------------- activations
+def test_activations_match_torch(device):
+    x = RNG.standard_normal((4, 7)).astype(np.float32)
+    tx = Tensor(x, device=device)
+    xt = torch.tensor(x)
+    np.testing.assert_allclose(F.relu(tx).numpy(), tF.relu(xt).numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        F.sigmoid(tx).numpy(), torch.sigmoid(xt).numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(F.tanh(tx).numpy(), torch.tanh(xt).numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        F.gelu(tx).numpy(), tF.gelu(xt).numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        F.gelu(tx, "tanh").numpy(),
+        tF.gelu(xt, approximate="tanh").numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        F.leaky_relu(tx, 0.1).numpy(), tF.leaky_relu(xt, 0.1).numpy(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        F.softmax(tx, 1).numpy(), tF.softmax(xt, dim=1).numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        F.log_softmax(tx, 1).numpy(),
+        tF.log_softmax(xt, dim=1).numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_sigmoid_tanh_gelu_grads():
+    x = RNG.standard_normal((3, 5)).astype(np.float32)
+    for fn, tfn in [
+        (F.sigmoid, torch.sigmoid),
+        (F.tanh, torch.tanh),
+        (lambda t: F.gelu(t), tF.gelu),
+        (lambda t: F.gelu(t, "tanh"), lambda t: tF.gelu(t, approximate="tanh")),
+    ]:
+        tx = Tensor(x.copy(), requires_grad=True)
+        fn(tx).sum().backward()
+        xt = torch.tensor(x, requires_grad=True)
+        tfn(xt).sum().backward()
+        np.testing.assert_allclose(
+            tx.grad.numpy(), xt.grad.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+# --------------------------------------------------------------- losses
+def test_mse_l1_losses_match_torch(device):
+    a = RNG.standard_normal((5, 3)).astype(np.float32)
+    b = RNG.standard_normal((5, 3)).astype(np.float32)
+    ta, tb = Tensor(a, device=device), Tensor(b, device=device)
+    np.testing.assert_allclose(
+        nn.MSELoss()(ta, tb).numpy(), tF.mse_loss(torch.tensor(a), torch.tensor(b)).numpy(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        nn.L1Loss()(ta, tb).numpy(), tF.l1_loss(torch.tensor(a), torch.tensor(b)).numpy(), rtol=1e-5
+    )
+
+
+def test_cross_entropy_matches_torch(device):
+    logits = RNG.standard_normal((6, 4)).astype(np.float32) * 2
+    labels = RNG.integers(0, 4, 6)
+    onehot = np.eye(4, dtype=np.float32)[labels]
+    want = tF.cross_entropy(torch.tensor(logits), torch.tensor(labels)).numpy()
+    got_onehot = nn.CrossEntropyLoss()(
+        Tensor(logits, device=device), Tensor(onehot, device=device)
+    ).numpy()
+    got_int = nn.CrossEntropyLoss()(
+        Tensor(logits, device=device), Tensor(labels.astype(np.int32), device=device)
+    ).numpy()
+    np.testing.assert_allclose(got_onehot, want, rtol=1e-5)
+    np.testing.assert_allclose(got_int, want, rtol=1e-5)
+
+
+def test_cross_entropy_grad_matches_torch():
+    logits = RNG.standard_normal((6, 4)).astype(np.float32)
+    labels = RNG.integers(0, 4, 6)
+    onehot = np.eye(4, dtype=np.float32)[labels]
+    tx = Tensor(logits.copy(), requires_grad=True)
+    nn.CrossEntropyLoss()(tx, Tensor(onehot)).backward()
+    xt = torch.tensor(logits, requires_grad=True)
+    tF.cross_entropy(xt, torch.tensor(labels)).backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_bce_loss():
+    p = RNG.random((5, 1)).astype(np.float32) * 0.9 + 0.05
+    y = (RNG.random((5, 1)) > 0.5).astype(np.float32)
+    got = nn.BCELoss()(Tensor(p), Tensor(y)).numpy()
+    want = tF.binary_cross_entropy(torch.tensor(p), torch.tensor(y)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_nll_loss_one_hot():
+    logp = np.log(RNG.random((4, 3)).astype(np.float32) + 0.1)
+    labels = RNG.integers(0, 3, 4)
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    got = nn.NLLLoss(reduction="sum")(Tensor(logp), Tensor(onehot)).numpy()
+    want = float(-(logp * onehot).sum())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# --------------------------------------------------------------- linear
+def test_linear_matches_torch(device):
+    lin = nn.Linear(5, 3, device=device)
+    x = RNG.standard_normal((4, 5)).astype(np.float32)
+    w = lin.weight.numpy()  # (in, out) convention
+    b = lin.bias.numpy()
+    out = lin(Tensor(x, device=device)).numpy()
+    np.testing.assert_allclose(out, x @ w + b, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_grads():
+    lin = nn.Linear(4, 2, device="cpu")
+    x = RNG.standard_normal((3, 4)).astype(np.float32)
+    out = lin(Tensor(x, device="cpu"))
+    out.sum().backward()
+    np.testing.assert_allclose(
+        lin.weight.grad.numpy(), x.T @ np.ones((3, 2), np.float32), rtol=1e-4
+    )
+    np.testing.assert_allclose(lin.bias.grad.numpy(), np.full((1, 2), 3.0), rtol=1e-5)
+
+
+# --------------------------------------------------------------- conv / pool
+@pytest.mark.parametrize("stride,padding", [(1, 0), (2, 1), (1, 2), (3, 1)])
+def test_conv2d_matches_torch(device, stride, padding):
+    x = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    w = RNG.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    got = F.conv2d(Tensor(x, device=device), Tensor(w, device=device), padding, stride).numpy()
+    want = tF.conv2d(torch.tensor(x), torch.tensor(w), stride=stride, padding=padding).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_conv2d_groups_matches_torch(device):
+    x = RNG.standard_normal((2, 4, 6, 6)).astype(np.float32)
+    w = RNG.standard_normal((8, 2, 3, 3)).astype(np.float32)  # groups=2
+    got = F.conv2d(Tensor(x, device=device), Tensor(w, device=device), 1, 1, groups=2).numpy()
+    want = tF.conv2d(torch.tensor(x), torch.tensor(w), stride=1, padding=1, groups=2).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_conv2d_grads_match_torch(device):
+    x = RNG.standard_normal((2, 3, 6, 6)).astype(np.float32)
+    w = RNG.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    tx = Tensor(x.copy(), device=device, requires_grad=True)
+    tw = Tensor(w.copy(), device=device, requires_grad=True)
+    (F.conv2d(tx, tw, 1, 2) * 1.0).sum().backward()
+    xt = torch.tensor(x, requires_grad=True)
+    wt = torch.tensor(w, requires_grad=True)
+    tF.conv2d(xt, wt, stride=2, padding=1).sum().backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(tw.grad.numpy(), wt.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_conv2d_overlap_grad_correct(device):
+    """stride < kernel ⇒ overlapping windows; the reference's col2im
+    overwrote instead of accumulating (`functional.py:285-294`)."""
+    x = RNG.standard_normal((1, 1, 5, 5)).astype(np.float32)
+    w = RNG.standard_normal((1, 1, 3, 3)).astype(np.float32)
+    tx = Tensor(x.copy(), device=device, requires_grad=True)
+    F.conv2d(tx, Tensor(w, device=device), 0, 1).sum().backward()
+    xt = torch.tensor(x, requires_grad=True)
+    tF.conv2d(xt, torch.tensor(w)).sum().backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-3, atol=1e-5)
+
+
+def test_conv1d_matches_torch(device):
+    x = RNG.standard_normal((2, 3, 10)).astype(np.float32)
+    w = RNG.standard_normal((5, 3, 3)).astype(np.float32)
+    got = F.conv1d(Tensor(x, device=device), Tensor(w, device=device), 1, 2).numpy()
+    want = tF.conv1d(torch.tensor(x), torch.tensor(w), stride=2, padding=1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,p", [(2, 2, 0), (3, 2, 1), (2, 1, 0)])
+def test_max_pool2d_matches_torch(device, k, s, p):
+    x = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    got = F.max_pool2d(Tensor(x, device=device), k, s, p).numpy()
+    want = tF.max_pool2d(torch.tensor(x), k, stride=s, padding=p).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_max_pool2d_grad_matches_torch(device):
+    x = RNG.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    tx = Tensor(x.copy(), device=device, requires_grad=True)
+    (F.max_pool2d(tx, 2, 2) * 2.0).sum().backward()
+    xt = torch.tensor(x, requires_grad=True)
+    (tF.max_pool2d(xt, 2) * 2.0).sum().backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_avg_pool2d_matches_torch(device):
+    x = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    got = F.avg_pool2d(Tensor(x, device=device), 2, 2).numpy()
+    want = tF.avg_pool2d(torch.tensor(x), 2).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    tx = Tensor(x.copy(), device=device, requires_grad=True)
+    F.avg_pool2d(tx, 2, 2).sum().backward()
+    np.testing.assert_allclose(
+        tx.grad.numpy(), np.full_like(x, 0.25), rtol=1e-5
+    )
+
+
+def test_pool1d(device):
+    x = RNG.standard_normal((2, 3, 12)).astype(np.float32)
+    got = F.max_pool1d(Tensor(x, device=device), 2, 2).numpy()
+    want = tF.max_pool1d(torch.tensor(x), 2).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    got = F.avg_pool1d(Tensor(x, device=device), 3, 3).numpy()
+    want = tF.avg_pool1d(torch.tensor(x), 3).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_adaptive_avg_pool_gap(device):
+    x = RNG.standard_normal((2, 3, 4, 4)).astype(np.float32)
+    got = F.adaptive_avg_pool2d(Tensor(x, device=device), 1).numpy()
+    np.testing.assert_allclose(got, x.mean(axis=(2, 3), keepdims=True), rtol=1e-5)
+
+
+# --------------------------------------------------------------- batchnorm
+def test_batchnorm2d_train_matches_torch(device):
+    x = RNG.standard_normal((4, 3, 5, 5)).astype(np.float32)
+    bn = nn.BatchNorm2d(3, device=device)
+    bnt = torch.nn.BatchNorm2d(3)
+    bnt.train()
+    got = bn(Tensor(x, device=device)).numpy()
+    want = bnt(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    # running stats updated identically (biased var in EMA? torch uses
+    # unbiased for running_var — allow tolerance on that known difference)
+    np.testing.assert_allclose(
+        bn.running_mean.numpy().ravel(), bnt.running_mean.numpy(), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_batchnorm2d_eval_uses_running_stats(device):
+    bn = nn.BatchNorm2d(2, device=device)
+    x = RNG.standard_normal((8, 2, 4, 4)).astype(np.float32) * 3 + 1
+    bn(Tensor(x, device=device))  # one train step updates stats
+    bn.eval()
+    y = bn(Tensor(x, device=device)).numpy()
+    rm = bn.running_mean.numpy()
+    rv = bn.running_var.numpy()
+    want = (x - rm) / np.sqrt(rv + bn.eps)
+    np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-4)
+    df.set_grad_enabled(True)
+
+
+def test_batchnorm_buffers_registered():
+    bn = nn.BatchNorm2d(4, device="cpu")
+    names = dict(bn.named_buffers())
+    assert "running_mean" in names and "running_var" in names
+    sd = bn.state_dict()
+    assert "running_mean" in sd  # the reference dropped BN stats on save
+
+
+def test_batchnorm_grads():
+    x = RNG.standard_normal((4, 2, 3, 3)).astype(np.float32)
+    bn = nn.BatchNorm2d(2, device="cpu")
+    bnt = torch.nn.BatchNorm2d(2)
+    tx = Tensor(x.copy(), device="cpu", requires_grad=True)
+    (bn(tx) ** 2.0).sum().backward()
+    xt = torch.tensor(x, requires_grad=True)
+    (bnt(xt) ** 2).sum().backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-3)
+
+
+# --------------------------------------------------------------- dropout
+def test_dropout_train_eval(device):
+    drop = nn.Dropout(0.5)
+    x = Tensor(np.ones((100, 100), np.float32), device=device)
+    y = drop(x).numpy()
+    kept = y != 0
+    assert 0.3 < kept.mean() < 0.7
+    np.testing.assert_allclose(y[kept], 2.0, rtol=1e-5)  # inverted scaling
+    drop.eval()
+    y = drop(x).numpy()
+    np.testing.assert_allclose(y, 1.0)  # identity in eval (divergence fix)
+    df.set_grad_enabled(True)
+
+
+# --------------------------------------------------------------- module tree
+class TinyNet(nn.Module):
+    def __init__(self, device="cpu"):
+        super().__init__()
+        self.fc1 = nn.Linear(4, 8, device=device)
+        self.act = nn.ReLU()
+        self.fc2 = nn.Linear(8, 2, device=device)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+def test_module_registration_and_traversal():
+    net = TinyNet()
+    names = [n for n, _ in net.named_parameters()]
+    assert names == ["fc1.weight", "fc1.bias", "fc2.weight", "fc2.bias"]
+    assert len(list(net.modules())) == 4
+    assert [n for n, _ in net.named_children()] == ["fc1", "act", "fc2"]
+    assert net.get_submodule("fc1") is net.fc1
+    assert net.get_parameter("fc2.weight") is net.fc2.weight
+
+
+def test_train_eval_flips_global_grad_flag():
+    net = TinyNet()
+    net.eval()
+    assert not df.is_grad_enable()
+    assert not net.training
+    net.train()
+    assert df.is_grad_enable()
+    assert net.training
+
+
+def test_state_dict_roundtrip():
+    net, net2 = TinyNet(), TinyNet()
+    sd = net.state_dict()
+    net2.load_state_dict(sd)
+    x = RNG.standard_normal((3, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        net(Tensor(x)).numpy(), net2(Tensor(x)).numpy(), rtol=1e-5
+    )
+
+
+def test_load_state_dict_strict_errors():
+    net = TinyNet()
+    sd = net.state_dict()
+    sd["bogus"] = np.zeros(3)
+    with pytest.raises(KeyError):
+        net.load_state_dict(sd, strict=True)
+    net.load_weights(sd)  # non-strict OK
+
+
+def test_sequential_and_modulelist():
+    seq = nn.Sequential(nn.Linear(4, 8, device="cpu"), nn.ReLU(), nn.Linear(8, 2, device="cpu"))
+    assert len(seq) == 3
+    x = Tensor(RNG.standard_normal((2, 4)).astype(np.float32), device="cpu")
+    assert seq(x).shape == (2, 2)
+    assert len(list(seq.parameters())) == 4
+    ml = nn.ModuleList([nn.Linear(2, 2, device="cpu") for _ in range(3)])
+    assert len(ml) == 3
+    assert len(list(ml.parameters())) == 6
+    ml.append(nn.Linear(2, 2, device="cpu"))
+    assert len(ml) == 4
+    md = nn.ModuleDict({"a": nn.Linear(2, 2, device="cpu")})
+    assert "a" in md and len(list(md.parameters())) == 2
+
+
+def test_module_move_devices():
+    net = TinyNet(device="cpu")
+    net.to("tpu")
+    assert net.fc1.weight.device.name == "tpu"
+    x = Tensor(RNG.standard_normal((2, 4)).astype(np.float32), device="tpu")
+    assert net(x).device.name == "tpu"
+    net.cpu()
+    assert net.fc1.weight.device.name == "cpu"
+
+
+def test_requires_grad_freezing():
+    net = TinyNet()
+    net.requires_grad_(False)
+    assert all(not p.requires_grad for p in net.parameters())
+    net.fc2.requires_grad_(True)
+    trainable = [n for n, p in net.named_parameters() if p.requires_grad]
+    assert trainable == ["fc2.weight", "fc2.bias"]
+
+
+def test_zero_grad():
+    net = TinyNet()
+    x = Tensor(RNG.standard_normal((2, 4)).astype(np.float32))
+    net(x).sum().backward()
+    assert net.fc1.weight.grad is not None
+    net.zero_grad()
+    assert net.fc1.weight.grad is None
