@@ -1,0 +1,207 @@
+"""Whole-step compilation: trace an entire tape-autograd training step
+(forward + reverse tape walk + optimizer update + BN stat EMA + dropout PRNG)
+into ONE fused XLA program.
+
+This is the central TPU translation of the reference's execution model
+(SURVEY §7.3 item 1): the reference launches a CUDA kernel per tiny op per
+step (`DeepFlows/tensor.py` op classes dispatching through
+`backend_tensor.py` to `ndarray_backend_cuda.cu`); uncompiled per-op dispatch
+is catastrophic on TPU.  Because every deepflows_tpu op — including
+``backward()``'s gradient math and the optimizers' pure cores — is expressed
+over traceable jnp device ops, the define-by-run API compiles by tracing:
+the tape is built once at trace time, and afterwards each step is a single
+XLA executable with donated buffers (in-place parameter updates in HBM).
+
+Usage::
+
+    step = CompiledTrainStep(model, optimizer, criterion)
+    for xb, yb in loader:
+        loss = step(xb, yb)          # numpy in, device scalar out
+
+The learning rate is read from ``optimizer.lr`` each call and passed as a
+runtime scalar — LR schedulers never retrigger compilation.  A shape change
+(e.g. a ragged final batch) does retrace; prefer ``drop_last=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from . import random as df_random
+from .autograd import set_grad_enabled
+from .backend import BackendTensor, tpu
+from .config import config
+from .tensor import Graph, Tensor
+
+
+class CompiledTrainStep:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        criterion: Callable,
+        donate: bool = True,
+        metrics_fn: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.criterion = criterion
+        self.metrics_fn = metrics_fn
+
+        self._device = tpu()
+        if not self._device.enabled():
+            raise RuntimeError("CompiledTrainStep requires the jax ('tpu') device")
+        # move model to the jax device if it isn't there yet
+        if any(p.device is not self._device for p in model.parameters()):
+            model.to(self._device)
+
+        self._params = [p for _, p in model.named_parameters()]
+        self._buffers = [b for _, b in model.named_buffers()]
+        # the optimizer may hold a SUBSET of model params (e.g. frozen-layer
+        # training, `test/ResNet18_parameter_freezing_test.py` in the
+        # reference) — map optimizer.params into model-param positions
+        by_id = {id(p): i for i, p in enumerate(self._params)}
+        try:
+            self._opt_index = [by_id[id(p)] for p in optimizer.params]
+        except KeyError:
+            raise ValueError(
+                "optimizer holds parameters that are not in the model"
+            ) from None
+        optimizer._ensure_state()
+        # optimizer state must live on the jax device for donation to help
+        self.model.train()
+
+        self._base_key = jax.random.key(config.seed + 1)
+        self._call_count = 0
+        donate_argnums = (0, 1, 2) if donate else ()
+        self._jitted = jax.jit(self._pure_step, donate_argnums=donate_argnums)
+
+        self._trace_count = 0  # observability: how many times XLA retraced
+
+    # ------------------------------------------------------------------
+    def _pure_step(self, param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y):
+        self._trace_count += 1
+        dev = self._device
+        saved_params = [p.data for p in self._params]
+        saved_buffers = [b.data for b in self._buffers]
+        saved_tape = Graph.node_list
+        Graph.node_list = []
+        df_random.set_trace_key(jax.random.fold_in(self._base_key, step_idx))
+        set_grad_enabled(True)
+        try:
+            for p, arr in zip(self._params, param_arrays):
+                p.data = BackendTensor._wrap(arr, dev)
+                p.grad = None
+                Graph.add(p)
+            for b, arr in zip(self._buffers, buffer_arrays):
+                b.data = BackendTensor._wrap(arr, dev)
+            xt = Tensor(BackendTensor._wrap(x, dev))
+            yt = Tensor(BackendTensor._wrap(y, dev))
+            out = self.model(xt)
+            loss = self.criterion(out, yt)
+            loss.backward(retain_graph=True)
+            grads = [
+                (p.grad.array if p.grad is not None else None) for p in self._params
+            ]
+            opt_params = [param_arrays[i] for i in self._opt_index]
+            opt_grads = [grads[i] for i in self._opt_index]
+            new_opt_params, new_opt_state = self.optimizer.pure_update(
+                opt_params, opt_grads, opt_state, lr
+            )
+            new_params = list(param_arrays)
+            for i, arr in zip(self._opt_index, new_opt_params):
+                new_params[i] = arr
+            new_buffers = [b.data.array for b in self._buffers]
+            metrics = None
+            if self.metrics_fn is not None:
+                m = self.metrics_fn(out, yt)
+                metrics = jax.tree.map(
+                    lambda v: v.data.array if isinstance(v, Tensor) else v, m
+                )
+            return loss.data.array, new_params, new_buffers, new_opt_state, metrics
+        finally:
+            for p, d in zip(self._params, saved_params):
+                p.data = d
+                p.grad = None
+                p.children.clear()
+                p.parents.clear()
+            for b, d in zip(self._buffers, saved_buffers):
+                b.data = d
+            Graph.node_list = saved_tape
+            df_random.clear_trace_key()
+
+    # ------------------------------------------------------------------
+    def __call__(self, x, y):
+        dev = self._device
+        param_arrays = [p.data.array for p in self._params]
+        buffer_arrays = [b.data.array for b in self._buffers]
+        opt_state = self.optimizer._state
+        lr = np.float32(self.optimizer.lr)
+        step_idx = np.int32(self._call_count)
+        self._call_count += 1
+        loss, new_params, new_buffers, new_opt_state, metrics = self._jitted(
+            param_arrays,
+            buffer_arrays,
+            opt_state,
+            lr,
+            step_idx,
+            np.asarray(x),
+            np.asarray(y),
+        )
+        for p, arr in zip(self._params, new_params):
+            p.data = BackendTensor._wrap(arr, dev)
+        for b, arr in zip(self._buffers, new_buffers):
+            b.data = BackendTensor._wrap(arr, dev)
+        self.optimizer._state = new_opt_state
+        self._last_metrics = metrics
+        return loss
+
+
+class CompiledEvalStep:
+    """Jitted inference: forward in eval mode (running BN stats, dropout off),
+    returning raw logits as a device array."""
+
+    def __init__(self, model):
+        self.model = model
+        self._device = tpu()
+        if not self._device.enabled():
+            raise RuntimeError("CompiledEvalStep requires the jax ('tpu') device")
+        if any(p.device is not self._device for p in model.parameters()):
+            model.to(self._device)
+        self._params = [p for _, p in model.named_parameters()]
+        self._buffers = [b for _, b in model.named_buffers()]
+        self._jitted = jax.jit(self._pure_forward)
+
+    def _pure_forward(self, param_arrays, buffer_arrays, x):
+        dev = self._device
+        saved_params = [p.data for p in self._params]
+        saved_buffers = [b.data for b in self._buffers]
+        saved_tape = Graph.node_list
+        Graph.node_list = []
+        was_training = self.model.training
+        self.model.eval()  # also disables grad recording globally
+        try:
+            for p, arr in zip(self._params, param_arrays):
+                p.data = BackendTensor._wrap(arr, dev)
+            for b, arr in zip(self._buffers, buffer_arrays):
+                b.data = BackendTensor._wrap(arr, dev)
+            out = self.model(Tensor(BackendTensor._wrap(x, dev)))
+            return out.data.array
+        finally:
+            for p, d in zip(self._params, saved_params):
+                p.data = d
+            for b, d in zip(self._buffers, saved_buffers):
+                b.data = d
+            Graph.node_list = saved_tape
+            if was_training:
+                self.model.train()
+            else:
+                set_grad_enabled(True)
+
+    def __call__(self, x):
+        param_arrays = [p.data.array for p in self._params]
+        buffer_arrays = [b.data.array for b in self._buffers]
+        return self._jitted(param_arrays, buffer_arrays, np.asarray(x))

@@ -1,0 +1,173 @@
+"""Whole-step compilation tests: compiled train step ≡ eager step, single
+trace across lr changes and steps, BN buffer plumbing, eval step, freezing."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, nn, optim
+from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def make_model(seed=0):
+    df.manual_seed(seed)
+    return nn.Sequential(
+        # bias=False before BN: a biased conv feeding BN has ~zero bias
+        # gradient, and Adam amplifies float32 noise on it — not a bug,
+        # but it makes exact eager/compiled comparison flaky
+        nn.Conv2d(1, 4, 3, padding=1, bias=False, device="tpu"),
+        nn.BatchNorm2d(4, device="tpu"),
+        nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Flatten(),
+        nn.Linear(4 * 4 * 4, 3, device="tpu"),
+    )
+
+
+def batch(i=0):
+    r = np.random.default_rng(i)
+    return (
+        r.standard_normal((8, 1, 8, 8)).astype(np.float32),
+        r.integers(0, 3, 8).astype(np.int32),
+    )
+
+
+def eager_steps(model, n):
+    opt = optim.Adam(model.parameters(), lr=0.01)
+    crit = nn.CrossEntropyLoss()
+    losses = []
+    for i in range(n):
+        x, y = batch(i)
+        out = model(Tensor(x, device="tpu"))
+        loss = crit(out, Tensor(y, device="tpu"))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.numpy()))
+    return losses
+
+
+def compiled_steps(model, n, donate=True):
+    opt = optim.Adam(model.parameters(), lr=0.01)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss(), donate=donate)
+    losses = []
+    for i in range(n):
+        x, y = batch(i)
+        losses.append(float(step(x, y)))
+    return losses, step
+
+
+def test_compiled_matches_eager():
+    m1, m2 = make_model(0), make_model(0)
+    # identical init
+    m2.load_state_dict(m1.state_dict())
+    eager = eager_steps(m1, 4)
+    comp, _ = compiled_steps(m2, 4)
+    np.testing.assert_allclose(eager, comp, rtol=1e-3, atol=1e-5)
+    # parameters ended up identical too
+    for (n1, p1), (n2, p2) in zip(m1.named_parameters(), m2.named_parameters()):
+        np.testing.assert_allclose(
+            p1.numpy(), p2.numpy(), rtol=1e-3, atol=1e-5, err_msg=n1
+        )
+    # BN running stats tracked through the compiled step
+    bn1 = dict(m1.named_buffers())
+    bn2 = dict(m2.named_buffers())
+    for k in bn1:
+        np.testing.assert_allclose(
+            bn1[k].numpy(), bn2[k].numpy(), rtol=1e-3, atol=1e-5, err_msg=k
+        )
+
+
+def test_single_trace_across_steps_and_lr_changes():
+    model = make_model(1)
+    opt = optim.SGD(model.parameters(), lr=0.1, momentum=0.9)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    sch = optim.StepLR(opt, step_size=1, gamma=0.5)
+    for i in range(5):
+        x, y = batch(i)
+        step(x, y)
+        sch.step()
+    assert step._trace_count == 1, f"retraced {step._trace_count}x"
+
+
+def test_model_restored_after_trace():
+    model = make_model(2)
+    w_before = model[0].weight
+    opt = optim.SGD(model.parameters(), lr=0.0)  # lr=0: params unchanged
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    x, y = batch(0)
+    step(x, y)
+    # same Parameter objects, concrete (non-tracer) arrays, value unchanged
+    assert model[0].weight is w_before
+    np.testing.assert_allclose(model[0].weight.numpy(), w_before.numpy())
+    assert len(Graph.node_list) <= len(list(model.parameters()))
+
+
+def test_frozen_params_not_updated():
+    model = make_model(3)
+    model[0].requires_grad_(False)
+    conv_w = model[0].weight.numpy().copy()
+    opt = optim.Adam(
+        [p for p in model.parameters() if p.requires_grad], lr=0.05
+    )
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    for i in range(3):
+        x, y = batch(i)
+        step(x, y)
+    np.testing.assert_allclose(model[0].weight.numpy(), conv_w)
+    # trainable params did move
+    assert not np.allclose(model[-1].weight.numpy(), 0)
+
+
+def test_compiled_eval_step():
+    model = make_model(4)
+    x, _ = batch(0)
+    ev = CompiledEvalStep(model)
+    got = np.asarray(ev(x))
+    model.eval()
+    want = model(Tensor(x, device="tpu")).numpy()
+    model.train()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # eval step must not mutate BN running stats
+    rm = model[1].running_mean.numpy().copy()
+    ev(x)
+    np.testing.assert_allclose(model[1].running_mean.numpy(), rm)
+
+
+def test_dropout_inside_compiled_step_varies_per_call():
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.Linear(16, 64, device="tpu"), nn.Dropout(0.5), nn.Linear(64, 2, device="tpu")
+    )
+    opt = optim.SGD(model.parameters(), lr=0.0)
+    step = CompiledTrainStep(model, opt, nn.MSELoss())
+    x = RNG.standard_normal((4, 16)).astype(np.float32)
+    y = RNG.standard_normal((4, 2)).astype(np.float32)
+    l1, l2 = float(step(x, y)), float(step(x, y))
+    assert l1 != l2  # fresh dropout mask each call
+    assert step._trace_count == 1
+
+
+def test_metrics_fn():
+    model = make_model(5)
+    opt = optim.Adam(model.parameters(), lr=0.01)
+
+    def metrics(out, yt):
+        pred = out.argmax(1)
+        return {"acc": (pred.data.array == yt.data.array).mean()}
+
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss(), metrics_fn=metrics)
+    x, y = batch(0)
+    step(x, y)
+    assert 0.0 <= float(step._last_metrics["acc"]) <= 1.0
