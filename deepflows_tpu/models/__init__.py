@@ -1,0 +1,32 @@
+"""Model zoo: the reference's workload models (SURVEY §2.8) as a library."""
+
+from .cnn import CIFAR10_CNN, MLP, MNIST_CNN, DishesCNN
+from .mobilenet import MobileNetV1, make_divisible
+from .resnet import (
+    BasicBlock,
+    Bottleneck,
+    ResidualBlock,
+    ResNet,
+    ResNet18,
+    ResNet34,
+    ResNet50,
+)
+from .vgg import VGG, VGG16
+
+__all__ = [
+    "MLP",
+    "MNIST_CNN",
+    "CIFAR10_CNN",
+    "DishesCNN",
+    "ResNet",
+    "ResNet18",
+    "ResNet34",
+    "ResNet50",
+    "BasicBlock",
+    "Bottleneck",
+    "ResidualBlock",
+    "MobileNetV1",
+    "make_divisible",
+    "VGG",
+    "VGG16",
+]

@@ -1,0 +1,17 @@
+"""utils package (reference: `DeepFlows/utils/`)."""
+
+from . import data  # noqa: F401
+from .evaluate import Accumulator, accuracy, evaluate_accuracy, softmax  # noqa: F401
+from .model_configs import (  # noqa: F401
+    IMAGENET_STATS,
+    MOBILENET_V1_CONFIG,
+    MODEL_METADATA,
+    RESNET_BLOCK_CONFIG,
+    VGG_CONFIG,
+    get_model_config,
+    get_model_metadata,
+    get_normalization_stats,
+    is_model_supported,
+)
+from .model_utils import load_checkpoint, save_checkpoint  # noqa: F401
+from .visual import Animator  # noqa: F401

@@ -1,0 +1,23 @@
+from .dataloader import (
+    BatchSampler,
+    DataLoader,
+    RandomSampler,
+    Sampler,
+    SequentialSampler,
+    data_loader,
+)
+from .dataset import Dataset, TensorDataset
+from .pre import load_image_folder, read_png_images_from_folder
+
+__all__ = [
+    "Dataset",
+    "TensorDataset",
+    "DataLoader",
+    "data_loader",
+    "Sampler",
+    "SequentialSampler",
+    "RandomSampler",
+    "BatchSampler",
+    "read_png_images_from_folder",
+    "load_image_folder",
+]

@@ -1,0 +1,171 @@
+"""utils tests: DataLoader semantics, metrics, checkpoint round-trip
+(including BN buffers and Adam state), image folder loading."""
+
+import os
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, nn, optim
+from deepflows_tpu.utils import (
+    Accumulator,
+    accuracy,
+    evaluate_accuracy,
+    get_model_config,
+    load_checkpoint,
+    save_checkpoint,
+)
+from deepflows_tpu.utils.data import DataLoader, TensorDataset, data_loader
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def test_dataloader_batching():
+    X = np.arange(20, dtype=np.float32).reshape(10, 2)
+    y = np.arange(10, dtype=np.int32)
+    loader = data_loader(X, y, batch_size=3)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0][0].shape == (3, 2)
+    assert batches[-1][0].shape == (1, 2)
+    np.testing.assert_allclose(batches[0][1], [0, 1, 2])
+
+
+def test_dataloader_drop_last_and_len():
+    X = np.zeros((10, 2), np.float32)
+    y = np.zeros(10, np.int32)
+    loader = data_loader(X, y, batch_size=3, drop_last=True)
+    assert len(loader) == 3
+    assert all(b[0].shape == (3, 2) for b in loader)
+
+
+def test_dataloader_shuffle_covers_all():
+    X = np.arange(10, dtype=np.float32).reshape(10, 1)
+    y = np.arange(10, dtype=np.int32)
+    loader = DataLoader(TensorDataset(X, y), batch_size=4, shuffle=True, seed=0)
+    seen = np.concatenate([b[1] for b in loader])
+    assert sorted(seen.tolist()) == list(range(10))
+
+
+def test_dataloader_prefetch():
+    X = np.arange(12, dtype=np.float32).reshape(12, 1)
+    y = np.arange(12, dtype=np.int32)
+    loader = data_loader(X, y, batch_size=4, prefetch_size=2)
+    assert len(list(loader)) == 3
+
+
+def test_accuracy_and_accumulator():
+    logits = np.array([[2.0, 1.0], [0.0, 3.0], [1.0, 0.0]], np.float32)
+    labels = np.array([0, 1, 1])
+    assert accuracy(logits, labels) == 2.0
+    onehot = np.eye(2, dtype=np.float32)[labels]
+    assert accuracy(logits, onehot) == 2.0
+    acc = Accumulator(2)
+    acc.add(1, 2)
+    acc.add(3, 4)
+    assert acc[0] == 4 and acc[1] == 6
+    acc.reset()
+    assert acc[0] == 0
+
+
+def test_evaluate_accuracy_runs():
+    model = nn.Linear(4, 2, device="tpu")
+    X = RNG.standard_normal((8, 4)).astype(np.float32)
+    y = RNG.integers(0, 2, 8).astype(np.int32)
+    loader = data_loader(X, y, batch_size=4)
+    a = evaluate_accuracy(model, loader)
+    assert 0.0 <= a <= 1.0
+    assert df.is_grad_enable()  # restored
+
+
+def test_checkpoint_roundtrip_with_buffers_and_adam(tmp_path):
+    path = str(tmp_path / "ck.pkl")
+    model = nn.Sequential(
+        nn.Conv2d(1, 4, 3, padding=1, device="tpu"),
+        nn.BatchNorm2d(4, device="tpu"),
+        nn.Flatten(),
+        nn.Linear(4 * 16, 2, device="tpu"),
+    )
+    opt = optim.Adam(model.parameters(), lr=0.01)
+    crit = nn.CrossEntropyLoss()
+    x = RNG.standard_normal((4, 1, 4, 4)).astype(np.float32)
+    y = RNG.integers(0, 2, 4).astype(np.int32)
+    for _ in range(2):
+        loss = crit(model(Tensor(x, device="tpu")), Tensor(y, device="tpu"))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    save_checkpoint(model, opt, epoch=2, loss=float(loss.numpy()), save_path=path)
+
+    model2 = nn.Sequential(
+        nn.Conv2d(1, 4, 3, padding=1, device="tpu"),
+        nn.BatchNorm2d(4, device="tpu"),
+        nn.Flatten(),
+        nn.Linear(4 * 16, 2, device="tpu"),
+    )
+    opt2 = optim.Adam(model2.parameters(), lr=0.5)
+    info = load_checkpoint(model2, opt2, path)
+    assert info["epoch"] == 2
+    assert opt2.lr == 0.01
+    for (n1, p1), (n2, p2) in zip(model.named_parameters(), model2.named_parameters()):
+        np.testing.assert_allclose(p1.numpy(), p2.numpy(), rtol=1e-6, err_msg=n1)
+    # BN running stats survived (reference dropped them)
+    for (n1, b1), (n2, b2) in zip(model.named_buffers(), model2.named_buffers()):
+        np.testing.assert_allclose(b1.numpy(), b2.numpy(), rtol=1e-6, err_msg=n1)
+    # Adam moments restored -> next steps identical
+    loss1 = crit(model(Tensor(x, device="tpu")), Tensor(y, device="tpu"))
+    opt.zero_grad(); loss1.backward(); opt.step()
+    loss2 = crit(model2(Tensor(x, device="tpu")), Tensor(y, device="tpu"))
+    opt2.zero_grad(); loss2.backward(); opt2.step()
+    for p1, p2 in zip(model.parameters(), model2.parameters()):
+        np.testing.assert_allclose(p1.numpy(), p2.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_reference_layout(tmp_path):
+    """The on-disk dict keeps the reference's key layout
+    (`DeepFlows/utils/model_utils.py:37-74`)."""
+    import pickle
+
+    path = str(tmp_path / "ck.pkl")
+    model = nn.Linear(3, 2, device="cpu")
+    opt = optim.Adam(model.parameters())
+    save_checkpoint(model, opt, epoch=1, loss=0.5, save_path=path)
+    with open(path, "rb") as f:
+        ck = pickle.load(f)
+    assert set(ck) >= {"epoch", "loss", "model_parameters", "optimizer_state"}
+    assert ck["optimizer_state"]["type"] == "Adam"
+    assert "v" in ck["optimizer_state"] and "t" in ck["optimizer_state"]
+    assert "weight" in ck["model_parameters"]
+
+
+def test_image_folder_loader(tmp_path):
+    from PIL import Image
+
+    for cls in ("cat", "dog"):
+        os.makedirs(tmp_path / cls)
+        for i in range(2):
+            Image.fromarray(
+                RNG.integers(0, 255, (16, 16, 3), dtype=np.uint8), "RGB"
+            ).save(tmp_path / cls / f"{i}.png")
+    from deepflows_tpu.utils.data import load_image_folder
+
+    x, y, classes = load_image_folder(str(tmp_path), size=(8, 8))
+    assert x.shape == (4, 3, 8, 8)
+    assert classes == ["cat", "dog"]
+    assert x.max() <= 1.0
+    np.testing.assert_array_equal(np.sort(y), [0, 0, 1, 1])
+
+
+def test_model_configs():
+    cfg = get_model_config("resnet18")
+    assert cfg["block_config"] == [2, 2, 2, 2]
+    assert get_model_config("vgg16")["layer_config"][0] == 64
+    assert get_model_config("nope") is None
