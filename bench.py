@@ -1,0 +1,91 @@
+"""Benchmark: CIFAR10-CNN training throughput (images/sec/chip) on the real
+TPU via the compiled whole-step path.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the speedup of the compiled whole-step path over eager
+per-op tape execution on the same chip — the faithful stand-in for the
+reference's execution model (one CUDA kernel launch per op,
+`DeepFlows/backend/backend_src/ndarray_backend_cuda.cu`), since the
+reference publishes no throughput numbers (BASELINE.md: "not recorded").
+Set BENCH_EAGER=0 to skip the eager baseline (vs_baseline=null).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import deepflows_tpu as df
+    from deepflows_tpu import Tensor, models, nn, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup = 5
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch_size, 3, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 10, batch_size).astype(np.int32)
+
+    df.manual_seed(0)
+    model = models.CIFAR10_CNN(device="tpu")
+    opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+
+    for _ in range(warmup):
+        loss = step(x, y)
+    _ = float(loss)  # sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = step(x, y)
+    _ = float(loss)  # sync
+    dt = time.perf_counter() - t0
+    compiled_ips = batch_size * steps / dt
+
+    vs_baseline = None
+    if os.environ.get("BENCH_EAGER", "1") == "1":
+        df.manual_seed(0)
+        emodel = models.CIFAR10_CNN(device="tpu")
+        eopt = optim.Adam(emodel.parameters(), lr=5e-3, weight_decay=5e-4)
+        crit = nn.CrossEntropyLoss()
+        eager_steps = max(2, int(os.environ.get("BENCH_EAGER_STEPS", "3")))
+
+        def eager_one():
+            out = emodel(Tensor(x, device="tpu"))
+            loss = crit(out, Tensor(y, device="tpu"))
+            eopt.zero_grad()
+            loss.backward()
+            eopt.step()
+            return float(loss.numpy())
+
+        eager_one()  # warm per-op compile caches
+        t0 = time.perf_counter()
+        for _ in range(eager_steps):
+            eager_one()
+        dt = time.perf_counter() - t0
+        eager_ips = batch_size * eager_steps / dt
+        vs_baseline = round(compiled_ips / eager_ips, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_cnn_train_throughput",
+                "value": round(compiled_ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": vs_baseline,
+                "batch_size": batch_size,
+                "steps": steps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Mesh-parallel training over jax.sharding (TPU-native scale-out; the
+reference has no distributed code — SURVEY §2.3)."""
+
+from .mesh import auto_mesh, batch_sharding, make_mesh, replicated
+from .sharded import ShardedEvalStep, ShardedTrainStep, tensor_parallel_rules
+
+__all__ = [
+    "make_mesh",
+    "auto_mesh",
+    "replicated",
+    "batch_sharding",
+    "ShardedTrainStep",
+    "ShardedEvalStep",
+    "tensor_parallel_rules",
+]

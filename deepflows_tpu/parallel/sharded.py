@@ -1,0 +1,128 @@
+"""Mesh-parallel training: ShardedTrainStep / ShardedEvalStep.
+
+A ``CompiledTrainStep`` whose jitted program carries ``jax.sharding``
+annotations: the batch is sharded along the ``data`` mesh axis (data
+parallelism — gradient reduction becomes an XLA ``psum`` over ICI inserted by
+the SPMD partitioner), and parameters can be sharded by rule (tensor
+parallelism, e.g. Linear out-features over a ``model`` axis).  Because the
+step is ONE global program, BatchNorm statistics are exact global-batch
+statistics and optimizer state is sharded to match its parameter.
+
+The reference has no distributed training of any kind (SURVEY §2.3); this is
+the TPU-native scale-out path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..jit import CompiledEvalStep, CompiledTrainStep
+
+P = PartitionSpec
+
+
+def tensor_parallel_rules(axis: str = "model") -> Callable:
+    """Default TP rule: shard Linear weights/biases on their out-features
+    dim over ``axis``; everything else replicated.  XLA inserts the needed
+    collectives for the alternating row/col products."""
+
+    def rule(name: str, shape) -> PartitionSpec:
+        if len(shape) == 2 and name.endswith("weight"):
+            return P(None, axis)  # (in, out) -> shard out
+        if len(shape) == 2 and name.endswith("bias"):
+            return P(None, axis)
+        return P()
+
+    return rule
+
+
+class ShardedTrainStep(CompiledTrainStep):
+    def __init__(
+        self,
+        model,
+        optimizer,
+        criterion,
+        mesh: Mesh,
+        data_axis: str = "data",
+        param_rules: Optional[Callable] = None,
+        donate: bool = True,
+        metrics_fn: Optional[Callable] = None,
+    ):
+        super().__init__(model, optimizer, criterion, donate=donate, metrics_fn=metrics_fn)
+        self.mesh = mesh
+        self.data_axis = data_axis
+
+        rep = NamedSharding(mesh, P())
+        names = [n for n, _ in model.named_parameters()]
+        self._param_shardings = []
+        for name, p in zip(names, self._params):
+            spec = param_rules(name, p.shape) if param_rules else P()
+            self._param_shardings.append(NamedSharding(mesh, spec))
+        buffer_shardings = [rep for _ in self._buffers]
+
+        def _state_shardings(state):
+            out = {}
+            for k, v in state.items():
+                if isinstance(v, list):
+                    out[k] = [
+                        None
+                        if x is None
+                        else self._param_shardings[self._opt_index[i]]
+                        for i, x in enumerate(v)
+                    ]
+                else:
+                    out[k] = rep
+            return out
+
+        opt_state_shardings = _state_shardings(optimizer._state)
+
+        # pre-place params/buffers/optimizer state onto the mesh so the first
+        # call sees the same (committed, sharded) input layout as every later
+        # call — avoids a second trace/compile
+        from ..backend import BackendTensor
+
+        for p, sh in zip(self._params, self._param_shardings):
+            p.data = BackendTensor._wrap(jax.device_put(p.data.array, sh), p.device)
+        for b in self._buffers:
+            b.data = BackendTensor._wrap(jax.device_put(b.data.array, rep), b.device)
+        optimizer._state = jax.tree.map(
+            lambda arr, sh: None if arr is None else jax.device_put(arr, sh),
+            optimizer._state,
+            opt_state_shardings,
+            is_leaf=lambda x: x is None,
+        )
+
+        batch_sh = NamedSharding(mesh, P(data_axis))
+        in_shardings = (
+            self._param_shardings,
+            buffer_shardings,
+            opt_state_shardings,
+            rep,  # lr
+            rep,  # step idx
+            batch_sh,  # x
+            batch_sh,  # y
+        )
+        donate_argnums = (0, 1, 2) if donate else ()
+        self._jitted = jax.jit(
+            self._pure_step, in_shardings=in_shardings, donate_argnums=donate_argnums
+        )
+
+
+class ShardedEvalStep(CompiledEvalStep):
+    def __init__(self, model, mesh: Mesh, data_axis: str = "data", param_rules=None):
+        super().__init__(model)
+        rep = NamedSharding(mesh, P())
+        names = [n for n, _ in model.named_parameters()]
+        param_shardings = [
+            NamedSharding(mesh, param_rules(n, p.shape) if param_rules else P())
+            for n, p in zip(names, self._params)
+        ]
+        in_shardings = (
+            param_shardings,
+            [rep for _ in self._buffers],
+            NamedSharding(mesh, P(data_axis)),
+        )
+        self._jitted = jax.jit(self._pure_forward, in_shardings=in_shardings)

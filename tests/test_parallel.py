@@ -1,0 +1,137 @@
+"""Mesh-parallel tests on the 8-virtual-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, nn, optim
+from deepflows_tpu.parallel import (
+    ShardedEvalStep,
+    ShardedTrainStep,
+    auto_mesh,
+    make_mesh,
+    tensor_parallel_rules,
+)
+
+RNG = np.random.default_rng(0)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def make_model():
+    df.manual_seed(0)
+    return nn.Sequential(
+        nn.Conv2d(3, 8, 3, padding=1, bias=False, device="tpu"),
+        nn.BatchNorm2d(8, device="tpu"),
+        nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Flatten(),
+        nn.Linear(8 * 8 * 8, 32, device="tpu"),
+        nn.ReLU(),
+        nn.Linear(32, 4, device="tpu"),
+    )
+
+
+def batch(i=0, n=16):
+    r = np.random.default_rng(i)
+    return (
+        r.standard_normal((n, 3, 16, 16)).astype(np.float32),
+        r.integers(0, 4, n).astype(np.int32),
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+    mesh = auto_mesh(8, model_parallel=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_data_parallel_matches_single_device():
+    mesh = make_mesh({"data": 8})
+    m1, m2 = make_model(), make_model()
+    m2.load_state_dict(m1.state_dict())
+
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    opt1 = optim.SGD(m1.parameters(), lr=0.05, momentum=0.9)
+    opt2 = optim.SGD(m2.parameters(), lr=0.05, momentum=0.9)
+    single = CompiledTrainStep(m1, opt1, nn.CrossEntropyLoss())
+    sharded = ShardedTrainStep(m2, opt2, nn.CrossEntropyLoss(), mesh)
+    for i in range(3):
+        x, y = batch(i)
+        l1 = float(single(x, y))
+        l2 = float(sharded(x, y))
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-5)
+    for (n1, p1), (_, p2) in zip(m1.named_parameters(), m2.named_parameters()):
+        np.testing.assert_allclose(
+            p1.numpy(), p2.numpy(), rtol=1e-3, atol=1e-5, err_msg=n1
+        )
+    # params actually sharded over the mesh (replicated => addressable on all)
+    arr = m2[0].weight.data.array
+    assert len(arr.sharding.device_set) == 8
+
+
+def test_tensor_parallel_runs_and_matches():
+    mesh = make_mesh({"data": 2, "model": 4})
+    m1, m2 = make_model(), make_model()
+    m2.load_state_dict(m1.state_dict())
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    opt1 = optim.Adam(m1.parameters(), lr=0.01)
+    opt2 = optim.Adam(m2.parameters(), lr=0.01)
+    single = CompiledTrainStep(m1, opt1, nn.CrossEntropyLoss())
+    sharded = ShardedTrainStep(
+        m2,
+        opt2,
+        nn.CrossEntropyLoss(),
+        mesh,
+        param_rules=tensor_parallel_rules("model"),
+    )
+    for i in range(2):
+        x, y = batch(i, n=8)
+        l1, l2 = float(single(x, y)), float(sharded(x, y))
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-5)
+    # Linear weight is sharded on the model axis
+    w = m2[5].weight.data.array
+    assert len(w.sharding.device_set) == 8
+    spec = w.sharding.spec
+    assert tuple(spec) == (None, "model")
+
+
+def test_sharded_eval_step():
+    mesh = make_mesh({"data": 8})
+    m = make_model()
+    ev = ShardedEvalStep(m, mesh)
+    x, _ = batch(0)
+    out = np.asarray(ev(x))
+    assert out.shape == (16, 4)
+    m.eval()
+    from deepflows_tpu.tensor import Tensor
+
+    want = m(Tensor(x, device="tpu")).numpy()
+    m.train()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_step_single_trace():
+    mesh = make_mesh({"data": 8})
+    m = make_model()
+    opt = optim.SGD(m.parameters(), lr=0.01)
+    step = ShardedTrainStep(m, opt, nn.CrossEntropyLoss(), mesh)
+    for i in range(4):
+        x, y = batch(i)
+        step(x, y)
+    assert step._trace_count == 1
