@@ -142,14 +142,10 @@ class CompiledTrainStep:
         lr = np.float32(self.optimizer.lr)
         step_idx = np.int32(self._call_count)
         self._call_count += 1
+        # pass x/y through as-is: jit transfers numpy hosts arrays itself, and
+        # np.asarray on an already-on-device jax array would force a D2H copy
         loss, new_params, new_buffers, new_opt_state, metrics = self._jitted(
-            param_arrays,
-            buffer_arrays,
-            opt_state,
-            lr,
-            step_idx,
-            np.asarray(x),
-            np.asarray(y),
+            param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y
         )
         for p, arr in zip(self._params, new_params):
             p.data = BackendTensor._wrap(arr, dev)

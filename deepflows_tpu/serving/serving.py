@@ -1,0 +1,119 @@
+"""gRPC serving (reference: `DF_serving/serving/serving.py`).
+
+Same wire protocol (`MyDLPW.serving.MyDLPWServing/Predict` with
+Matrix{value,dim} payloads, `DF_serving/serving/proto/serving.proto`), but
+Predict runs THIS framework's jitted inference (`CompiledEvalStep`) instead
+of the reference's ONNXRuntime detour (`serving.py:61-68`) — the model served
+is a deepflows_tpu model on the TPU device.
+
+The image has no grpc_python_plugin, so the service is registered with
+grpc's generic method handlers over the protoc-generated message classes —
+wire-identical to generated stubs.
+"""
+
+from __future__ import annotations
+
+from concurrent import futures
+from typing import Optional
+
+import numpy as np
+
+from .proto import serving_pb2
+
+_SERVICE = "MyDLPW.serving.MyDLPWServing"
+
+
+def _to_matrix(arr: np.ndarray) -> "serving_pb2.Matrix":
+    m = serving_pb2.Matrix()
+    m.value.extend(np.asarray(arr, dtype=np.float32).ravel().tolist())
+    m.dim.extend(list(arr.shape))
+    return m
+
+
+def _from_matrix(m) -> np.ndarray:
+    return np.asarray(m.value, dtype=np.float32).reshape(tuple(m.dim))
+
+
+class PredictService:
+    """Predict handler backed by a deepflows_tpu model."""
+
+    def __init__(self, model):
+        from ..jit import CompiledEvalStep
+
+        self._step = CompiledEvalStep(model)
+
+    def predict(self, request, context=None):
+        outs = []
+        for m in request.matrix:
+            x = _from_matrix(m)
+            y = np.asarray(self._step(x))
+            outs.append(_to_matrix(y))
+        resp = serving_pb2.PredictResp()
+        resp.matrix.extend(outs)
+        return resp
+
+
+class MyDLPWServicer:
+    """gRPC server wrapper (reference `serving.py:71-92`): construct with a
+    host:port and a model (or a checkpoint to restore into a model), then
+    ``serve()``."""
+
+    def __init__(
+        self,
+        host: str,
+        model=None,
+        root_dir: Optional[str] = None,
+        model_file: Optional[str] = None,
+        max_workers: int = 10,
+    ):
+        import grpc
+
+        if model is None:
+            raise ValueError("pass a deepflows_tpu model to serve")
+        self.host = host
+        self._service = PredictService(model)
+        self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+        handler = grpc.method_handlers_generic_handler(
+            _SERVICE,
+            {
+                "Predict": grpc.unary_unary_rpc_method_handler(
+                    self._service.predict,
+                    request_deserializer=serving_pb2.PredictReq.FromString,
+                    response_serializer=serving_pb2.PredictResp.SerializeToString,
+                )
+            },
+        )
+        self._server.add_generic_rpc_handlers((handler,))
+        self._server.add_insecure_port(host)
+
+    def serve(self, wait: bool = True):
+        self._server.start()
+        if wait:
+            self._server.wait_for_termination()
+        return self._server
+
+    def stop(self, grace: float = 0.5):
+        self._server.stop(grace)
+
+
+class PredictClient:
+    """Client stub (reference `DF_serving/client.py`)."""
+
+    def __init__(self, host: str):
+        import grpc
+
+        self._channel = grpc.insecure_channel(host)
+        self._call = self._channel.unary_unary(
+            f"/{_SERVICE}/Predict",
+            request_serializer=serving_pb2.PredictReq.SerializeToString,
+            response_deserializer=serving_pb2.PredictResp.FromString,
+        )
+
+    def predict(self, *arrays: np.ndarray):
+        req = serving_pb2.PredictReq()
+        req.matrix.extend(_to_matrix(a) for a in arrays)
+        resp = self._call(req)
+        return [_from_matrix(m) for m in resp.matrix]
+
+    def close(self):
+        self._channel.close()

@@ -1,0 +1,66 @@
+"""Pallas kernel unit tests (interpret mode on CPU; compiled on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflows_tpu.ops import pallas_kernels as pk
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("m,k,n", [(128, 256, 128), (100, 70, 50), (257, 129, 384)])
+def test_pallas_matmul(m, k, n):
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    got = np.asarray(pk.matmul(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("act", ["none", "relu", "tanh"])
+def test_pallas_linear_fused(act):
+    x = RNG.standard_normal((64, 100)).astype(np.float32)
+    w = RNG.standard_normal((100, 32)).astype(np.float32)
+    b = RNG.standard_normal((1, 32)).astype(np.float32)
+    got = np.asarray(pk.linear_fused(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), act))
+    want = x @ w + b
+    if act == "relu":
+        want = np.maximum(want, 0)
+    elif act == "tanh":
+        want = np.tanh(want)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_fused_adam_matches_reference_math():
+    n = 1000
+    p = RNG.standard_normal(n).astype(np.float32)
+    g = RNG.standard_normal(n).astype(np.float32)
+    v = np.zeros(n, np.float32)
+    s = np.zeros(n, np.float32)
+    lr, b1, b2, eps, wd, t = 0.01, 0.9, 0.999, 1e-8, 0.01, 3
+    bc1, bc2 = 1 - b1**t, 1 - b2**t
+    hyper = jnp.asarray([lr, b1, b2, eps, wd, bc1, bc2], dtype=jnp.float32)
+    new_p, new_v, new_s = pk.fused_adam(
+        jnp.asarray(p), jnp.asarray(g), jnp.asarray(v), jnp.asarray(s), hyper
+    )
+    gw = g + wd * p
+    v_ref = b1 * v + (1 - b1) * gw
+    s_ref = b2 * s + (1 - b2) * gw * gw
+    p_ref = p - lr * (v_ref / bc1) / (np.sqrt(s_ref / bc2) + eps)
+    np.testing.assert_allclose(np.asarray(new_v), v_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_s), s_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_p), p_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_matmul_dispatch_via_device():
+    """config.use_pallas routes BackendTensor 2-D matmuls through Pallas."""
+    from deepflows_tpu import BackendTensor, config
+
+    a = RNG.standard_normal((64, 64)).astype(np.float32)
+    b = RNG.standard_normal((64, 64)).astype(np.float32)
+    config.use_pallas = True
+    try:
+        got = (BackendTensor(a, device="tpu") @ BackendTensor(b, device="tpu")).numpy()
+    finally:
+        config.use_pallas = False
+    np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-3)
