@@ -1,0 +1,90 @@
+"""CIFAR-10 CNN workload (reference: `test/CNN_CIFAR10_cuda.py`).
+
+Same config: CIFAR10_CNN, Adam lr .005 wd 5e-4, CosineAnnealing LR, bs 64,
+random horizontal-flip augmentation, early stop at target accuracy,
+checkpoint save — on the compiled whole-step TPU path (reference accuracy
+baseline: 69.14% @ 10 epochs, BASELINE.md)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import deepflows_tpu as df
+from deepflows_tpu import models, nn, optim
+from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
+from deepflows_tpu.utils import save_checkpoint
+from deepflows_tpu.utils.data import data_loader
+
+from common import EpochTimer, get_cifar10, random_flip
+
+
+def main(
+    data_dir=None,
+    epochs=10,
+    batch_size=64,
+    lr=5e-3,
+    weight_decay=5e-4,
+    target_acc=85.0,
+    device="tpu",
+    checkpoint_path=None,
+    limit=None,
+):
+    df.manual_seed(0)
+    x_train, y_train, x_test, y_test = get_cifar10(data_dir, limit=limit)
+    print(f"train={x_train.shape} test={x_test.shape}")
+
+    model = models.CIFAR10_CNN(device=device)
+    optimizer = optim.Adam(model.parameters(), lr=lr, weight_decay=weight_decay)
+    scheduler = optim.CosineAnnealingLR(optimizer, T_max=epochs)
+    step = CompiledTrainStep(model, optimizer, nn.CrossEntropyLoss())
+    eval_step = CompiledEvalStep(model)
+
+    rng = np.random.default_rng(0)
+    timer = EpochTimer()
+    best_acc = 0.0
+    for epoch in range(epochs):
+        losses = []
+        loader = data_loader(x_train, y_train, batch_size, shuffle=True, drop_last=True)
+        for xb, yb in loader:
+            losses.append(step(random_flip(xb, rng), yb))
+        scheduler.step()
+
+        correct = total = 0
+        for xb, yb in data_loader(x_test, y_test, batch_size):
+            pred = np.asarray(eval_step(xb)).argmax(1)
+            correct += int((pred == yb).sum())
+            total += len(yb)
+        acc = 100.0 * correct / total
+        best_acc = max(best_acc, acc)
+        timer.epoch_done(
+            epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc
+        )
+        if checkpoint_path:
+            save_checkpoint(model, optimizer, epoch, float(np.mean([float(l) for l in losses])), checkpoint_path)
+        if acc >= target_acc:
+            print(f"early stop: reached target accuracy {target_acc}%")
+            break
+    timer.total()
+    print(f"best test accuracy: {best_acc:.2f}%")
+    return best_acc
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", default=None, help="dir with CIFAR-10 python batches")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--target-acc", type=float, default=85.0)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args()
+    main(
+        args.data_dir,
+        args.epochs,
+        args.batch_size,
+        target_acc=args.target_acc,
+        checkpoint_path=args.checkpoint,
+        limit=args.limit,
+    )

@@ -1,0 +1,119 @@
+"""Shared data/timing helpers for the example workloads.
+
+Data policy: this environment has no network egress, so every loader takes a
+``data_dir`` for real datasets (CIFAR-10 python batches, MNIST npz,
+image folders) and falls back to an offline stand-in (sklearn bundled digits,
+or synthetic separable data) so every script *runs* anywhere.  The reference
+pulled MNIST from OpenML per run (`test/MLP_MNIST.py`) and read CIFAR batches
+from a local dir (`test/CNN_CIFAR10_cuda.py:16-44`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def get_mnist(limit: int | None = None, flat: bool = False):
+    """MNIST via OpenML when reachable; offline fallback: sklearn digits
+    (8×8) upscaled to 28×28.  Returns (x_train, y_train, x_test, y_test)."""
+    try:
+        from sklearn.datasets import fetch_openml
+
+        m = fetch_openml("mnist_784", version=1, as_frame=False, parser="auto")
+        x = m.data.astype(np.float32) / 255.0
+        y = m.target.astype(np.int32)
+    except Exception:
+        from sklearn.datasets import load_digits
+
+        d = load_digits()
+        x8 = d.images.astype(np.float32) / 16.0
+        x24 = np.kron(x8, np.ones((1, 3, 3), dtype=np.float32))
+        x = np.pad(x24, ((0, 0), (2, 2), (2, 2))).reshape(len(x8), -1)
+        y = d.target.astype(np.int32)
+    if limit:
+        x, y = x[:limit], y[:limit]
+    n_test = max(1, len(x) // 6)
+    x_train, x_test = x[:-n_test], x[-n_test:]
+    y_train, y_test = y[:-n_test], y[-n_test:]
+    if not flat:
+        x_train = x_train.reshape(-1, 1, 28, 28)
+        x_test = x_test.reshape(-1, 1, 28, 28)
+    return x_train, y_train, x_test, y_test
+
+
+def get_cifar10(data_dir: str | None = None, limit: int | None = None):
+    """CIFAR-10 from local python batches (``data_batch_*``/``test_batch``,
+    the layout `test/CNN_CIFAR10_cuda.py:16-44` reads); synthetic separable
+    fallback otherwise.  Per-channel standardization like the reference
+    (`:37-40`)."""
+    if data_dir and os.path.exists(os.path.join(data_dir, "data_batch_1")):
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(data_dir, f"data_batch_{i}"), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(d[b"labels"])
+        x_train = np.concatenate(xs).reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        y_train = np.concatenate(ys).astype(np.int32)
+        with open(os.path.join(data_dir, "test_batch"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x_test = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        y_test = np.asarray(d[b"labels"], dtype=np.int32)
+    else:
+        x_train, y_train = _synthetic_images(5000 if not limit else limit, 10)
+        x_test, y_test = _synthetic_images(1000, 10, seed=1)
+    if limit:
+        x_train, y_train = x_train[:limit], y_train[:limit]
+    mean = x_train.mean(axis=(0, 2, 3), keepdims=True)
+    std = x_train.std(axis=(0, 2, 3), keepdims=True) + 1e-7
+    return (x_train - mean) / std, y_train, (x_test - mean) / std, y_test
+
+
+def _synthetic_images(n, num_classes, size=32, seed=0):
+    """Separable synthetic image task: class-dependent frequency patterns +
+    noise.  Lets CNN scripts demonstrate real convergence offline."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, n).astype(np.int32)
+    xs = np.linspace(0, np.pi * 2, size, dtype=np.float32)
+    base = np.stack(
+        [np.sin((k + 1) * xs)[None, :] * np.cos((k + 1) * xs)[:, None] for k in range(num_classes)]
+    )  # (C,H,W)
+    x = base[y][:, None, :, :].repeat(3, axis=1)
+    x = x + rng.standard_normal((n, 3, size, size)).astype(np.float32) * 0.5
+    return x.astype(np.float32), y
+
+
+def random_flip(x: np.ndarray, rng: np.random.Generator, p: float = 0.5):
+    """Horizontal-flip augmentation (reference `CNN_CIFAR10_cuda.py:133-134`)."""
+    flip = rng.random(len(x)) < p
+    x = x.copy()
+    x[flip] = x[flip][..., ::-1]
+    return x
+
+
+class EpochTimer:
+    """Per-epoch wall-clock printing, the reference's timing contract
+    (`test/CNN_CIFAR10_cuda.py:124,154,193`)."""
+
+    def __init__(self):
+        self.t_start = time.time()
+        self.t_epoch = self.t_start
+        self.epoch_times = []
+
+    def epoch_done(self, epoch, **metrics):
+        now = time.time()
+        dt = now - self.t_epoch
+        self.epoch_times.append(dt)
+        self.t_epoch = now
+        ms = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(f"epoch {epoch}: {ms} time={dt:.2f}s")
+        return dt
+
+    def total(self):
+        total = time.time() - self.t_start
+        print(f"total time: {total:.2f}s")
+        return total

@@ -1,0 +1,69 @@
+"""Workload-script integration tier: the reference's acceptance culture is
+runnable training scripts that converge (SURVEY §4); these run the example
+scripts as subprocesses with tiny settings on the forced-CPU platform."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(ROOT, "examples")
+
+# force host-CPU jax in the child (axon site config ignores JAX_PLATFORMS)
+_BOOTSTRAP = (
+    "import jax; jax.config.update('jax_platforms','cpu');"
+    "import runpy, sys; sys.argv = sys.argv[1:]; "
+    "runpy.run_path(sys.argv[0], run_name='__main__')"
+)
+
+
+def run_example(script, *args, timeout=420):
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-c", _BOOTSTRAP, os.path.join(EXAMPLES, script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=EXAMPLES,
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout
+
+
+def test_linear_regression_converges():
+    out = run_example("linear_regression.py", "--epochs", "1500")
+    line = [l for l in out.splitlines() if l.startswith("fitted")][0]
+    # y = 3x + 5
+    assert "y = 3" in line.replace("2.9", "3").replace("3.0", "3")
+
+
+def test_mlp_mnist_runs():
+    out = run_example("mlp_mnist.py", "--epochs", "2", "--limit", "512", "--batch-size", "64")
+    assert "test_acc" in out and "total time" in out
+
+
+def test_cnn_mnist_runs():
+    out = run_example("cnn_mnist.py", "--epochs", "1", "--limit", "256")
+    assert "test_acc" in out
+
+
+def test_save_load_roundtrip_script():
+    out = run_example("save_load_test.py")
+    assert "save/load round-trip verified" in out
+
+
+def test_parameter_freezing_script():
+    out = run_example("parameter_freezing.py", "--strategy", "all_but_fc", "--steps", "2")
+    assert "frozen parameters verified unchanged" in out
+
+
+@pytest.mark.slow
+def test_cnn_cifar10_synthetic_converges():
+    out = run_example(
+        "cnn_cifar10.py", "--epochs", "2", "--limit", "512", "--batch-size", "64",
+        "--target-acc", "101",
+    )
+    assert "best test accuracy" in out
