@@ -14,4 +14,5 @@ from .model_configs import (  # noqa: F401
     is_model_supported,
 )
 from .model_utils import load_checkpoint, save_checkpoint  # noqa: F401
+from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401

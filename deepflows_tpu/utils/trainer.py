@@ -1,0 +1,100 @@
+"""High-level Trainer (the reference shipped a dead `utils/train_metric.py`
+with broken imports, SURVEY §2.6 — this is the working equivalent, built on
+the compiled whole-step path)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..jit import CompiledEvalStep, CompiledTrainStep
+from .data import data_loader
+from .evaluate import Accumulator
+
+
+class Trainer:
+    """Compiled-step training loop with eval, early stop, checkpointing and
+    per-epoch timing.
+
+    >>> trainer = Trainer(model, optimizer, criterion, scheduler=sch)
+    >>> history = trainer.fit(x_train, y_train, x_test, y_test,
+    ...                       epochs=10, batch_size=64)
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer,
+        criterion,
+        scheduler=None,
+        augment_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        checkpoint_path: Optional[str] = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.criterion = criterion
+        self.scheduler = scheduler
+        self.augment_fn = augment_fn
+        self.checkpoint_path = checkpoint_path
+        self.log = log_fn
+        self.step = CompiledTrainStep(model, optimizer, criterion)
+        self.eval_step = CompiledEvalStep(model)
+        self.history = {"loss": [], "test_acc": [], "epoch_time": [], "lr": []}
+
+    def evaluate(self, x, y, batch_size=256) -> float:
+        metric = Accumulator(2)
+        for xb, yb in data_loader(x, y, batch_size):
+            pred = np.asarray(self.eval_step(xb)).argmax(1)
+            metric.add(float((pred == yb).sum()), len(yb))
+        return metric[0] / max(metric[1], 1)
+
+    def fit(
+        self,
+        x_train,
+        y_train,
+        x_test=None,
+        y_test=None,
+        epochs: int = 10,
+        batch_size: int = 64,
+        shuffle: bool = True,
+        target_acc: Optional[float] = None,
+        eval_batch_size: int = 256,
+    ) -> dict:
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for xb, yb in data_loader(
+                x_train, y_train, batch_size, shuffle=shuffle, drop_last=True
+            ):
+                if self.augment_fn is not None:
+                    xb = self.augment_fn(xb)
+                losses.append(self.step(xb, yb))
+            if self.scheduler is not None:
+                self.scheduler.step()
+            loss = float(np.mean([float(l) for l in losses]))
+            dt = time.time() - t0
+            acc = (
+                self.evaluate(x_test, y_test, eval_batch_size)
+                if x_test is not None
+                else float("nan")
+            )
+            self.history["loss"].append(loss)
+            self.history["test_acc"].append(acc)
+            self.history["epoch_time"].append(dt)
+            self.history["lr"].append(self.optimizer.lr)
+            self.log(
+                f"epoch {epoch}: loss={loss:.4f} test_acc={acc:.4f} time={dt:.2f}s"
+            )
+            if self.checkpoint_path:
+                from .model_utils import save_checkpoint
+
+                save_checkpoint(
+                    self.model, self.optimizer, epoch, loss, self.checkpoint_path
+                )
+            if target_acc is not None and acc * 100.0 >= target_acc:
+                self.log(f"early stop at target accuracy {target_acc}%")
+                break
+        return self.history

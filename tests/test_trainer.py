@@ -1,0 +1,57 @@
+"""Trainer (high-level fit loop) + bf16 opt-in tests."""
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, nn, optim
+from deepflows_tpu.utils import Trainer
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def test_trainer_fit_and_early_stop(tmp_path):
+    df.manual_seed(0)
+    x = RNG.standard_normal((256, 12)).astype(np.float32)
+    w = RNG.standard_normal((12, 3)).astype(np.float32)
+    y = (x @ w).argmax(1).astype(np.int32)
+    model = nn.Sequential(
+        nn.Linear(12, 32, device="tpu"), nn.ReLU(), nn.Linear(32, 3, device="tpu")
+    )
+    opt = optim.Adam(model.parameters(), lr=0.02)
+    logs = []
+    trainer = Trainer(
+        model,
+        opt,
+        nn.CrossEntropyLoss(),
+        scheduler=optim.CosineAnnealingLR(opt, T_max=30),
+        checkpoint_path=str(tmp_path / "ck.pkl"),
+        log_fn=logs.append,
+    )
+    hist = trainer.fit(x, y, x, y, epochs=30, batch_size=64, target_acc=95.0)
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert hist["test_acc"][-1] > 0.9
+    assert len(hist["loss"]) < 30  # early-stopped
+    assert (tmp_path / "ck.pkl").exists()
+    assert any("early stop" in l for l in logs)
+
+
+def test_bf16_optin_forward():
+    """bfloat16 is the documented opt-in extension (SURVEY §7.3 item 7)."""
+    import jax.numpy as jnp
+
+    x = RNG.standard_normal((4, 8)).astype(np.float32)
+    t = Tensor(x, dtype=jnp.bfloat16, device="tpu")
+    assert t.dtype == jnp.bfloat16
+    lin = nn.Linear(8, 4, device="tpu", dtype=jnp.bfloat16)
+    assert lin.weight.dtype == jnp.bfloat16
+    out = lin(t)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out.numpy(), dtype=np.float32)).all()
