@@ -26,6 +26,7 @@ def main() -> None:
     from deepflows_tpu import Tensor, models, nn, optim
     from deepflows_tpu.jit import CompiledTrainStep
 
+    model_name = os.environ.get("BENCH_MODEL", "cifar10_cnn")
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = 5
@@ -40,7 +41,13 @@ def main() -> None:
     x, y = jax.device_put(x), jax.device_put(y)
 
     df.manual_seed(0)
-    model = models.CIFAR10_CNN(device="tpu")
+
+    def build_model():
+        if model_name == "resnet18":
+            return models.ResNet18(num_classes=10, small_input=True, device="tpu")
+        return models.CIFAR10_CNN(device="tpu")
+
+    model = build_model()
     opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
     step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
 
@@ -57,7 +64,7 @@ def main() -> None:
     vs_baseline = None
     if os.environ.get("BENCH_EAGER", "1") == "1":
         df.manual_seed(0)
-        emodel = models.CIFAR10_CNN(device="tpu")
+        emodel = build_model()
         eopt = optim.Adam(emodel.parameters(), lr=5e-3, weight_decay=5e-4)
         crit = nn.CrossEntropyLoss()
         eager_steps = max(2, int(os.environ.get("BENCH_EAGER_STEPS", "3")))
@@ -81,7 +88,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cifar10_cnn_train_throughput",
+                "metric": f"{model_name}_train_throughput",
                 "value": round(compiled_ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": vs_baseline,

@@ -79,8 +79,14 @@ def _synthetic_images(n, num_classes, size=32, seed=0):
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, n).astype(np.int32)
     xs = np.linspace(0, np.pi * 2, size, dtype=np.float32)
+    # |sin|*|cos| patterns are horizontal-flip-invariant, so the scripts'
+    # random_flip augmentation stays label-preserving on synthetic data
     base = np.stack(
-        [np.sin((k + 1) * xs)[None, :] * np.cos((k + 1) * xs)[:, None] for k in range(num_classes)]
+        [
+            np.abs(np.sin((k + 1) * xs))[None, :]
+            * np.abs(np.cos((k + 1) * xs))[:, None]
+            for k in range(num_classes)
+        ]
     )  # (C,H,W)
     x = base[y][:, None, :, :].repeat(3, axis=1)
     x = x + rng.standard_normal((n, 3, size, size)).astype(np.float32) * 0.5
