@@ -31,54 +31,7 @@ import numpy as np
 
 from .websocket import WSConnection, perform_handshake
 
-_DASHBOARD_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>deepflows_tpu live training</title>
-<style>
- body{font-family:system-ui;margin:2rem;background:#fafafa;color:#222}
- canvas{background:#fff;border:1px solid #ddd;border-radius:6px}
- button{margin-right:.5rem;padding:.4rem 1rem}
- #status{margin-left:1rem;color:#666}
-</style></head><body>
-<h2>deepflows_tpu — live training</h2>
-<div>
- <button onclick="start()">Start</button>
- <button onclick="stop()">Stop</button>
- <span id="status">idle</span>
-</div>
-<p>loss <canvas id="loss" width="640" height="180"></canvas></p>
-<p>accuracy <canvas id="acc" width="640" height="180"></canvas></p>
-<p id="res"></p>
-<script>
-const losses=[], accs=[];
-function draw(id, data, color){
-  const c=document.getElementById(id), g=c.getContext('2d');
-  g.clearRect(0,0,c.width,c.height);
-  if(!data.length) return;
-  const max=Math.max(...data), min=Math.min(...data);
-  g.strokeStyle=color; g.beginPath();
-  data.forEach((v,i)=>{
-    const x=i/(data.length-1||1)*c.width;
-    const y=c.height-(v-min)/((max-min)||1)*(c.height-10)-5;
-    i?g.lineTo(x,y):g.moveTo(x,y);
-  });
-  g.stroke();
-}
-const ws=new WebSocket(`ws://${location.host}/ws`);
-ws.onmessage=(e)=>{
-  const m=JSON.parse(e.data);
-  if(m.type==='metrics'){
-    losses.push(m.data.loss); accs.push(m.data.accuracy);
-    draw('loss',losses,'#d33'); draw('acc',accs,'#36c');
-  } else if(m.type==='resources'){
-    document.getElementById('res').textContent=
-      `cpu ${m.data.cpu_percent}%  ram ${m.data.memory_percent}%`;
-  } else if(m.type==='status'){
-    document.getElementById('status').textContent=m.data;
-  }
-};
-function start(){fetch('/api/train/start',{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify({epochs:3})});}
-function stop(){fetch('/api/train/stop',{method:'POST'});}
-</script></body></html>"""
+from .frontend import DASHBOARD_HTML as _DASHBOARD_HTML
 
 
 class ConnectionManager:
