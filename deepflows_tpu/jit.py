@@ -37,6 +37,51 @@ from .config import config
 from .tensor import Graph, Tensor
 
 
+def jit(fn: Callable) -> Callable:
+    """Compile an arbitrary tape-API function into one XLA program.
+
+    ``fn`` takes Tensors (and/or numpy arrays) and returns a Tensor or a
+    pytree of Tensors; the wrapper traces it once per input shape:
+
+        @df_jit.jit
+        def fused_metric(logits, labels):
+            p = F.softmax(logits, 1)
+            return (p.argmax(1).eq(labels)).mean()
+
+    Gradient recording is off inside (use CompiledTrainStep for training)."""
+    import functools
+
+    from .autograd import is_grad_enable
+
+    @jax.jit
+    def _traced(arrays):
+        saved_tape = Graph.node_list
+        Graph.node_list = []
+        saved_flag = is_grad_enable()
+        set_grad_enabled(False)
+        dev = tpu()
+        try:
+            tensors = [Tensor(BackendTensor._wrap(a, dev)) for a in arrays]
+            out = fn(*tensors)
+            return jax.tree.map(
+                lambda t: t.data.array if isinstance(t, Tensor) else t,
+                out,
+                is_leaf=lambda t: isinstance(t, Tensor),
+            )
+        finally:
+            Graph.node_list = saved_tape
+            set_grad_enabled(saved_flag)
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        arrays = [
+            a.data.array if isinstance(a, Tensor) else np.asarray(a) for a in args
+        ]
+        return _traced(arrays)
+
+    return wrapper
+
+
 class CompiledTrainStep:
     def __init__(
         self,
@@ -90,6 +135,9 @@ class CompiledTrainStep:
         saved_tape = Graph.node_list
         Graph.node_list = []
         df_random.set_trace_key(jax.random.fold_in(self._base_key, step_idx))
+        from .autograd import is_grad_enable
+
+        saved_grad_flag = is_grad_enable()
         set_grad_enabled(True)
         try:
             for p, arr in zip(self._params, param_arrays):
@@ -132,6 +180,7 @@ class CompiledTrainStep:
                 b.data = d
             Graph.node_list = saved_tape
             df_random.clear_trace_key()
+            set_grad_enabled(saved_grad_flag)
 
     # ------------------------------------------------------------------
     def __call__(self, x, y):

@@ -20,7 +20,10 @@ _BOOTSTRAP = (
 
 
 def run_example(script, *args, timeout=420):
-    env = dict(os.environ, PYTHONPATH=ROOT)
+    # APPEND to PYTHONPATH: the axon TPU plugin registers via a sitecustomize
+    # on PYTHONPATH (/root/.axon_site) — overwriting it unregisters the TPU
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, "-c", _BOOTSTRAP, os.path.join(EXAMPLES, script), *args],
         capture_output=True,

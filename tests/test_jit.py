@@ -171,3 +171,25 @@ def test_metrics_fn():
     x, y = batch(0)
     step(x, y)
     assert 0.0 <= float(step._last_metrics["acc"]) <= 1.0
+
+
+def test_function_jit():
+    from deepflows_tpu.jit import jit as df_jit
+    from deepflows_tpu.nn import functional as F
+
+    calls = {"n": 0}
+
+    @df_jit
+    def fused(logits, labels):
+        calls["n"] += 1
+        p = F.softmax(logits, 1)
+        return (p.argmax(1).eq(Tensor(labels.data))).mean()
+
+    logits = RNG.standard_normal((8, 4)).astype(np.float32)
+    labels = RNG.integers(0, 4, 8).astype(np.float32)
+    a1 = float(fused(logits, labels))
+    a2 = float(fused(logits, labels))
+    want = (logits.argmax(1) == labels).mean()
+    assert abs(a1 - want) < 1e-6 and a1 == a2
+    assert calls["n"] == 1  # traced once
+    assert df.is_grad_enable()
