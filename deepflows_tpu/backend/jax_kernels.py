@@ -164,6 +164,10 @@ def _pair(v):
 def _conv2d(x, w, stride, padding, groups):
     sh, sw = stride
     ph, pw = padding
+    # output dtype == input dtype; the TPU MXU accumulates bf16 products in
+    # f32 internally, so this is safe for mixed precision AND keeps the conv
+    # VJP transposable (an astype-on-output breaks the same-dtype requirement
+    # of the transposed conv)
     return lax.conv_general_dilated(
         x,
         w,

@@ -90,11 +90,17 @@ class CompiledTrainStep:
         criterion: Callable,
         donate: bool = True,
         metrics_fn: Optional[Callable] = None,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` enables mixed precision: forward +
+        backward run in bf16 on the MXU while master weights, gradients as
+        seen by the optimizer, and optimizer state stay float32 (the opt-in
+        path SURVEY §7.3 item 7 calls for)."""
         self.model = model
         self.optimizer = optimizer
         self.criterion = criterion
         self.metrics_fn = metrics_fn
+        self.compute_dtype = compute_dtype
 
         self._device = tpu()
         if not self._device.enabled():
@@ -139,14 +145,24 @@ class CompiledTrainStep:
 
         saved_grad_flag = is_grad_enable()
         set_grad_enabled(True)
+        cd = self.compute_dtype
         try:
             for p, arr in zip(self._params, param_arrays):
-                p.data = BackendTensor._wrap(arr, dev)
+                # mixed precision: bind a low-precision COPY for compute;
+                # the f32 master copy in param_arrays feeds the optimizer
+                p.data = BackendTensor._wrap(
+                    arr.astype(cd) if cd is not None else arr, dev
+                )
                 p.grad = None
                 Graph.add(p)
             for b, arr in zip(self._buffers, buffer_arrays):
                 b.data = BackendTensor._wrap(arr, dev)
-            xt = Tensor(BackendTensor._wrap(x, dev))
+            import jax.numpy as jnp
+
+            x_in = x.astype(cd) if cd is not None and jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating
+            ) else x
+            xt = Tensor(BackendTensor._wrap(x_in, dev))
             yt = Tensor(BackendTensor._wrap(y, dev))
             out = self.model(xt)
             loss = self.criterion(out, yt)
@@ -154,6 +170,8 @@ class CompiledTrainStep:
             grads = [
                 (p.grad.array if p.grad is not None else None) for p in self._params
             ]
+            if cd is not None:
+                grads = [None if g is None else g.astype(jnp.float32) for g in grads]
             opt_params = [param_arrays[i] for i in self._opt_index]
             opt_grads = [grads[i] for i in self._opt_index]
             new_opt_params, new_opt_state = self.optimizer.pure_update(
@@ -162,14 +180,26 @@ class CompiledTrainStep:
             new_params = list(param_arrays)
             for i, arr in zip(self._opt_index, new_opt_params):
                 new_params[i] = arr
-            new_buffers = [b.data.array for b in self._buffers]
+            # buffers (e.g. BN running stats) keep their original dtype even
+            # when the forward mutated them with compute-dtype values
+            new_buffers = [
+                b.data.array.astype(orig.array.dtype)
+                if b.data.array.dtype != orig.array.dtype
+                else b.data.array
+                for b, orig in zip(self._buffers, saved_buffers)
+            ]
             metrics = None
             if self.metrics_fn is not None:
                 m = self.metrics_fn(out, yt)
                 metrics = jax.tree.map(
                     lambda v: v.data.array if isinstance(v, Tensor) else v, m
                 )
-            return loss.data.array, new_params, new_buffers, new_opt_state, metrics
+            loss_out = loss.data.array
+            if cd is not None:
+                import jax.numpy as jnp
+
+                loss_out = loss_out.astype(jnp.float32)
+            return loss_out, new_params, new_buffers, new_opt_state, metrics
         finally:
             for p, d in zip(self._params, saved_params):
                 p.data = d

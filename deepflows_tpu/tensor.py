@@ -481,7 +481,15 @@ class BinaryOperator(Tensor):
         if isinstance(y, BackendTensor):
             y = Tensor(y)
         elif not isinstance(y, Tensor):
-            y = Tensor(np.asarray(y, dtype=config.default_dtype), device=x.device)
+            # coerce python scalars to x's dtype so low-precision (bf16)
+            # graphs are not silently promoted to f32
+            sdtype = (
+                x.dtype
+                if np.issubdtype(np.dtype(x.dtype), np.floating)
+                or "bfloat16" in str(x.dtype)
+                else config.default_dtype
+            )
+            y = Tensor(np.asarray(y, dtype=sdtype), device=x.device)
         assert x.device is y.device, (
             f"operands on different devices: {x.device} vs {y.device}"
         )

@@ -126,6 +126,10 @@ def _load_mnist(limit=3000):
     """OpenML MNIST like the reference (`server.py:269-280`); offline
     fallback: sklearn bundled digits upscaled 8×8→24×24, padded to 28×28."""
     try:
+        import socket
+
+        # fast offline probe: fetch_openml's retries hang on dropped SYNs
+        socket.create_connection(("www.openml.org", 443), timeout=2).close()
         from sklearn.datasets import fetch_openml
 
         mnist = fetch_openml("mnist_784", version=1, as_frame=False, parser="auto")

@@ -17,10 +17,24 @@ import time
 import numpy as np
 
 
+def _network_available(host="www.openml.org", port=443, timeout=2.0) -> bool:
+    """Fast probe — in a zero-egress environment fetch_openml's internal
+    retries hang for minutes on dropped SYNs."""
+    import socket
+
+    try:
+        socket.create_connection((host, port), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
 def get_mnist(limit: int | None = None, flat: bool = False):
     """MNIST via OpenML when reachable; offline fallback: sklearn digits
     (8×8) upscaled to 28×28.  Returns (x_train, y_train, x_test, y_test)."""
     try:
+        if not _network_available():
+            raise OSError("offline")
         from sklearn.datasets import fetch_openml
 
         m = fetch_openml("mnist_784", version=1, as_frame=False, parser="auto")

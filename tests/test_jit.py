@@ -193,3 +193,24 @@ def test_function_jit():
     assert abs(a1 - want) < 1e-6 and a1 == a2
     assert calls["n"] == 1  # traced once
     assert df.is_grad_enable()
+
+
+def test_mixed_precision_bf16_step():
+    import jax.numpy as jnp
+
+    df.manual_seed(0)
+    model = make_model(7)
+    opt = optim.Adam(model.parameters(), lr=0.01)
+    step = CompiledTrainStep(
+        model, opt, nn.CrossEntropyLoss(), compute_dtype=jnp.bfloat16
+    )
+    x, y = batch(0)
+    losses = [float(step(x, y)) for _ in range(5)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # converges on the repeated batch
+    # master weights and optimizer state stay float32
+    assert model[0].weight.dtype == jnp.float32
+    assert opt._state["v"][0].dtype == jnp.float32
+    # BN buffers keep f32
+    assert model[1].running_mean.dtype == jnp.float32
+    assert step._trace_count == 1
