@@ -30,11 +30,17 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
+import threading
+
 from . import random as df_random
 from .autograd import set_grad_enabled
 from .backend import BackendTensor, tpu
 from .config import config
 from .tensor import Graph, Tensor
+
+# tracing swaps the process-global tape; serialize traces across threads
+# (e.g. the viz server trains in a daemon thread)
+_TRACE_LOCK = threading.RLock()
 
 
 def jit(fn: Callable) -> Callable:
@@ -55,6 +61,10 @@ def jit(fn: Callable) -> Callable:
 
     @jax.jit
     def _traced(arrays):
+        with _TRACE_LOCK:
+            return _traced_locked(arrays)
+
+    def _traced_locked(arrays):
         saved_tape = Graph.node_list
         Graph.node_list = []
         saved_flag = is_grad_enable()
@@ -134,6 +144,14 @@ class CompiledTrainStep:
 
     # ------------------------------------------------------------------
     def _pure_step(self, param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y):
+        with _TRACE_LOCK:
+            return self._pure_step_locked(
+                param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y
+            )
+
+    def _pure_step_locked(
+        self, param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y
+    ):
         self._trace_count += 1
         dev = self._device
         saved_params = [p.data for p in self._params]
@@ -251,6 +269,10 @@ class CompiledEvalStep:
         self._jitted = jax.jit(self._pure_forward)
 
     def _pure_forward(self, param_arrays, buffer_arrays, x):
+        with _TRACE_LOCK:
+            return self._pure_forward_locked(param_arrays, buffer_arrays, x)
+
+    def _pure_forward_locked(self, param_arrays, buffer_arrays, x):
         dev = self._device
         saved_params = [p.data for p in self._params]
         saved_buffers = [b.data for b in self._buffers]
