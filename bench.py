@@ -47,9 +47,17 @@ def main() -> None:
             return models.ResNet18(num_classes=10, small_input=True, device="tpu")
         return models.CIFAR10_CNN(device="tpu")
 
+    compute_dtype = None
+    if os.environ.get("BENCH_DTYPE", "f32") in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+
     model = build_model()
     opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
-    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    step = CompiledTrainStep(
+        model, opt, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
+    )
 
     for _ in range(warmup):
         loss = step(x, y)

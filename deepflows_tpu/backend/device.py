@@ -58,10 +58,15 @@ class BackendDevice:
 
         return BackendTensor._wrap(self.mod.rand(shape, dtype=dtype, seed=seed), self)
 
-    def one_hot(self, n, i, dtype=None):
+    def one_hot(self, indices, num_classes, dtype=None):
+        # protocol argument order (indices, num_classes) — the reference's
+        # convenience took (n, i) (`backend_tensor.py:36-38`); matching the
+        # kernel protocol here avoids a silent swapped-argument trap
         from .ndarray import BackendTensor
 
-        return BackendTensor._wrap(self.mod.one_hot(i, n, dtype=dtype), self)
+        return BackendTensor._wrap(
+            self.mod.one_hot(indices, num_classes, dtype=dtype), self
+        )
 
     def empty(self, shape, dtype=None):
         from .ndarray import BackendTensor

@@ -85,7 +85,10 @@ def jit(fn: Callable) -> Callable:
     @functools.wraps(fn)
     def wrapper(*args):
         arrays = [
-            a.data.array if isinstance(a, Tensor) else np.asarray(a) for a in args
+            a.data.array
+            if isinstance(a, Tensor)
+            else (a if hasattr(a, "dtype") else np.asarray(a))
+            for a in args
         ]
         return _traced(arrays)
 
@@ -279,6 +282,9 @@ class CompiledEvalStep:
         saved_tape = Graph.node_list
         Graph.node_list = []
         was_training = self.model.training
+        from .autograd import is_grad_enable
+
+        saved_grad_flag = is_grad_enable()
         self.model.eval()  # also disables grad recording globally
         try:
             for p, arr in zip(self._params, param_arrays):
@@ -295,10 +301,12 @@ class CompiledEvalStep:
             Graph.node_list = saved_tape
             if was_training:
                 self.model.train()
-            else:
-                set_grad_enabled(True)
+            set_grad_enabled(saved_grad_flag)
 
     def __call__(self, x):
         param_arrays = [p.data.array for p in self._params]
         buffer_arrays = [b.data.array for b in self._buffers]
-        return self._jitted(param_arrays, buffer_arrays, np.asarray(x))
+        # keep on-device inputs on device (np.asarray would force D2H)
+        if not hasattr(x, "dtype"):
+            x = np.asarray(x)
+        return self._jitted(param_arrays, buffer_arrays, x)

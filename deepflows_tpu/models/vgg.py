@@ -50,6 +50,7 @@ class VGG(nn.Module):
 
     def forward(self, x):
         x = self.features(x)
+        x = self.avgpool(x)  # clamps spatial dims for inputs larger than img_size
         x = x.reshape(x.shape[0], -1)
         return self.classifier(x)
 

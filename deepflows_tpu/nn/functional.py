@@ -33,13 +33,67 @@ from ..tensor import BinaryOperator, Tensor, UnaryOperator
 
 
 # ------------------------------------------------------------------ linear
+class _FusedLinearOp(Tensor):
+    """One-kernel Pallas y = x @ W + b (opt-in via config.use_pallas);
+    closed-form grads: gx = g Wᵀ, gW = xᵀ g, gb = Σ₀ g (via unbroadcast)."""
+
+    def __init__(self, x: Tensor, w: Tensor, b: Tensor):
+        from ..ops.pallas_kernels import linear_fused
+
+        out = BackendTensor._wrap(
+            linear_fused(x.data.array, w.data.array, b.data.array), x.device
+        )
+        super().__init__(
+            out,
+            device=x.device,
+            requires_grad=is_grad_enable()
+            and (x.requires_grad or w.requires_grad or b.requires_grad),
+        )
+        self._x, self._w, self._b = x, w, b
+        if self.requires_grad:
+            x.build_edge(self)
+            w.build_edge(self)
+            b.build_edge(self)
+
+    def grad_fn(self, node, grad):
+        if node is self._x:
+            return BackendTensor._wrap(
+                grad.array @ self._w.data.array.T, self.device
+            )
+        if node is self._w:
+            return BackendTensor._wrap(
+                self._x.data.array.T @ grad.array, self.device
+            )
+        return grad  # bias: generic unbroadcast reduces (M,N) -> (1,N)
+
+
 def linear(input: Tensor, weight: Tensor, bias: Optional[Tensor] = None) -> Tensor:
     """y = x @ W (+ b); weight is (in_features, out_features), the
-    reference's convention (`DeepFlows/nn/modules/linear.py:40`)."""
+    reference's convention (`DeepFlows/nn/modules/linear.py:40`).
+
+    With ``config.use_pallas`` on the jax device (eager, f32, 2-D input),
+    the whole affine runs as ONE hand-written Pallas kernel."""
+    from ..config import config
+
+    if (
+        config.use_pallas
+        and bias is not None
+        and getattr(input.device, "is_jax", False)
+        and input.ndim == 2
+        and str(input.dtype) == "float32"
+        and not _is_tracer(input)
+    ):
+        return _FusedLinearOp(input, weight, bias)
     affine = input @ weight
     if bias is not None:
         affine = affine + bias
     return affine
+
+
+def _is_tracer(t: Tensor) -> bool:
+    import jax
+
+    return isinstance(t.data.array, jax.core.Tracer)
 
 
 # ------------------------------------------------------------------ activations
@@ -355,15 +409,28 @@ def avg_pool1d(x: Tensor, kernel_size: int, stride: int = 0, padding: int = 0):
 
 def adaptive_avg_pool2d(x: Tensor, output_size: int = 1) -> Tensor:
     """Global/adaptive average pool.  output_size=1 is GAP — the reference's
-    models hand-roll it as two means (`test/ResNet.py:141-143`)."""
+    models hand-roll it as two means (`test/ResNet.py:141-143`).  For other
+    sizes, divisible inputs use one pooling kernel; non-divisible inputs use
+    torch-style variable windows (floor/ceil bin edges)."""
     if output_size == 1:
         return tensor.mean(tensor.mean(x, 3, True), 2, True)
     n, c, h, w = x.shape
-    assert h % output_size == 0 and w % output_size == 0, (
-        "adaptive_avg_pool2d requires divisible spatial dims"
-    )
-    k = h // output_size
-    return _AvgPool2dOp(x, k, k, 0)
+    o = output_size
+    if h == o and w == o:
+        return x
+    if h % o == 0 and w % o == 0:
+        return _AvgPool2dOp(x, h // o, h // o, 0)
+    rows = []
+    for i in range(o):
+        h0, h1 = (i * h) // o, -(-((i + 1) * h) // o)
+        cols = []
+        for j in range(o):
+            w0, w1 = (j * w) // o, -(-((j + 1) * w) // o)
+            cols.append(
+                tensor.mean(x[:, :, h0:h1, w0:w1], (2, 3), True)
+            )
+        rows.append(tensor.concat(cols, axis=3))
+    return tensor.concat(rows, axis=2)
 
 
 def flatten(x: Tensor, start_dim: int = 1) -> Tensor:

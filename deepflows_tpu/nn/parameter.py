@@ -14,6 +14,11 @@ class Parameter(Tensor):
             )
         else:
             super().__init__(data, name=name, requires_grad=True)
+        # a Parameter ALWAYS requires grad, even if constructed while the
+        # global grad flag is off (e.g. a model built after model.eval(),
+        # which flips the process-global flag) — otherwise training would
+        # silently update nothing
+        self.requires_grad = True
 
     def __repr__(self):
         return f"Parameter({self.data}, device={self.device})"

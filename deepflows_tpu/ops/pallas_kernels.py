@@ -6,12 +6,13 @@ whole-step path already fuses elementwise chains into XLA's MXU matmuls/
 convs, so these kernels target the remaining wins and serve as the
 from-scratch kernel layer the framework owns:
 
-- ``matmul``: MXU-tiled (128×128×K-block) f32 matmul with a VMEM accumulator.
+- ``matmul``: MXU-tiled (128×128×K-block) f32 matmul with a VMEM accumulator
+  (routes eager 2-D BackendTensor matmuls when ``config.use_pallas`` is on,
+  `backend/jax_kernels.py`).
 - ``linear_fused``: y = act(x @ W + b) in ONE kernel — the eager-mode Linear
-  fast path (one dispatch instead of three).
+  fast path behind ``config.use_pallas`` (`nn/functional.linear`).
 - ``fused_adam``: whole-parameter Adam update in one VPU kernel over the
-  raveled parameter (used by the eager optimizer path; inside a compiled
-  step XLA's fusion achieves the same).
+  raveled parameter — opt-in via ``optim.Adam(..., fused=True)``.
 
 All kernels run under ``interpret=True`` off-TPU so the unit tests cover
 them on CPU; on a TPU backend they compile via Mosaic.

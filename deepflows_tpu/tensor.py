@@ -473,23 +473,32 @@ class BinaryOperator(Tensor):
     """Binary op base: coerces scalar/BackendTensor operands and asserts the
     operands share a device (reference `tensor.py:581-619`)."""
 
+    @staticmethod
+    def _scalar_dtype(other: "Tensor"):
+        """Python scalars adopt the tensor operand's floating dtype so
+        low-precision (bf16) graphs are not silently promoted to f32."""
+        d = other.dtype
+        if np.issubdtype(np.dtype(d), np.floating) or "bfloat16" in str(d):
+            return d
+        return config.default_dtype
+
     def __init__(self, x, y) -> None:
         if not isinstance(x, Tensor):
-            x = Tensor(
-                x, device=y.device if isinstance(y, Tensor) else None
-            )
+            if isinstance(y, Tensor) and not isinstance(x, (Tensor, BackendTensor)):
+                x = Tensor(
+                    np.asarray(x, dtype=self._scalar_dtype(y)), device=y.device
+                )
+            else:
+                x = Tensor(x, device=y.device if isinstance(y, Tensor) else None)
         if isinstance(y, BackendTensor):
             y = Tensor(y)
         elif not isinstance(y, Tensor):
-            # coerce python scalars to x's dtype so low-precision (bf16)
-            # graphs are not silently promoted to f32
-            sdtype = (
-                x.dtype
-                if np.issubdtype(np.dtype(x.dtype), np.floating)
-                or "bfloat16" in str(x.dtype)
-                else config.default_dtype
-            )
-            y = Tensor(np.asarray(y, dtype=sdtype), device=x.device)
+            y = Tensor(np.asarray(y, dtype=self._scalar_dtype(x)), device=x.device)
+        if x is y:
+            # grad dispatch is by parent identity; alias one operand through
+            # an identity node so (x - x), (x / x), x @ x etc. accumulate the
+            # correct gradient on both paths
+            y = Reshape(y, y.shape)
         assert x.device is y.device, (
             f"operands on different devices: {x.device} vs {y.device}"
         )
@@ -702,20 +711,24 @@ class log(UnaryOperator):
         return grad / x.data
 
 
-class maximum(BinaryOperator):
+class _MaxMinBinary(BinaryOperator):
+    def grad_fn(self, node, grad):
+        # split the gradient evenly among ties (a full copy to both operands
+        # would double-count where x == y, e.g. leaky_relu at 0)
+        other = self._y if node is self._x else self._x
+        mask = (node.data == self.data).astype(self.dtype)
+        mask_other = (other.data == self.data).astype(self.dtype)
+        return grad * mask / (mask + mask_other)
+
+
+class maximum(_MaxMinBinary):
     def forward(self, x, y):
         return x.maximum(y)
 
-    def grad_fn(self, node, grad):
-        return grad * (node.data == self.data).astype(self.dtype)
 
-
-class minimum(BinaryOperator):
+class minimum(_MaxMinBinary):
     def forward(self, x, y):
         return x.minimum(y)
-
-    def grad_fn(self, node, grad):
-        return grad * (node.data == self.data).astype(self.dtype)
 
 
 def sqrt(x: Tensor):
@@ -760,6 +773,14 @@ class concat(Tensor):
 
     def __init__(self, tensors, axis=0):
         tensors = [t if isinstance(t, Tensor) else Tensor(t) for t in tensors]
+        # alias duplicate inputs so identity-based grad routing stays unique
+        seen, uniq = set(), []
+        for t in tensors:
+            if id(t) in seen:
+                t = Reshape(t, t.shape)
+            seen.add(id(t))
+            uniq.append(t)
+        tensors = uniq
         self.axis = axis
         self._inputs = tensors
         device = tensors[0].device

@@ -91,14 +91,21 @@ def load_model_metadata(
 
 
 # ------------------------------------------------------------------ convert
-def _adapt_array(name: str, arr: np.ndarray, target_shape) -> Optional[np.ndarray]:
+def _adapt_array(
+    name: str, arr: np.ndarray, target_shape, is_linear_weight: bool = False
+) -> Optional[np.ndarray]:
     """Reshape/transpose a torch-layout array to this framework's layout for
-    the same logical parameter."""
+    the same logical parameter.  ``is_linear_weight`` must be decided by the
+    caller from the TARGET param (2-D weight ⇒ Linear): a square torch Linear
+    weight matches the target shape untransposed, so shape alone cannot
+    disambiguate."""
     arr = np.asarray(arr)
     target_shape = tuple(target_shape)
+    # Linear weight: torch (out,in) -> ours (in,out), ALWAYS — incl. square
+    if is_linear_weight and arr.ndim == 2 and arr.T.shape == target_shape:
+        return np.ascontiguousarray(arr.T)
     if arr.shape == target_shape:
         return arr
-    # Linear weight: (out,in) -> (in,out)
     if arr.ndim == 2 and arr.T.shape == target_shape:
         return np.ascontiguousarray(arr.T)
     # Bias / BN vectors: (C,) -> (1,C), (1,C,1), (1,C,1,1)
@@ -125,7 +132,9 @@ def convert_torch_state_dict(
         arr = (
             value.detach().cpu().numpy() if hasattr(value, "detach") else np.asarray(value)
         )
-        adapted = _adapt_array(name, arr, own[name].shape)
+        target = own[name]
+        is_linear_weight = target.ndim == 2 and name.endswith("weight")
+        adapted = _adapt_array(name, arr, target.shape, is_linear_weight)
         if adapted is None:
             logger.warning(
                 "shape mismatch for %s: torch %s vs model %s — skipped",

@@ -64,3 +64,46 @@ def test_pallas_matmul_dispatch_via_device():
     finally:
         config.use_pallas = False
     np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_linear_path_matches_regular():
+    import deepflows_tpu as df
+    from deepflows_tpu import Tensor, config, nn
+
+    df.manual_seed(0)
+    lin = nn.Linear(100, 32, device="tpu")
+    x = RNG.standard_normal((16, 100)).astype(np.float32)
+    want = lin(Tensor(x, device="tpu")).numpy()
+    config.use_pallas = True
+    try:
+        tx = Tensor(x, device="tpu", requires_grad=True)
+        out = lin(tx)
+        got = out.numpy()
+        out.sum().backward()
+        gx = tx.grad.numpy()
+        gw = lin.weight.grad.numpy()
+        gb = lin.bias.grad.numpy()
+    finally:
+        config.use_pallas = False
+        df.Graph.free_graph_all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(gx, np.ones((16, 32)) @ lin.weight.numpy().T, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(gw, x.T @ np.ones((16, 32), np.float32), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(gb, np.full((1, 32), 16.0), rtol=1e-4)
+
+
+def test_fused_adam_optimizer_matches_regular():
+    import deepflows_tpu as df
+    from deepflows_tpu import Tensor, nn, optim
+
+    w0 = RNG.standard_normal((37, 5)).astype(np.float32)
+    gs = [RNG.standard_normal((37, 5)).astype(np.float32) for _ in range(4)]
+    results = []
+    for fused in (False, True):
+        p = nn.Parameter(Tensor(w0.copy(), device="tpu"))
+        opt = optim.Adam([p], lr=0.01, weight_decay=0.01, fused=fused)
+        for g in gs:
+            p.grad = df.BackendTensor(g, device=p.device)
+            opt.step()
+        results.append(p.numpy())
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-4, atol=1e-5)
