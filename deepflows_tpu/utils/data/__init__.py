@@ -21,3 +21,19 @@ __all__ = [
     "read_png_images_from_folder",
     "load_image_folder",
 ]
+
+from .transforms import (  # noqa: E402
+    Compose,
+    Normalize,
+    RandomCrop,
+    RandomErasing,
+    RandomHorizontalFlip,
+)
+
+__all__ += [
+    "Compose",
+    "Normalize",
+    "RandomCrop",
+    "RandomErasing",
+    "RandomHorizontalFlip",
+]

@@ -169,3 +169,27 @@ def test_model_configs():
     assert cfg["block_config"] == [2, 2, 2, 2]
     assert get_model_config("vgg16")["layer_config"][0] == 64
     assert get_model_config("nope") is None
+
+
+def test_transforms():
+    from deepflows_tpu.utils.data import (
+        Compose,
+        Normalize,
+        RandomCrop,
+        RandomErasing,
+        RandomHorizontalFlip,
+    )
+
+    x = RNG.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    flip = RandomHorizontalFlip(p=1.0, seed=0)
+    np.testing.assert_allclose(flip(x), x[..., ::-1])
+    crop = RandomCrop(32, padding=4, seed=0)
+    out = crop(x)
+    assert out.shape == x.shape
+    erase = RandomErasing(p=1.0, seed=0)
+    out = erase(x)
+    assert (out == 0).sum() > 0
+    norm = Normalize([0.5] * 3, [2.0] * 3)
+    np.testing.assert_allclose(norm(x), (x - 0.5) / 2.0, rtol=1e-6)
+    aug = Compose([flip, crop, erase])
+    assert aug(x).shape == x.shape
