@@ -50,8 +50,16 @@ class ShardedTrainStep(CompiledTrainStep):
         param_rules: Optional[Callable] = None,
         donate: bool = True,
         metrics_fn: Optional[Callable] = None,
+        compute_dtype=None,
     ):
-        super().__init__(model, optimizer, criterion, donate=donate, metrics_fn=metrics_fn)
+        super().__init__(
+            model,
+            optimizer,
+            criterion,
+            donate=donate,
+            metrics_fn=metrics_fn,
+            compute_dtype=compute_dtype,
+        )
         self.mesh = mesh
         self.data_axis = data_axis
 

@@ -135,3 +135,19 @@ def test_sharded_step_single_trace():
         x, y = batch(i)
         step(x, y)
     assert step._trace_count == 1
+
+
+def test_sharded_bf16_step_runs():
+    import jax.numpy as jnp
+
+    mesh = make_mesh({"data": 8})
+    m = make_model()
+    opt = optim.Adam(m.parameters(), lr=1e-3)
+    step = ShardedTrainStep(
+        m, opt, nn.CrossEntropyLoss(), mesh, compute_dtype=jnp.bfloat16
+    )
+    x, y = batch(0)
+    l1 = float(step(x, y))
+    l2 = float(step(x, y))
+    assert np.isfinite(l1) and np.isfinite(l2) and l2 < l1
+    assert m[0].weight.dtype == jnp.float32
