@@ -87,10 +87,15 @@ def main() -> None:
 
         eager_one()  # warm per-op compile caches
         t0 = time.perf_counter()
+        done = 0
+        budget_s = float(os.environ.get("BENCH_EAGER_BUDGET_S", "120"))
         for _ in range(eager_steps):
             eager_one()
+            done += 1
+            if time.perf_counter() - t0 > budget_s:
+                break  # keep the whole bench inside the driver's timeout
         dt = time.perf_counter() - t0
-        eager_ips = batch_size * eager_steps / dt
+        eager_ips = batch_size * done / dt
         vs_baseline = round(compiled_ips / eager_ips, 2)
 
     print(
