@@ -104,16 +104,20 @@ class CompiledTrainStep:
         donate: bool = True,
         metrics_fn: Optional[Callable] = None,
         compute_dtype=None,
+        grad_transform: Optional[Callable] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` enables mixed precision: forward +
         backward run in bf16 on the MXU while master weights, gradients as
         seen by the optimizer, and optimizer state stay float32 (the opt-in
-        path SURVEY §7.3 item 7 calls for)."""
+        path SURVEY §7.3 item 7 calls for).  ``grad_transform`` (e.g.
+        ``optim.clip_by_global_norm(1.0)``) maps the list of grad arrays
+        before the optimizer update, inside the fused program."""
         self.model = model
         self.optimizer = optimizer
         self.criterion = criterion
         self.metrics_fn = metrics_fn
         self.compute_dtype = compute_dtype
+        self.grad_transform = grad_transform
 
         self._device = tpu()
         if not self._device.enabled():
@@ -193,6 +197,8 @@ class CompiledTrainStep:
             ]
             if cd is not None:
                 grads = [None if g is None else g.astype(jnp.float32) for g in grads]
+            if self.grad_transform is not None:
+                grads = self.grad_transform(grads)
             opt_params = [param_arrays[i] for i in self._opt_index]
             opt_grads = [grads[i] for i in self._opt_index]
             new_opt_params, new_opt_state = self.optimizer.pure_update(

@@ -3,6 +3,7 @@
 from .adadelta import Adadelta
 from .adagrad import Adagrad
 from .adam import Adam
+from .clip import clip_by_global_norm, clip_grad_norm_
 from .optimizer import Optimizer
 from .scheduler import CosineAnnealingLR, LRScheduler, StepLR, WarmupCosineLR
 from .sgd import SGD
@@ -17,4 +18,6 @@ __all__ = [
     "StepLR",
     "CosineAnnealingLR",
     "WarmupCosineLR",
+    "clip_grad_norm_",
+    "clip_by_global_norm",
 ]

@@ -64,12 +64,29 @@ class MyDLPWServicer:
         model=None,
         root_dir: Optional[str] = None,
         model_file: Optional[str] = None,
+        model_name: Optional[str] = None,
+        num_classes: int = 1000,
         max_workers: int = 10,
     ):
+        """Serve either an in-memory model, or (reference-style ctor
+        `serving.py:71-92`) a checkpoint file: ``root_dir`` + ``model_file``
+        restore a deepflows checkpoint into a zoo model named
+        ``model_name``."""
         import grpc
 
+        if model is None and model_file is not None:
+            import os
+
+            from ..utils.model_utils import load_checkpoint
+            from ..utils.pretrained_models import _build_model
+
+            if model_name is None:
+                raise ValueError("model_name required to serve from a checkpoint")
+            model = _build_model(model_name, num_classes=num_classes, device="tpu")
+            path = os.path.join(root_dir or ".", model_file)
+            load_checkpoint(model, None, path, strict=False)
         if model is None:
-            raise ValueError("pass a deepflows_tpu model to serve")
+            raise ValueError("pass a deepflows_tpu model (or a checkpoint) to serve")
         self.host = host
         self._service = PredictService(model)
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
