@@ -70,3 +70,12 @@ def test_cnn_cifar10_synthetic_converges():
         "--target-acc", "101",
     )
     assert "best test accuracy" in out
+
+
+def test_distributed_train_script():
+    out = run_example(
+        "distributed_train.py", "--devices", "8", "--model-parallel", "2",
+        "--epochs", "1", "--limit", "256",
+    )
+    assert "mesh: {'data': 4, 'model': 2}" in out
+    assert "PartitionSpec(None, 'model')" in out
