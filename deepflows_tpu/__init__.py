@@ -28,10 +28,13 @@ __version__ = "0.1.0"
 
 
 def manual_seed(seed: int) -> None:
-    """Seed every device RNG."""
+    """Seed every device RNG, the dropout key stream, and the base seed used
+    by later-constructed compiled steps."""
+    from . import random as _random
     from .backend import all_devices
 
     config.seed = seed
     for d in all_devices():
         if d.enabled():
             d.manual_seed(seed)
+    _random.manual_seed(seed)

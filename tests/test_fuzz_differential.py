@@ -1,0 +1,123 @@
+"""Property/fuzz tier: random Sequential architectures are built in both
+frameworks with identical weights; forward outputs, all parameter gradients,
+and one SGD step must agree with torch.  Catches composition bugs that
+per-layer tests miss."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, nn
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def random_cnn_spec(rng, in_ch, img):
+    """Random conv stack spec ending in a linear head."""
+    spec = []
+    ch = in_ch
+    size = img
+    for _ in range(rng.integers(1, 4)):
+        out_ch = int(rng.choice([4, 8, 16]))
+        k = int(rng.choice([3, 5]))
+        pad = k // 2
+        spec.append(("conv", ch, out_ch, k, pad))
+        ch = out_ch
+        if rng.random() < 0.5:
+            spec.append(("bn", ch))
+        spec.append(("relu",))
+        if size >= 8 and rng.random() < 0.7:
+            spec.append(("pool",))
+            size //= 2
+    spec.append(("flatten", ch * size * size))
+    spec.append(("linear", ch * size * size, int(rng.choice([3, 7]))))
+    return spec
+
+
+def build_ours(spec):
+    mods = []
+    for s in spec:
+        if s[0] == "conv":
+            mods.append(nn.Conv2d(s[1], s[2], s[3], padding=s[4], device="tpu"))
+        elif s[0] == "bn":
+            mods.append(nn.BatchNorm2d(s[1], device="tpu"))
+        elif s[0] == "relu":
+            mods.append(nn.ReLU())
+        elif s[0] == "pool":
+            mods.append(nn.MaxPool2d(2, 2))
+        elif s[0] == "flatten":
+            mods.append(nn.Flatten())
+        elif s[0] == "linear":
+            mods.append(nn.Linear(s[1], s[2], device="tpu"))
+    return nn.Sequential(*mods)
+
+
+def build_torch(spec):
+    mods = []
+    for s in spec:
+        if s[0] == "conv":
+            mods.append(tnn.Conv2d(s[1], s[2], s[3], padding=s[4]))
+        elif s[0] == "bn":
+            mods.append(tnn.BatchNorm2d(s[1]))
+        elif s[0] == "relu":
+            mods.append(tnn.ReLU())
+        elif s[0] == "pool":
+            mods.append(tnn.MaxPool2d(2, 2))
+        elif s[0] == "flatten":
+            mods.append(tnn.Flatten())
+        elif s[0] == "linear":
+            mods.append(tnn.Linear(s[1], s[2]))
+    return tnn.Sequential(*mods)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_architecture_matches_torch(seed):
+    rng = np.random.default_rng(seed)
+    img = int(rng.choice([8, 16]))
+    spec = random_cnn_spec(rng, 3, img)
+    df.manual_seed(seed)
+    ours = build_ours(spec)
+    twin = build_torch(spec)
+
+    from deepflows_tpu.utils.pretrained_models import export_torch_state_dict
+
+    twin.load_state_dict(
+        {k: torch.tensor(v) for k, v in export_torch_state_dict(ours).items()},
+        strict=False,
+    )
+
+    x = rng.standard_normal((4, 3, img, img)).astype(np.float32)
+    tx = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = ours(tx)
+    xt = torch.tensor(x, requires_grad=True)
+    out_t = twin(xt)
+    np.testing.assert_allclose(
+        out.numpy(), out_t.detach().numpy(), rtol=1e-3, atol=1e-4,
+        err_msg=f"forward mismatch for spec {spec}",
+    )
+
+    (out * out).sum().backward()
+    (out_t * out_t).sum().backward()
+    np.testing.assert_allclose(
+        tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-3,
+        err_msg=f"input grad mismatch for spec {spec}",
+    )
+    ours_params = dict(ours.named_parameters())
+    for name, pt in twin.named_parameters():
+        got = ours_params[name].grad.numpy()
+        want = pt.grad.numpy()
+        if got.ndim == 2 and name.endswith("weight"):
+            got = got.T  # Linear weight: ours (in,out), torch (out,in)
+        else:
+            want = want.reshape(got.shape)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-2, atol=1e-3,
+            err_msg=f"grad mismatch {name} for spec {spec}",
+        )
