@@ -38,6 +38,22 @@ is_jax = True
 
 _NCHW = ("NCHW", "OIHW", "NCHW")
 
+# persistent XLA compilation cache: first compile of a conv net through this
+# environment's TPU tunnel takes minutes; cache survives process restarts.
+# Opt out with DEEPFLOWS_COMPILE_CACHE=0.
+import os as _os
+
+_cache_dir = _os.environ.get("DEEPFLOWS_COMPILE_CACHE", "")
+if _cache_dir != "0":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache_dir or _os.path.expanduser("~/.cache/deepflows_tpu_xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def available() -> bool:
     try:
