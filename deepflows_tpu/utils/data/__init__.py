@@ -37,3 +37,7 @@ __all__ += [
     "RandomErasing",
     "RandomHorizontalFlip",
 ]
+
+from .device_loader import DeviceDataLoader  # noqa: E402
+
+__all__ += ["DeviceDataLoader"]

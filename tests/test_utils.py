@@ -193,3 +193,26 @@ def test_transforms():
     np.testing.assert_allclose(norm(x), (x - 0.5) / 2.0, rtol=1e-6)
     aug = Compose([flip, crop, erase])
     assert aug(x).shape == x.shape
+
+
+def test_device_data_loader():
+    from deepflows_tpu.utils.data import DeviceDataLoader
+
+    X = np.arange(24, dtype=np.float32).reshape(12, 2)
+    y = np.arange(12, dtype=np.int32)
+    dl = DeviceDataLoader(data_loader(X, y, batch_size=4))
+    batches = list(dl)
+    assert len(batches) == 3 == len(dl)
+    import jax
+
+    assert isinstance(batches[0][0], jax.Array)
+    np.testing.assert_allclose(np.asarray(batches[0][0]), X[:4])
+    # composes with a compiled step
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    model = nn.Linear(2, 3, device="tpu")
+    opt = optim.SGD(model.parameters(), lr=0.01)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    for xb, yb in DeviceDataLoader(data_loader(X, y, batch_size=4)):
+        loss = step(xb, yb)
+    assert np.isfinite(float(loss))
