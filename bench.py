@@ -28,7 +28,9 @@ def main() -> None:
 
     model_name = os.environ.get("BENCH_MODEL", "cifar10_cnn")
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    # enough steps that the final host-readback (the only true sync point
+    # through this environment's TPU tunnel) amortizes to noise
+    steps = int(os.environ.get("BENCH_STEPS", "200"))
     warmup = 5
 
     rng = np.random.default_rng(0)
