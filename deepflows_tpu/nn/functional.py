@@ -175,6 +175,9 @@ def leaky_relu(input: Tensor, negative_slope: float = 0.01) -> Tensor:
 
 
 def softmax(input: Tensor, dim=None, keepdims: bool = False) -> Tensor:
+    """``keepdims`` is accepted for reference-signature parity
+    (`DeepFlows/nn/functional.py:47`) but has no effect — softmax preserves
+    the input shape by construction."""
     if dim is None:
         dim = 1
     m = tensor.max(input, dim, True)
@@ -419,7 +422,8 @@ def adaptive_avg_pool2d(x: Tensor, output_size: int = 1) -> Tensor:
     if h == o and w == o:
         return x
     if h % o == 0 and w % o == 0:
-        return _AvgPool2dOp(x, h // o, h // o, 0)
+        # per-dim kernel/stride: rectangular inputs pool to o×o correctly
+        return _AvgPool2dOp(x, (h // o, w // o), (h // o, w // o), 0)
     rows = []
     for i in range(o):
         h0, h1 = (i * h) // o, -(-((i + 1) * h) // o)

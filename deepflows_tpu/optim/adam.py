@@ -33,9 +33,10 @@ class Adam(Optimizer):
         self.beta1, self.beta2 = betas
         self.eps = eps
         self.weight_decay = weight_decay
-        self.fused = fused and all(
-            getattr(p.device, "is_jax", False) for p in self.params
-        )
+        # 'fused' records the REQUEST; the actual routing decision happens in
+        # pure_update per call, so moving the model to the jax device after
+        # optimizer construction still enables the Pallas path
+        self.fused = fused
 
     def init_state(self):
         return {
@@ -50,7 +51,12 @@ class Adam(Optimizer):
         bc1 = 1.0 - self.beta1**tf
         bc2 = 1.0 - self.beta2**tf
         hyper = None
-        if self.fused:
+        # fused path requires jax arrays/tracers (numpy state can't feed a
+        # Pallas kernel); decided per call, not latched at construction
+        use_fused = self.fused and any(
+            hasattr(p, "aval") for p in params if p is not None
+        )
+        if use_fused:
             import jax.numpy as jnp
 
             hyper = jnp.stack(

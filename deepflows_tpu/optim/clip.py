@@ -23,10 +23,13 @@ def _global_norm(arrays):
 
 
 def clip_grad_norm_(params: List[Tensor], max_norm: float) -> float:
-    """Eager in-place clip; returns the pre-clip global norm."""
-    grads = [
-        p.grad.array if isinstance(p.grad, BackendTensor) else None for p in params
-    ]
+    """Eager in-place clip; returns the pre-clip global norm.  Tolerates
+    Tensor-typed grads (normalized to BackendTensor first, like
+    Optimizer.step does)."""
+    for p in params:
+        if p.grad is not None and not isinstance(p.grad, BackendTensor):
+            p.grad = p.grad.data  # a Tensor leaked in as grad
+    grads = [p.grad.array if p.grad is not None else None for p in params]
     norm = _global_norm(grads)
     if norm is None:
         return 0.0

@@ -51,6 +51,7 @@ class ShardedTrainStep(CompiledTrainStep):
         donate: bool = True,
         metrics_fn: Optional[Callable] = None,
         compute_dtype=None,
+        grad_transform: Optional[Callable] = None,
     ):
         super().__init__(
             model,
@@ -59,6 +60,7 @@ class ShardedTrainStep(CompiledTrainStep):
             donate=donate,
             metrics_fn=metrics_fn,
             compute_dtype=compute_dtype,
+            grad_transform=grad_transform,
         )
         self.mesh = mesh
         self.data_axis = data_axis

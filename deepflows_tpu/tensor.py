@@ -431,7 +431,9 @@ class Tensor:
         device = Device(device)
         if device is self.device:
             return self
-        return Tensor(self.data, device=device)
+        # propagate requires_grad so a moved tensor keeps participating in
+        # autograd (the reference's .to() dropped it, `tensor.py:513-527`)
+        return Tensor(self.data, device=device, requires_grad=self.requires_grad)
 
     def cpu(self):
         return self.to("cpu")

@@ -125,3 +125,49 @@ def test_device_one_hot_protocol_order():
 
     oh = Device("tpu").one_hot(np.array([0, 2]), 3)
     np.testing.assert_allclose(oh.numpy(), np.eye(3, dtype=np.float32)[[0, 2]])
+
+
+def test_tensor_to_keeps_requires_grad():
+    x = Tensor(np.ones((2, 2), np.float32), device="cpu", requires_grad=True)
+    moved = x.to("tpu")
+    assert moved.requires_grad
+    (moved * 2.0).sum().backward()
+    assert moved.grad is not None
+
+
+def test_adaptive_pool_rectangular():
+    from deepflows_tpu.nn import functional as F
+
+    x = Tensor(RNG.standard_normal((1, 2, 16, 32)).astype(np.float32), device="tpu")
+    out = F.adaptive_avg_pool2d(x, 8)
+    assert out.shape == (1, 2, 8, 8)
+    want = torch.nn.functional.adaptive_avg_pool2d(
+        torch.tensor(x.numpy()), 8
+    ).numpy()
+    np.testing.assert_allclose(out.numpy(), want, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_tolerates_tensor_grads():
+    from deepflows_tpu import optim
+
+    p = nn.Parameter(Tensor(np.zeros((2,), np.float32)))
+    p.grad = Tensor(np.array([3.0, 4.0], np.float32))  # Tensor, not BackendTensor
+    norm = optim.clip_grad_norm_([p], max_norm=1.0)
+    np.testing.assert_allclose(norm, 5.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.sqrt((p.grad.numpy() ** 2).sum()), 1.0, rtol=1e-4
+    )
+
+
+def test_adam_fused_after_late_device_move():
+    from deepflows_tpu import optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    df.manual_seed(0)
+    model = nn.Linear(4, 2, device="cpu")  # built on cpu...
+    opt = optim.Adam(model.parameters(), lr=0.01, fused=True)
+    step = CompiledTrainStep(model, opt, nn.MSELoss())  # ...moved to jax here
+    x = RNG.standard_normal((4, 4)).astype(np.float32)
+    y = RNG.standard_normal((4, 2)).astype(np.float32)
+    l1, l2 = float(step(x, y)), float(step(x, y))
+    assert np.isfinite(l1) and l2 < l1
