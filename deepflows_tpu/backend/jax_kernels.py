@@ -38,18 +38,18 @@ is_jax = True
 
 _NCHW = ("NCHW", "OIHW", "NCHW")
 
-# persistent XLA compilation cache: first compile of a conv net through this
-# environment's TPU tunnel takes minutes; cache survives process restarts.
-# Opt out with DEEPFLOWS_COMPILE_CACHE=0.
+# persistent XLA compilation cache (OPT-IN via DEEPFLOWS_COMPILE_CACHE=<dir>):
+# first compile of a conv net through this environment's TPU tunnel takes
+# minutes and the cache survives restarts — but the tunnel's remote-compile
+# can emit CPU AOT artifacts built for the REMOTE machine's CPU features;
+# reloading those locally logs feature-mismatch errors and can SIGILL, so
+# this is not safe to enable unconditionally.
 import os as _os
 
 _cache_dir = _os.environ.get("DEEPFLOWS_COMPILE_CACHE", "")
-if _cache_dir != "0":
+if _cache_dir and _cache_dir != "0":
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            _cache_dir or _os.path.expanduser("~/.cache/deepflows_tpu_xla"),
-        )
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
