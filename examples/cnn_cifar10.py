@@ -30,6 +30,7 @@ def main(
     device="tpu",
     checkpoint_path=None,
     limit=None,
+    bf16=False,
 ):
     df.manual_seed(0)
     x_train, y_train, x_test, y_test = get_cifar10(data_dir, limit=limit)
@@ -38,7 +39,14 @@ def main(
     model = models.CIFAR10_CNN(device=device)
     optimizer = optim.Adam(model.parameters(), lr=lr, weight_decay=weight_decay)
     scheduler = optim.CosineAnnealingLR(optimizer, T_max=epochs)
-    step = CompiledTrainStep(model, optimizer, nn.CrossEntropyLoss())
+    compute_dtype = None
+    if bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    step = CompiledTrainStep(
+        model, optimizer, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
+    )
     eval_step = CompiledEvalStep(model)
 
     rng = np.random.default_rng(0)
@@ -79,6 +87,7 @@ if __name__ == "__main__":
     p.add_argument("--target-acc", type=float, default=85.0)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
     main(
         args.data_dir,
@@ -87,4 +96,5 @@ if __name__ == "__main__":
         target_acc=args.target_acc,
         checkpoint_path=args.checkpoint,
         limit=args.limit,
+        bf16=args.bf16,
     )
