@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import warnings
 
-from ..config import config
 
 
 class BackendDevice:

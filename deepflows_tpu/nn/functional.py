@@ -29,7 +29,7 @@ import numpy as np
 from .. import tensor
 from ..autograd import is_grad_enable, no_grad
 from ..backend import BackendTensor
-from ..tensor import BinaryOperator, Tensor, UnaryOperator
+from ..tensor import Tensor, UnaryOperator
 
 
 # ------------------------------------------------------------------ linear
