@@ -72,6 +72,16 @@ def main(
         )
         opt = optim.SGD(model.parameters(), lr=0.01, momentum=0.9)
         sch = optim.StepLR(opt, step_size=10, gamma=0.1)
+    elif model_name == "mobilenet_v1":
+        model = models.MobileNetV1(num_classes=len(classes), device=device)
+        opt = optim.Adam(model.parameters(), lr=lr)
+        sch = None
+    elif model_name == "vgg16":
+        model = models.VGG16(
+            num_classes=len(classes), batch_norm=True, img_size=img_size, device=device
+        )
+        opt = optim.SGD(model.parameters(), lr=0.01, momentum=0.9)
+        sch = optim.StepLR(opt, step_size=10, gamma=0.1)
     else:
         model = models.DishesCNN(
             num_classes=len(classes), img_size=img_size, device=device
@@ -95,7 +105,11 @@ def main(
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default=None)
-    p.add_argument("--model", default="dishes_cnn", choices=["dishes_cnn", "resnet18"])
+    p.add_argument(
+        "--model",
+        default="dishes_cnn",
+        choices=["dishes_cnn", "resnet18", "mobilenet_v1", "vgg16"],
+    )
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--img-size", type=int, default=64)
