@@ -16,3 +16,5 @@ from .model_configs import (  # noqa: F401
 from .model_utils import load_checkpoint, save_checkpoint  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401
+from . import profiling  # noqa: F401,E402
+from .data import transforms  # noqa: F401,E402
