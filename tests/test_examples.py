@@ -79,3 +79,32 @@ def test_distributed_train_script():
     )
     assert "mesh: {'data': 4, 'model': 2}" in out
     assert "PartitionSpec(None, 'model')" in out
+
+
+@pytest.mark.slow
+def test_reference_script_runs_verbatim_via_shim(tmp_path):
+    """The reference's own LinearRegression.py (copied byte-for-byte) runs
+    against deepflows_tpu through the DeepFlows compatibility shim."""
+    import shutil
+
+    ref = "/root/reference/test/LinearRegression.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    script = tmp_path / "LinearRegression.py"
+    shutil.copy(ref, script)
+    src = script.read_text()
+    # trim the 100k-epoch loop for test time; everything else untouched
+    src = src.replace("100000", "2000")
+    script.write_text(src)
+    env = dict(os.environ, MPLBACKEND="Agg")
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _BOOTSTRAP, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Loss" in proc.stdout
