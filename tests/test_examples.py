@@ -108,3 +108,35 @@ def test_reference_script_runs_verbatim_via_shim(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "Loss" in proc.stdout
+
+
+@pytest.mark.slow
+def test_reference_mobilenet_shape_test_via_shim(tmp_path):
+    """The reference MobileNet.py's own test_output_shape() runs against
+    deepflows_tpu through the shim (device='cuda' resolves to tpu)."""
+    import shutil
+
+    ref = "/root/reference/test/MobileNet.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    script = tmp_path / "MobileNet.py"
+    shutil.copy(ref, script)
+    runner = tmp_path / "runner.py"
+    runner.write_text(
+        "import warnings, runpy\n"
+        "warnings.filterwarnings('ignore')\n"
+        f"mod = runpy.run_path({str(script)!r})\n"
+        "mod['test_output_shape']()\n"
+    )
+    env = dict(os.environ, MPLBACKEND="Agg")
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _BOOTSTRAP, str(runner)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Output shape test passed" in proc.stdout, proc.stdout
