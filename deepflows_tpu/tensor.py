@@ -354,6 +354,15 @@ class Tensor:
     def __itruediv__(self, other):
         return self._inplace(other, self.data.__itruediv__)
 
+    def __imatmul__(self, other):
+        assert (
+            not self.requires_grad
+        ), "In-place operation is forbidden in node requires grad."
+        if isinstance(other, Tensor):
+            other = other.data
+        self.data = self.data @ other
+        return self
+
     # comparisons produce constant tensors (reference `tensor.py:385-419`)
     def _cmp(self, other, name):
         with no_grad():

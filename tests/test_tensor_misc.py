@@ -94,3 +94,12 @@ def test_tensor_setitem_and_getitem_grad_with_array_index():
     want = np.zeros((3, 4), np.float32)
     want[idx] = 1.0
     np.testing.assert_allclose(x.grad.numpy(), want)
+
+
+def test_imatmul_on_constants(device):
+    t = Tensor(A.copy(), device=device)
+    t @= Tensor(A, device=device)
+    np.testing.assert_allclose(t.numpy(), A @ A, rtol=1e-5)
+    g = Tensor(A, device=device, requires_grad=True)
+    with pytest.raises(AssertionError):
+        g @= Tensor(A, device=device)
