@@ -140,3 +140,66 @@ def test_reference_mobilenet_shape_test_via_shim(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "Output shape test passed" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_reference_cifar_training_script_via_shim(tmp_path):
+    """The reference's FULL CNN_CIFAR10_cuda.py training script runs through
+    the shim; only the hard-coded Windows data path and the epoch count are
+    edited.  Exercises the eager tape, dispose()/free_graph_all hygiene, the
+    prefetching data_loader, CosineAnnealingLR and the script's own eval +
+    early-stop control flow."""
+    import pickle
+    import shutil
+
+    ref = "/root/reference/test/CNN_CIFAR10_cuda.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    import numpy as np
+
+    data_dir = tmp_path / "cifar"
+    data_dir.mkdir()
+    xs = np.linspace(0, np.pi * 2, 32, dtype=np.float32)
+    pats = np.stack(
+        [
+            np.abs(np.sin((k + 1) * xs))[None, :] * np.abs(np.cos((k + 1) * xs))[:, None]
+            for k in range(10)
+        ]
+    )
+
+    def make_batch(n, seed):
+        r = np.random.default_rng(seed)
+        y = r.integers(0, 10, n)
+        img = pats[y][:, None].repeat(3, axis=1) + r.standard_normal((n, 3, 32, 32)) * 0.3
+        data = (np.clip(img * 0.5 + 0.25, 0, 1) * 255).astype(np.uint8).reshape(n, -1)
+        return {"data": data, "labels": y.tolist()}
+
+    for i in range(1, 6):
+        with open(data_dir / f"data_batch_{i}", "wb") as f:
+            pickle.dump(make_batch(64, i), f)
+    with open(data_dir / "test_batch", "wb") as f:
+        pickle.dump(make_batch(64, 99), f)
+
+    script = tmp_path / "CNN_CIFAR10_cuda.py"
+    shutil.copy(ref, script)
+    src = script.read_text()
+    src = src.replace(
+        r"e:\P.A.R.A\Project\ComprehensiveDesign\codes\Deepflows\data\cifar-10-batches-py",
+        str(data_dir),
+    )
+    src = src.replace("num_epochs = 10", "num_epochs = 1")
+    script.write_text(src)
+    (tmp_path / "pics").mkdir()
+
+    env = dict(os.environ, MPLBACKEND="Agg")
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _BOOTSTRAP, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "训练完成" in proc.stdout or "Epoch [1/1]" in proc.stdout, proc.stdout[-2000:]
