@@ -203,3 +203,43 @@ def test_reference_cifar_training_script_via_shim(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "训练完成" in proc.stdout or "Epoch [1/1]" in proc.stdout, proc.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_reference_resnet_script_byte_for_byte(tmp_path):
+    """ResNet.py from the reference runs with ZERO edits (its data path is
+    the relative ./data/Animal): its own ResNet18 implementation over our nn
+    trains on a synthetic Animal folder, early-stopping at its declared 95%
+    target via its own control flow."""
+    import shutil
+
+    import numpy as np
+    from PIL import Image
+
+    ref = "/root/reference/test/ResNet.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    xs = np.linspace(0, np.pi * 2, 32, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    for k, name in enumerate(["cat", "dog", "bird", "fish", "horse", "frog"]):
+        d = tmp_path / "data" / "Animal" / name
+        d.mkdir(parents=True)
+        pat = np.abs(np.sin((k + 1) * xs))[None, :] * np.abs(np.cos((k + 1) * xs))[:, None]
+        for i in range(21):
+            img = np.clip(pat * 0.6 + 0.2 + rng.standard_normal((32, 32)) * 0.08, 0, 1)
+            arr = (img * 255).astype(np.uint8)
+            Image.fromarray(np.stack([arr] * 3, -1), "RGB").save(d / f"{i}.png")
+    shutil.copy(ref, tmp_path / "ResNet.py")
+
+    env = dict(os.environ, MPLBACKEND="Agg")
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _BOOTSTRAP, str(tmp_path / "ResNet.py")],
+        capture_output=True,
+        text=True,
+        timeout=400,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "训练完成" in proc.stdout, proc.stdout[-2000:]
