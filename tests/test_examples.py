@@ -221,11 +221,11 @@ def test_reference_resnet_script_byte_for_byte(tmp_path):
         pytest.skip("reference not mounted")
     xs = np.linspace(0, np.pi * 2, 32, dtype=np.float32)
     rng = np.random.default_rng(0)
-    for k, name in enumerate(["cat", "dog", "bird", "fish", "horse", "frog"]):
+    for k, name in enumerate(["cat", "dog", "bird"]):
         d = tmp_path / "data" / "Animal" / name
         d.mkdir(parents=True)
         pat = np.abs(np.sin((k + 1) * xs))[None, :] * np.abs(np.cos((k + 1) * xs))[:, None]
-        for i in range(21):
+        for i in range(14):
             img = np.clip(pat * 0.6 + 0.2 + rng.standard_normal((32, 32)) * 0.08, 0, 1)
             arr = (img * 255).astype(np.uint8)
             Image.fromarray(np.stack([arr] * 3, -1), "RGB").save(d / f"{i}.png")
