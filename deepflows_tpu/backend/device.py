@@ -132,7 +132,32 @@ def cpu_native() -> BackendDevice:
 
 
 def default_device() -> BackendDevice:
-    return cpu()
+    """Default device for tensors created without ``device=``.
+
+    ``DEEPFLOWS_BACKEND`` forces it by device name (``cpu`` / ``tpu`` /
+    ``cpu_native``); unset or unknown names fall back to cpu.  The reference
+    kept the analogous env override commented out
+    (`DeepFlows/backend_selection.py:3-4`)."""
+    import os
+
+    name = os.environ.get("DEEPFLOWS_BACKEND", "").strip().lower()
+    if name in ("", "nd", "np", "cpu"):
+        return cpu()
+    try:
+        dev = Device(name)
+    except ValueError:
+        warnings.warn(
+            f"DEEPFLOWS_BACKEND={name!r} is not a known device; using cpu",
+            stacklevel=2,
+        )
+        return cpu()
+    if not dev.enabled():
+        warnings.warn(
+            f"DEEPFLOWS_BACKEND={name!r} device is not enabled; using cpu",
+            stacklevel=2,
+        )
+        return cpu()
+    return dev
 
 
 def default_accelerator() -> BackendDevice:

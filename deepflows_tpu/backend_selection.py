@@ -2,7 +2,9 @@
 
 The reference hard-wires ``BACKEND = "nd"``; here the single backend package
 is the device registry itself (cpu / tpu / cpu_native), selectable per-tensor
-via ``device=``.  ``DEEPFLOWS_BACKEND`` can force the default device name.
+via ``device=``.  ``DEEPFLOWS_BACKEND`` forces the *default* device name —
+consumed by ``backend.device.default_device()``, which is what ``Tensor``
+construction without ``device=`` resolves through.
 """
 
 import os
@@ -10,6 +12,6 @@ import os
 from . import backend as backend_api
 from .backend import BackendTensor, Device, default_device
 
-BACKEND = os.environ.get("DEEPFLOWS_BACKEND", "nd")
+BACKEND = os.environ.get("DEEPFLOWS_BACKEND", "nd")  # see default_device()
 
 __all__ = ["BACKEND", "backend_api", "BackendTensor", "Device", "default_device"]

@@ -1,14 +1,25 @@
-"""DataLoader + samplers (reference: `DeepFlows/utils/data/dataloader.py`).
+"""TPU-first data pipeline (role parity: `DeepFlows/utils/data/dataloader.py`).
 
-Same surface: Sequential/Random/Batch samplers, fancy-index batching (a batch
-is fetched as ``dataset[index_list]``), an optional prefetch buffer, the
-``data_loader(X, y, ...)`` convenience, and ``as_contiguous``.  TPU note: the
-prefetch buffer overlaps host batch assembly with device compute — with a
-CompiledTrainStep the transfer itself is async under JAX, so prefetch mainly
-hides numpy indexing/augmentation cost.
+Same *surface* as the reference loader (samplers, fancy-index batching via
+``dataset[index_list]``, ``data_loader(X, y, ...)``) but a different engine,
+built for feeding an accelerator:
+
+- the per-epoch index plan is one vectorized numpy permutation sliced into
+  batches, not an iterator chain;
+- ``prefetch_size > 0`` runs batch assembly (indexing, collate, augmentation)
+  on a background daemon thread that feeds a bounded queue, so host-side work
+  genuinely overlaps device compute (the reference refilled its buffer
+  synchronously on the consumer thread — zero overlap);
+- ``device=`` stages each assembled batch with ``jax.device_put`` *inside the
+  producer thread*; the dispatch is asynchronous, so batch N+1's host→device
+  transfer rides under batch N's compute.
 """
 
 from __future__ import annotations
+
+import itertools
+import queue
+import threading
 
 import numpy as np
 
@@ -16,99 +27,132 @@ from .dataset import Dataset, TensorDataset
 
 
 class Sampler:
-    def __init__(self, dataset):
-        pass
+    """Index-stream protocol (reference surface: `utils/data/dataloader.py:5-18`)."""
+
+    def __init__(self, source=None):
+        self.source = source
 
     def __iter__(self):
         raise NotImplementedError
 
+    def __len__(self):
+        return len(self.source)
+
 
 class SequentialSampler(Sampler):
-    def __init__(self, dataset):
-        super().__init__(dataset)
-        self.dataset = dataset
+    @property
+    def dataset(self):  # reference attribute name
+        return self.source
 
     def __iter__(self):
-        return iter(range(len(self.dataset)))
-
-    def __len__(self) -> int:
-        return len(self.dataset)
+        return iter(range(len(self.source)))
 
 
 class RandomSampler(Sampler):
-    def __init__(self, dataset, seed=None):
-        super().__init__(dataset)
-        self.dataset = dataset
+    def __init__(self, source, seed=None):
+        super().__init__(source)
         self._rng = np.random.default_rng(seed)
 
-    def __iter__(self):
-        yield from self._rng.permutation(len(self.dataset)).tolist()
+    @property
+    def dataset(self):
+        return self.source
 
-    def __len__(self):
-        return len(self.dataset)
+    def __iter__(self):
+        return iter(self._rng.permutation(len(self.source)).tolist())
 
 
 class BatchSampler(Sampler):
-    def __init__(self, sampler, batch_size, drop_last):
+    """Chunk an index stream into lists of ``batch_size``."""
+
+    def __init__(self, sampler, batch_size, drop_last=False):
         super().__init__(sampler)
         self.sampler = sampler
-        self.batch_size = batch_size
-        self.drop_last = drop_last
+        self.batch_size = int(batch_size)
+        self.drop_last = bool(drop_last)
 
     def __iter__(self):
-        batch = []
-        for idx in self.sampler:
-            batch.append(idx)
-            if len(batch) == self.batch_size:
-                yield batch
-                batch = []
-        if batch and not self.drop_last:
-            yield batch
+        stream = iter(self.sampler)
+        while True:
+            chunk = list(itertools.islice(stream, self.batch_size))
+            if not chunk or (self.drop_last and len(chunk) < self.batch_size):
+                return
+            yield chunk
 
     def __len__(self):
-        if self.drop_last:
-            return len(self.sampler) // self.batch_size
-        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+        full, rem = divmod(len(self.sampler), self.batch_size)
+        return full + (1 if rem and not self.drop_last else 0)
 
 
-class _DataLoaderIter:
-    def __init__(self, loader):
-        self.loader = loader
-        self.sample_iter = iter(loader.batch_sampler)
-        self.buffer = []
-        self._fill_buffer()
+class _Prefetcher:
+    """Daemon producer thread pushing assembled batches into a bounded queue.
 
-    def _fetch(self, index):
-        batch = self.loader.dataset[index]
-        if self.loader.collate_fn is not None:
-            batch = self.loader.collate_fn(batch)
-        if self.loader.as_contiguous and isinstance(batch, tuple):
-            batch = tuple(
-                np.ascontiguousarray(b) if isinstance(b, np.ndarray) else b
-                for b in batch
-            )
-        return batch
+    The queue depth bounds host memory; ``close()`` (or generator teardown)
+    stops the producer promptly even when the consumer exits mid-epoch, so an
+    early-stopped training loop doesn't strand a blocked thread.
+    """
 
-    def _fill_buffer(self):
-        while len(self.buffer) < self.loader.prefetch_size:
-            try:
-                index = next(self.sample_iter)
-            except StopIteration:
-                break
-            self.buffer.append(self._fetch(index))
+    _DONE = object()
 
-    def __next__(self):
-        if self.buffer:
-            batch = self.buffer.pop(0)
-            self._fill_buffer()
-            return batch
-        return self._fetch(next(self.sample_iter))
+    def __init__(self, batch_indices, assemble, depth):
+        self._queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._error = None
+        self._worker = threading.Thread(
+            target=self._produce,
+            args=(batch_indices, assemble),
+            daemon=True,
+            name="deepflows-prefetch",
+        )
+        self._worker.start()
+
+    def _produce(self, batch_indices, assemble):
+        try:
+            for idx in batch_indices:
+                if self._stop.is_set():
+                    return
+                item = assemble(idx)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # surfaced on the consumer thread
+            self._error = exc
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(self._DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        self._stop.set()
 
     def __iter__(self):
-        return self
+        try:
+            while True:
+                item = self._queue.get()
+                if item is self._DONE:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            self.close()
 
 
 class DataLoader:
+    """Batched iteration over a ``Dataset`` with fancy-index fetch.
+
+    Reference surface: `DeepFlows/utils/data/dataloader.py:60-123`.  Extras:
+    ``drop_last`` (static batch shapes avoid XLA retraces), ``collate_fn``
+    (runs on the prefetch thread — put augmentation here), ``device``
+    (stage batches onto an accelerator ahead of consumption), ``sampler``
+    (custom index stream).
+    """
+
     def __init__(
         self,
         dataset: Dataset,
@@ -119,24 +163,77 @@ class DataLoader:
         as_contiguous: bool = True,
         collate_fn=None,
         seed=None,
+        sampler=None,
+        device=None,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.drop_last = bool(drop_last)
         self.prefetch_size = max(0, int(prefetch_size))
         self.as_contiguous = as_contiguous
         self.collate_fn = collate_fn
-        self.sampler = (
+        self.device = device
+        self._custom_sampler = sampler
+        self._rng = np.random.default_rng(seed)
+        # kept for surface parity with the reference loader
+        self.sampler = sampler if sampler is not None else (
             RandomSampler(dataset, seed=seed) if shuffle else SequentialSampler(dataset)
         )
-        self.batch_sampler = BatchSampler(self.sampler, batch_size, drop_last)
+        self.batch_sampler = BatchSampler(self.sampler, self.batch_size, drop_last)
+
+    # -- index planning -------------------------------------------------
+    def _plan(self):
+        """Yield per-batch index lists for one epoch."""
+        if self._custom_sampler is not None:
+            yield from BatchSampler(
+                self._custom_sampler, self.batch_size, self.drop_last
+            )
+            return
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        tail = n - n % self.batch_size
+        for lo in range(0, tail, self.batch_size):
+            yield order[lo : lo + self.batch_size].tolist()
+        if tail < n and not self.drop_last:
+            yield order[tail:].tolist()
+
+    # -- batch assembly (runs on the prefetch thread when enabled) ------
+    def _assemble(self, idx):
+        batch = self.dataset[idx]
+        if self.collate_fn is not None:
+            batch = self.collate_fn(batch)
+        if self.as_contiguous and isinstance(batch, tuple):
+            batch = tuple(
+                np.ascontiguousarray(part) if isinstance(part, np.ndarray) else part
+                for part in batch
+            )
+        if self.device is not None:
+            batch = _stage(batch, self.device)
+        return batch
 
     def __iter__(self):
-        return _DataLoaderIter(self)
+        plan = self._plan()
+        if self.prefetch_size > 0:
+            return iter(_Prefetcher(plan, self._assemble, self.prefetch_size))
+        return map(self._assemble, plan)
 
     def __len__(self):
-        return len(self.batch_sampler)
+        if self._custom_sampler is not None:
+            return len(self.batch_sampler)
+        full, rem = divmod(len(self.dataset), self.batch_size)
+        return full + (1 if rem and not self.drop_last else 0)
+
+
+def _stage(batch, device):
+    """Asynchronously place a batch on ``device`` (True → first jax device)."""
+    import jax
+
+    if device is True:
+        device = jax.devices()[0]
+    if isinstance(batch, tuple):
+        return tuple(jax.device_put(part, device) for part in batch)
+    return jax.device_put(batch, device)
 
 
 def data_loader(
@@ -147,10 +244,13 @@ def data_loader(
     prefetch_size: int = 0,
     as_contiguous: bool = True,
     drop_last: bool = False,
+    collate_fn=None,
+    device=None,
+    seed=None,
 ):
-    """Convenience wrapper over in-memory arrays (reference
-    `dataloader.py:126-139`).  ``drop_last`` added: fixed batch shapes avoid
-    XLA retraces on the ragged final batch."""
+    """Convenience wrapper over in-memory arrays (reference surface:
+    `dataloader.py:126-139`).  ``drop_last`` keeps batch shapes static for
+    XLA; ``device`` turns on ahead-of-time device staging."""
     return DataLoader(
         TensorDataset(X, y),
         batch_size,
@@ -158,4 +258,7 @@ def data_loader(
         drop_last=drop_last,
         prefetch_size=prefetch_size,
         as_contiguous=as_contiguous,
+        collate_fn=collate_fn,
+        device=device,
+        seed=seed,
     )

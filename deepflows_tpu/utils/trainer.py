@@ -62,15 +62,29 @@ class Trainer:
         shuffle: bool = True,
         target_acc: Optional[float] = None,
         eval_batch_size: int = 256,
+        prefetch_size: int = 2,
+        stage_on_device: bool = True,
     ) -> dict:
+        # Augmentation runs inside the loader's collate_fn — i.e. on the
+        # prefetch thread, off the critical path — and staged batches ride
+        # their H2D transfer under the previous step's compute.
+        augment = self.augment_fn
+        collate = (
+            (lambda batch: (augment(batch[0]), batch[1])) if augment else None
+        )
         for epoch in range(epochs):
             t0 = time.time()
             losses = []
             for xb, yb in data_loader(
-                x_train, y_train, batch_size, shuffle=shuffle, drop_last=True
+                x_train,
+                y_train,
+                batch_size,
+                shuffle=shuffle,
+                drop_last=True,
+                prefetch_size=prefetch_size,
+                collate_fn=collate,
+                device=True if stage_on_device else None,
             ):
-                if self.augment_fn is not None:
-                    xb = self.augment_fn(xb)
                 losses.append(self.step(xb, yb))
             if self.scheduler is not None:
                 self.scheduler.step()

@@ -54,9 +54,20 @@ def main(
     best_acc = 0.0
     for epoch in range(epochs):
         losses = []
-        loader = data_loader(x_train, y_train, batch_size, shuffle=True, drop_last=True)
+        # flip augmentation runs on the prefetch thread; batches are staged
+        # onto the chip one step ahead (H2D overlaps compute)
+        loader = data_loader(
+            x_train,
+            y_train,
+            batch_size,
+            shuffle=True,
+            drop_last=True,
+            prefetch_size=2,
+            collate_fn=lambda b: (random_flip(b[0], rng), b[1]),
+            device=True,
+        )
         for xb, yb in loader:
-            losses.append(step(random_flip(xb, rng), yb))
+            losses.append(step(xb, yb))
         scheduler.step()
 
         correct = total = 0

@@ -45,6 +45,8 @@ def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
     from common import get_cifar10
 
     df.manual_seed(0)
+    if devices % model_parallel:
+        model_parallel = 1  # e.g. --devices 1 single-chip anchor run
     mesh = make_mesh(
         {"data": devices // model_parallel, "model": model_parallel}
     )
@@ -59,19 +61,41 @@ def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
         mesh,
         param_rules=tensor_parallel_rules("model") if model_parallel > 1 else None,
     )
+    import time
+
+    n_chips = devices
+    throughput = []
     for epoch in range(epochs):
-        losses = [
-            step(xb, yb)
-            for xb, yb in data_loader(
-                x_train, y_train, batch_size, shuffle=True, drop_last=True
-            )
-        ]
-        print(f"epoch {epoch}: loss={float(np.mean([float(l) for l in losses])):.4f}")
+        losses = []
+        t0 = time.time()
+        n_images = 0
+        for xb, yb in data_loader(
+            x_train, y_train, batch_size, shuffle=True, drop_last=True
+        ):
+            losses.append(step(xb, yb))
+            n_images += len(yb)
+        # force completion before reading the clock (async dispatch)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        dt = time.time() - t0
+        ips = n_images / dt
+        throughput.append(ips)
+        print(
+            f"epoch {epoch}: loss={mean_loss:.4f} "
+            f"{ips:,.0f} img/s total = {ips / n_chips:,.0f} img/s/chip "
+            f"({n_chips} devices)"
+        )
     fc = model.fc.weight.data.array
     print(
         f"fc weight sharding: {fc.sharding.spec if hasattr(fc.sharding, 'spec') else fc.sharding}"
         f" over {len(fc.sharding.device_set)} devices"
     )
+    best = max(throughput)
+    print(
+        f"scaling summary: devices={n_chips} batch={batch_size} "
+        f"best={best:,.0f} img/s ({best / n_chips:,.0f} img/s/chip) — "
+        "rerun with --devices 1 to get the single-chip anchor for DP efficiency"
+    )
+    return best
 
 
 if __name__ == "__main__":

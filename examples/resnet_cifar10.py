@@ -37,8 +37,17 @@ def main(
     best = 0.0
     for epoch in range(epochs):
         losses = [
-            step(random_flip(xb, rng), yb)
-            for xb, yb in data_loader(x_train, y_train, batch_size, shuffle=True, drop_last=True)
+            step(xb, yb)
+            for xb, yb in data_loader(
+                x_train,
+                y_train,
+                batch_size,
+                shuffle=True,
+                drop_last=True,
+                prefetch_size=2,
+                collate_fn=lambda b: (random_flip(b[0], rng), b[1]),
+                device=True,
+            )
         ]
         scheduler.step()
         correct = total = 0

@@ -163,3 +163,23 @@ def test_scatter_add(device):
     want = np.zeros((4, 3), np.float32)
     np.add.at(want, (np.array([1, 1]),), vals)
     np.testing.assert_allclose(d.to_numpy(out), want)
+
+
+def test_default_device_env_override(monkeypatch):
+    from deepflows_tpu.backend import device as devmod
+
+    monkeypatch.delenv("DEEPFLOWS_BACKEND", raising=False)
+    assert devmod.default_device().name == "cpu"
+    monkeypatch.setenv("DEEPFLOWS_BACKEND", "tpu")
+    assert devmod.default_device().name == "tpu"
+    monkeypatch.setenv("DEEPFLOWS_BACKEND", "bogus")
+    with pytest.warns(UserWarning):
+        assert devmod.default_device().name == "cpu"
+
+
+def test_default_device_env_reaches_tensor(monkeypatch):
+    import deepflows_tpu as df
+
+    monkeypatch.setenv("DEEPFLOWS_BACKEND", "tpu")
+    t = df.Tensor(np.ones((2, 2), np.float32))
+    assert t.device.name == "tpu"

@@ -62,6 +62,93 @@ def test_dataloader_prefetch():
     assert len(list(loader)) == 3
 
 
+def test_dataloader_prefetch_runs_on_worker_thread():
+    import threading
+
+    main = threading.get_ident()
+    seen = []
+
+    def collate(batch):
+        seen.append(threading.get_ident())
+        return batch
+
+    X = np.arange(16, dtype=np.float32).reshape(16, 1)
+    y = np.arange(16, dtype=np.int32)
+    batches = list(
+        data_loader(X, y, batch_size=4, prefetch_size=2, collate_fn=collate)
+    )
+    assert len(batches) == 4
+    assert seen and all(t != main for t in seen)
+    # ordering preserved despite the thread hop
+    np.testing.assert_allclose(batches[0][1], [0, 1, 2, 3])
+    np.testing.assert_allclose(batches[-1][1], [12, 13, 14, 15])
+
+
+def test_dataloader_prefetch_early_exit_stops_worker():
+    import threading
+
+    before = threading.active_count()
+    X = np.zeros((64, 1), np.float32)
+    y = np.zeros(64, np.int32)
+    for i, _ in enumerate(data_loader(X, y, batch_size=4, prefetch_size=2)):
+        if i == 1:
+            break
+    # the producer must wind down promptly after the consumer bails
+    deadline = [t for t in range(50)]
+    import time
+
+    for _ in deadline:
+        alive = [
+            t
+            for t in threading.enumerate()
+            if t.name == "deepflows-prefetch" and t.is_alive()
+        ]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive
+    assert threading.active_count() <= before + 1
+
+
+def test_dataloader_prefetch_propagates_exception():
+    class Boom(Exception):
+        pass
+
+    def collate(batch):
+        raise Boom("bad batch")
+
+    X = np.zeros((8, 1), np.float32)
+    y = np.zeros(8, np.int32)
+    with pytest.raises(Boom):
+        list(data_loader(X, y, batch_size=4, prefetch_size=2, collate_fn=collate))
+
+
+def test_dataloader_device_staging():
+    import jax
+
+    X = np.arange(8, dtype=np.float32).reshape(8, 1)
+    y = np.arange(8, dtype=np.int32)
+    for xb, yb in data_loader(X, y, batch_size=4, device=True, prefetch_size=2):
+        assert isinstance(xb, jax.Array) and isinstance(yb, jax.Array)
+    np.testing.assert_allclose(np.asarray(xb)[:, 0], [4, 5, 6, 7])
+
+
+def test_dataloader_custom_sampler():
+    from deepflows_tpu.utils.data import DataLoader, SequentialSampler
+
+    X = np.arange(10, dtype=np.float32).reshape(10, 1)
+    y = np.arange(10, dtype=np.int32)
+    ds = TensorDataset(X, y)
+
+    class EvensSampler(SequentialSampler):
+        def __iter__(self):
+            return iter(range(0, len(self.source), 2))
+
+    loader = DataLoader(ds, batch_size=2, sampler=EvensSampler(ds))
+    got = np.concatenate([b[1] for b in loader])
+    np.testing.assert_allclose(got, [0, 2, 4, 6, 8])
+
+
 def test_accuracy_and_accumulator():
     logits = np.array([[2.0, 1.0], [0.0, 3.0], [1.0, 0.0]], np.float32)
     labels = np.array([0, 1, 1])
