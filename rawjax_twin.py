@@ -1,0 +1,347 @@
+"""Raw-JAX training-step twins — the absolute performance anchor for bench.py.
+
+Implements the same models (CIFAR10_CNN, ResNet18/50), loss (softmax CE),
+and optimizer (Adam / SGD-momentum) as the framework, but in plain JAX:
+params as pytrees, `jax.grad`, a hand-rolled optimizer update, one `jax.jit`
+train step with donated state.  ZERO deepflows_tpu imports — if the
+framework's CompiledTrainStep is slower than this, the gap is framework
+overhead, not XLA.
+
+Used by bench.py (`vs_rawjax`); kept importable for tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------- layers
+
+
+def conv2d(x, w, stride=1, padding=0):
+    """NCHW conv, OIHW weights (same layout the framework uses)."""
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def batchnorm_train(x, gamma, beta, running_mean, running_var, momentum=0.1, eps=1e-5):
+    axes = (0, 2, 3)
+    mean = x.mean(axes)
+    var = ((x - mean[None, :, None, None]) ** 2).mean(axes)  # biased
+    new_rm = (1 - momentum) * running_mean + momentum * mean
+    new_rv = (1 - momentum) * running_var + momentum * var
+    inv = lax.rsqrt(var + eps)
+    out = (x - mean[None, :, None, None]) * inv[None, :, None, None]
+    out = out * gamma[None, :, None, None] + beta[None, :, None, None]
+    return out, new_rm, new_rv
+
+
+def max_pool(x, k=2, s=2, padding=0):
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        (1, 1, k, k),
+        (1, 1, s, s),
+        [(0, 0), (0, 0), (padding, padding), (padding, padding)],
+    )
+
+
+def global_avg_pool(x):
+    return x.mean((2, 3))
+
+
+def cross_entropy(logits, labels):
+    logits = logits.astype(jnp.float32)
+    shifted = logits - logits.max(1, keepdims=True)
+    logz = jnp.log(jnp.exp(shifted).sum(1, keepdims=True))
+    ll = jnp.take_along_axis(shifted - logz, labels[:, None], axis=1)
+    return -ll.mean()
+
+
+# ---------------------------------------------------------------- CIFAR10_CNN
+
+
+def init_cifar10_cnn(key, num_classes=10):
+    ks = jax.random.split(key, 8)
+
+    def conv_init(k, o, i, kh):
+        bound = 1.0 / np.sqrt(i * kh * kh)
+        w = jax.random.uniform(k, (o, i, kh, kh), jnp.float32, -bound, bound)
+        b = jnp.zeros((o,), jnp.float32)
+        return w, b
+
+    c1w, c1b = conv_init(ks[0], 32, 3, 5)
+    c2w, c2b = conv_init(ks[1], 64, 32, 5)
+    c3w, c3b = conv_init(ks[2], 128, 64, 3)
+    fcw = jax.random.uniform(
+        ks[3], (128 * 4 * 4, num_classes), jnp.float32, -1 / 45.0, 1 / 45.0
+    )
+    fcb = jnp.zeros((num_classes,), jnp.float32)
+    params = {
+        "c1w": c1w, "c1b": c1b, "c2w": c2w, "c2b": c2b, "c3w": c3w, "c3b": c3b,
+        "fcw": fcw, "fcb": fcb,
+        "g1": jnp.ones(32), "b1": jnp.zeros(32),
+        "g2": jnp.ones(64), "b2": jnp.zeros(64),
+        "g3": jnp.ones(128), "b3": jnp.zeros(128),
+    }
+    state = {
+        "rm1": jnp.zeros(32), "rv1": jnp.ones(32),
+        "rm2": jnp.zeros(64), "rv2": jnp.ones(64),
+        "rm3": jnp.zeros(128), "rv3": jnp.ones(128),
+    }
+    return params, state
+
+
+def cifar10_cnn_apply(params, state, x, dropout_key, compute_dtype=None):
+    p = params
+    if compute_dtype is not None:
+        p = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+    new_state = {}
+    for i, (cw, cb, g, b, k, pad) in enumerate(
+        [
+            (p["c1w"], p["c1b"], p["g1"], p["b1"], 5, 2),
+            (p["c2w"], p["c2b"], p["g2"], p["b2"], 5, 2),
+            (p["c3w"], p["c3b"], p["g3"], p["b3"], 3, 1),
+        ],
+        start=1,
+    ):
+        x = conv2d(x, cw, 1, pad) + cb[None, :, None, None]
+        x32 = x.astype(jnp.float32)
+        x32, rm, rv = batchnorm_train(
+            x32, g.astype(jnp.float32), b.astype(jnp.float32),
+            state[f"rm{i}"], state[f"rv{i}"],
+        )
+        x = x32.astype(x.dtype)
+        new_state[f"rm{i}"], new_state[f"rv{i}"] = rm, rv
+        x = jnp.maximum(x, 0)
+        x = max_pool(x, 2, 2)
+    x = x.reshape(x.shape[0], -1)
+    keep = jax.random.bernoulli(dropout_key, 0.5, x.shape)
+    x = jnp.where(keep, x / 0.5, 0).astype(x.dtype)
+    logits = x @ p["fcw"] + p["fcb"]
+    return logits, new_state
+
+
+# ---------------------------------------------------------------- ResNet
+
+
+def _conv_bn_init(key, o, i, k):
+    fan = i * k * k
+    std = np.sqrt(2.0 / fan)
+    w = std * jax.random.normal(key, (o, i, k, k), jnp.float32)
+    return {"w": w, "g": jnp.ones(o), "b": jnp.zeros(o)}, {
+        "rm": jnp.zeros(o),
+        "rv": jnp.ones(o),
+    }
+
+
+def init_resnet(key, layers=(2, 2, 2, 2), bottleneck=False, num_classes=10,
+                small_input=True):
+    """ResNet18 (basic) or ResNet50 (bottleneck) params/state pytrees."""
+    keys = iter(jax.random.split(key, 256))
+    params, state = {}, {}
+    params["stem"], state["stem"] = _conv_bn_init(
+        next(keys), 64, 3, 3 if small_input else 7
+    )
+    inplanes = 64
+    expansion = 4 if bottleneck else 1
+    for li, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+        for bi in range(n):
+            stride = 2 if (bi == 0 and li > 0) else 1
+            blk_p, blk_s = {}, {}
+            if bottleneck:
+                blk_p["cb1"], blk_s["cb1"] = _conv_bn_init(next(keys), planes, inplanes, 1)
+                blk_p["cb2"], blk_s["cb2"] = _conv_bn_init(next(keys), planes, planes, 3)
+                blk_p["cb3"], blk_s["cb3"] = _conv_bn_init(
+                    next(keys), planes * 4, planes, 1
+                )
+            else:
+                blk_p["cb1"], blk_s["cb1"] = _conv_bn_init(next(keys), planes, inplanes, 3)
+                blk_p["cb2"], blk_s["cb2"] = _conv_bn_init(next(keys), planes, planes, 3)
+            if stride != 1 or inplanes != planes * expansion:
+                blk_p["down"], blk_s["down"] = _conv_bn_init(
+                    next(keys), planes * expansion, inplanes, 1
+                )
+            params[f"l{li}b{bi}"] = blk_p
+            state[f"l{li}b{bi}"] = blk_s
+            inplanes = planes * expansion
+    params["fcw"] = jnp.zeros((512 * expansion, num_classes), jnp.float32)
+    params["fcb"] = jnp.zeros((num_classes,), jnp.float32)
+    return params, state
+
+
+def _conv_bn_apply(p, s, x, stride, padding):
+    x = conv2d(x, p["w"], stride, padding)
+    x32, rm, rv = batchnorm_train(
+        x.astype(jnp.float32), p["g"].astype(jnp.float32),
+        p["b"].astype(jnp.float32), s["rm"], s["rv"],
+    )
+    return x32.astype(x.dtype), {"rm": rm, "rv": rv}
+
+
+def resnet_apply(params, state, x, layers=(2, 2, 2, 2), bottleneck=False,
+                 small_input=True, compute_dtype=None):
+    p = params
+    if compute_dtype is not None:
+        p = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+    new_state = {}
+    x, new_state["stem"] = _conv_bn_apply(
+        p["stem"], state["stem"], x, 1 if small_input else 2,
+        1 if small_input else 3,
+    )
+    x = jnp.maximum(x, 0)
+    if not small_input:
+        x = max_pool(x, 3, 2, padding=1)
+    for li, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+        for bi in range(n):
+            stride = 2 if (bi == 0 and li > 0) else 1
+            bp, bs = p[f"l{li}b{bi}"], state[f"l{li}b{bi}"]
+            ns = {}
+            identity = x
+            if bottleneck:
+                out, ns["cb1"] = _conv_bn_apply(bp["cb1"], bs["cb1"], x, 1, 0)
+                out = jnp.maximum(out, 0)
+                out, ns["cb2"] = _conv_bn_apply(bp["cb2"], bs["cb2"], out, stride, 1)
+                out = jnp.maximum(out, 0)
+                out, ns["cb3"] = _conv_bn_apply(bp["cb3"], bs["cb3"], out, 1, 0)
+            else:
+                out, ns["cb1"] = _conv_bn_apply(bp["cb1"], bs["cb1"], x, stride, 1)
+                out = jnp.maximum(out, 0)
+                out, ns["cb2"] = _conv_bn_apply(bp["cb2"], bs["cb2"], out, 1, 1)
+            if "down" in bp:
+                identity, ns["down"] = _conv_bn_apply(bp["down"], bs["down"], x, stride, 0)
+            x = jnp.maximum(out + identity, 0)
+            new_state[f"l{li}b{bi}"] = ns
+    x = global_avg_pool(x)
+    logits = x @ p["fcw"] + p["fcb"]
+    return logits, new_state
+
+
+# ---------------------------------------------------------------- optimizer
+
+
+def adam_init(params):
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params)}
+
+
+def adam_update(params, grads, opt, t, lr, weight_decay=0.0,
+                b1=0.9, b2=0.999, eps=1e-8):
+    if weight_decay:
+        grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
+    m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, opt["m"], grads)
+    v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, opt["v"], grads)
+    mhat = jax.tree.map(lambda m: m / (1 - b1**t), m)
+    vhat = jax.tree.map(lambda v: v / (1 - b2**t), v)
+    new_params = jax.tree.map(
+        lambda p, mh, vh: p - lr * mh / (jnp.sqrt(vh) + eps), params, mhat, vhat
+    )
+    return new_params, {"m": m, "v": v}
+
+
+# ---------------------------------------------------------------- train step
+
+
+def make_train_step(model_name, batch_size, image_size=None, num_classes=10,
+                    compute_dtype=None, lr=5e-3, weight_decay=5e-4, seed=0):
+    """Build (step_fn, params, state, opt, x, y).  step_fn signature:
+    (params, state, opt, t:int32, x, y) -> (loss, params, state, opt) —
+    jitted with params/state/opt donated."""
+    key = jax.random.PRNGKey(seed)
+    if model_name == "cifar10_cnn":
+        image_size = image_size or 32
+        params, state = init_cifar10_cnn(key, num_classes)
+        apply_fn = cifar10_cnn_apply
+        needs_key = True
+    elif model_name in ("resnet18", "resnet50"):
+        bottleneck = model_name == "resnet50"
+        small = (image_size or 32) <= 64
+        image_size = image_size or (32 if small else 224)
+        layers = (3, 4, 6, 3) if bottleneck else (2, 2, 2, 2)
+        params, state = init_resnet(
+            key, layers, bottleneck, num_classes, small_input=small
+        )
+        apply_fn = partial(
+            resnet_apply, layers=layers, bottleneck=bottleneck, small_input=small
+        )
+        needs_key = False
+    else:
+        raise ValueError(model_name)
+
+    opt = adam_init(params)
+
+    base_key = jax.random.PRNGKey(7)
+
+    def loss_fn(params, state, x, y, key):
+        if needs_key:
+            logits, new_state = apply_fn(params, state, x, key,
+                                         compute_dtype=compute_dtype)
+        else:
+            logits, new_state = apply_fn(params, state, x,
+                                         compute_dtype=compute_dtype)
+        return cross_entropy(logits, y), new_state
+
+    def step(params, state, opt, t, x, y):
+        # t: int32 step index; dropout key derived in-graph (no extra host
+        # dispatch per step)
+        key = jax.random.fold_in(base_key, t)
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, x, y, key
+        )
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        new_params, new_opt = adam_update(
+            params, grads, opt, t.astype(jnp.float32) + 1.0, lr, weight_decay
+        )
+        return loss, new_params, new_state, new_opt
+
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2))
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch_size, 3, image_size, image_size)).astype(np.float32)
+    y = rng.integers(0, num_classes, batch_size).astype(np.int32)
+    return jitted, params, state, opt, x, y
+
+
+def run(model_name, batch_size, steps, warmup=5, image_size=None,
+        compute_dtype=None, lr=5e-3, weight_decay=5e-4):
+    """Time `steps` chained train steps ending in a host readback; returns
+    (images/sec, flops_per_step or None)."""
+    import time
+
+    jitted, params, state, opt, x, y = make_train_step(
+        model_name, batch_size, image_size, compute_dtype=compute_dtype,
+        lr=lr, weight_decay=weight_decay,
+    )
+    x, y = jax.device_put(x), jax.device_put(y)
+    flops = None
+    try:
+        comp = jitted.lower(params, state, opt, np.int32(0), x, y).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    t = 0
+    for _ in range(warmup):
+        loss, params, state, opt = jitted(params, state, opt, np.int32(t), x, y)
+        t += 1
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss, params, state, opt = jitted(params, state, opt, np.int32(t), x, y)
+        t += 1
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, flops
