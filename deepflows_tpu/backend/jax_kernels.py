@@ -222,6 +222,64 @@ def conv1d_grad(x, w, gy, stride=1, padding=0, groups=1):
     return gx[..., 0], gw[..., 0]
 
 
+# ---------------------------------------------------------------- batchnorm
+@partial(jax.jit, static_argnames=("axes", "eps"))
+def _bn_train(x, gamma, beta, axes, eps):
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
+    mean = jnp.sum(x, axes, keepdims=True) / n
+    diff = x - mean
+    var = jnp.sum(diff * diff, axes, keepdims=True) / n  # biased, like reference
+    out = diff / jnp.sqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma + beta
+    return out, mean, var
+
+
+def batchnorm_train(x, gamma, beta, axes, eps):
+    """Fused train-mode batch norm: (out, batch_mean, batch_var) in ONE
+    compiled program — replaces the ~10 tape nodes the composed formula costs
+    (reference composes it from single-axis sums, `nn/modules/batchnorm.py:31-47`)."""
+    return _bn_train(x, gamma, beta, tuple(axes), float(eps))
+
+
+@partial(jax.jit, static_argnames=("axes", "eps"))
+def _bn_grad(x, gamma, gy, axes, eps):
+    def fwd(xx, gg):
+        return _bn_train(xx, gg, jnp.zeros_like(gg) if gg is not None else None,
+                         axes, eps)[0]
+
+    if gamma is None:
+        out, vjp = jax.vjp(lambda xx: fwd(xx, None), x)
+        (gx,) = vjp(gy)
+        return gx, None, None
+    out, vjp = jax.vjp(fwd, x, gamma)
+    gx, ggamma = vjp(gy)
+    gbeta = jnp.sum(gy, axes, keepdims=True)
+    return gx, ggamma, gbeta
+
+
+def batchnorm_grad(x, gamma, gy, axes, eps):
+    """(gx, dgamma, dbeta) for train-mode BN, one compiled program."""
+    return _bn_grad(x, gamma, gy, tuple(axes), float(eps))
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def _bn_eval(x, gamma, beta, rm, rv, eps):
+    out = (x - rm) / jnp.sqrt(rv + eps)
+    if gamma is not None:
+        out = out * gamma + beta
+    return out
+
+
+def batchnorm_eval(x, gamma, beta, rm, rv, eps):
+    """Eval-mode BN against running stats, one compiled program.  NOTE: the
+    reference normalizes eval with ``/(rv+eps)**0.5`` too
+    (`batchnorm.py:48-52`)."""
+    return _bn_eval(x, gamma, beta, rm, rv, float(eps))
+
+
 # ---------------------------------------------------------------- pooling
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding"))
 def _max_pool2d(x, ksize, stride, padding):

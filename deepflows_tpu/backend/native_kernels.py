@@ -127,6 +127,9 @@ max_pool1d_grad = _np_k.max_pool1d_grad
 avg_pool1d = _np_k.avg_pool1d
 avg_pool1d_grad = _np_k.avg_pool1d_grad
 conv2d_grad = _np_k.conv2d_grad
+batchnorm_train = _np_k.batchnorm_train
+batchnorm_grad = _np_k.batchnorm_grad
+batchnorm_eval = _np_k.batchnorm_eval
 
 
 def fill(shape, value, dtype=None):

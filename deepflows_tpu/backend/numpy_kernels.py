@@ -312,3 +312,51 @@ def avg_pool1d_grad(x, gy, kernel_size, stride=None, padding=0):
         (stride or kernel_size, 1),
         (padding, 0),
     )[..., 0]
+
+
+# ---------------------------------------------------------------- batchnorm
+def batchnorm_train(x, gamma, beta, axes, eps):
+    """Fused train-mode batch norm (out, batch_mean, batch_var); biased
+    variance like the reference (`nn/modules/batchnorm.py:31-42`)."""
+    axes = tuple(axes)
+    mean = x.mean(axes, keepdims=True, dtype=x.dtype)
+    diff = x - mean
+    var = (diff * diff).mean(axes, keepdims=True, dtype=x.dtype)
+    out = diff / np.sqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma + beta
+    return out.astype(x.dtype), mean, var
+
+
+def batchnorm_grad(x, gamma, gy, axes, eps):
+    """(gx, dgamma, dbeta) — closed-form biased-variance BN backward."""
+    axes = tuple(axes)
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
+    mean = x.mean(axes, keepdims=True, dtype=x.dtype)
+    diff = x - mean
+    var = (diff * diff).mean(axes, keepdims=True, dtype=x.dtype)
+    inv = 1.0 / np.sqrt(var + eps)
+    xhat = diff * inv
+    if gamma is not None:
+        dgamma = (gy * xhat).sum(axes, keepdims=True, dtype=x.dtype)
+        dbeta = gy.sum(axes, keepdims=True, dtype=x.dtype)
+        gxhat = gy * gamma
+    else:
+        dgamma = dbeta = None
+        gxhat = gy
+    gx = inv * (
+        gxhat
+        - gxhat.mean(axes, keepdims=True, dtype=x.dtype)
+        - xhat * (gxhat * xhat).mean(axes, keepdims=True, dtype=x.dtype)
+    )
+    return gx.astype(x.dtype), dgamma, dbeta
+
+
+def batchnorm_eval(x, gamma, beta, rm, rv, eps):
+    """Eval-mode BN against running stats."""
+    out = (x - rm) / np.sqrt(rv + eps)
+    if gamma is not None:
+        out = out * gamma + beta
+    return out.astype(x.dtype)

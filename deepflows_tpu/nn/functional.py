@@ -279,6 +279,62 @@ def dropout(input: Tensor, p: float = 0.5, training: bool = True) -> Tensor:
 
 
 # ------------------------------------------------------------------ conv ops
+class _BatchNormOp(Tensor):
+    """One tape node for train-mode batch norm (x[, weight, bias] parents).
+
+    The composed formula costs ~10 tape nodes per BN layer (the reference
+    builds it from single-axis sums, `DeepFlows/nn/modules/batchnorm.py:31-47`);
+    this node runs the fused ``batchnorm_train`` kernel forward and the fused
+    ``batchnorm_grad`` kernel backward (one cached device call serves all
+    parents).  Batch mean/var are stashed on the node (``.mean``/``.var``,
+    raw keepdims arrays) for the module's running-stats EMA."""
+
+    def __init__(self, x: Tensor, weight, bias, axes, eps):
+        dev = x.device
+        self.axes, self.eps = tuple(axes), float(eps)
+        w_arr = weight.data.array if weight is not None else None
+        b_arr = bias.data.array if bias is not None else None
+        out, mean, var = dev.batchnorm_train(
+            x.data.array, w_arr, b_arr, self.axes, self.eps
+        )
+        self.mean, self.var = mean, var
+        rg = is_grad_enable() and (
+            x.requires_grad
+            or (weight is not None and weight.requires_grad)
+            or (bias is not None and bias.requires_grad)
+        )
+        super().__init__(BackendTensor._wrap(out, dev), device=dev, requires_grad=rg)
+        self._x, self._w, self._b = x, weight, bias
+        self._gcache = None
+        if self.requires_grad:
+            x.build_edge(self)
+            if weight is not None:
+                weight.build_edge(self)
+            if bias is not None:
+                bias.build_edge(self)
+
+    def grad_fn(self, node, grad):
+        if self._gcache is None or self._gcache[0] is not grad:
+            w_arr = self._w.data.array if self._w is not None else None
+            gx, gw, gb = self.device.batchnorm_grad(
+                self._x.data.array, w_arr, grad.array, self.axes, self.eps
+            )
+            self._gcache = (grad, gx, gw, gb)
+        _, gx, gw, gb = self._gcache
+        if node is self._x:
+            return BackendTensor._wrap(gx, self.device)
+        if node is self._w:
+            return BackendTensor._wrap(gw, self.device)
+        return BackendTensor._wrap(gb, self.device)
+
+
+def batch_norm(x: Tensor, weight, bias, axes, eps: float = 1e-5) -> Tensor:
+    """Fused train-mode batch normalization over ``axes`` (biased variance,
+    reference numerics `nn/modules/batchnorm.py:31-42`).  Returns the
+    normalized tensor; batch stats are on the op node (``out.mean/.var``)."""
+    return _BatchNormOp(x, weight, bias, axes, eps)
+
+
 class _ConvNd(Tensor):
     """One tape node per convolution; backward computes (gx, gw) in a single
     device call and caches for the second parent."""

@@ -15,7 +15,8 @@ deepflows_tpu/jit.py).
 from __future__ import annotations
 
 from ... import tensor
-from ...backend import Device, default_accelerator
+from ...autograd import is_grad_enable
+from ...backend import BackendTensor, Device, default_accelerator
 from ...tensor import Tensor
 from ..parameter import Parameter
 from .module import Module
@@ -57,28 +58,39 @@ class _BatchNormNd(Module):
             self.register_buffer("running_var", None)
 
     def forward(self, x: Tensor) -> Tensor:
+        from .. import functional as F
+
         axes = (0,) + tuple(range(2, 2 + self._dims))
-        if self.training:
-            mean = tensor.mean(x, axes, True)
-            diff = x - mean
-            var = tensor.mean(diff * diff, axes, True)  # biased, like reference
-            if self.track_running_stats:
+        if self.training or not self.track_running_stats:
+            # one fused tape node (kernel batchnorm_train/batchnorm_grad)
+            out = F.batch_norm(x, self.weight, self.bias, axes, self.eps)
+            if self.training and self.track_running_stats:
                 m = self.momentum
-                self.running_mean.data = (
-                    self.running_mean.data * (1 - m) + mean.data * m
+                dev = x.device
+                self.running_mean.data = BackendTensor._wrap(
+                    self.running_mean.data.array * (1 - m) + out.mean * m, dev
                 )
-                self.running_var.data = self.running_var.data * (1 - m) + var.data * m
-            x_hat = diff / (var + self.eps) ** 0.5
-        else:
-            if self.track_running_stats:
-                x_hat = (x - self.running_mean.detach()) / (
-                    self.running_var.detach() + self.eps
-                ) ** 0.5
-            else:
-                mean = tensor.mean(x, axes, True)
-                diff = x - mean
-                var = tensor.mean(diff * diff, axes, True)
-                x_hat = diff / (var + self.eps) ** 0.5
+                self.running_var.data = BackendTensor._wrap(
+                    self.running_var.data.array * (1 - m) + out.var * m, dev
+                )
+            return out
+        if not (is_grad_enable() and (x.requires_grad or self.affine)):
+            # eval fast path: one fused kernel, constant result
+            dev = x.device
+            w = self.weight.data.array if self.affine else None
+            b = self.bias.data.array if self.affine else None
+            y = dev.batchnorm_eval(
+                x.data.array,
+                w,
+                b,
+                self.running_mean.data.array,
+                self.running_var.data.array,
+                self.eps,
+            )
+            return Tensor(BackendTensor._wrap(y, dev), device=dev)
+        x_hat = (x - self.running_mean.detach()) / (
+            self.running_var.detach() + self.eps
+        ) ** 0.5
         if self.affine:
             return x_hat * self.weight + self.bias
         return x_hat

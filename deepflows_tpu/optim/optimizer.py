@@ -25,6 +25,7 @@ class Optimizer:
     def __init__(self, params: List[Tensor]) -> None:
         self.params: List[Tensor] = list(params)
         self._state = None
+        self._jit_cache = {}  # grad-None-mask -> jitted masked update
 
     # ------------------------------------------------------------ pure API
     def init_state(self):
@@ -53,7 +54,7 @@ class Optimizer:
                 grad_arrays.append(g.array)
             else:  # a Tensor leaked in as grad
                 grad_arrays.append(g.data.array)
-        new_params, self._state = self.pure_update(
+        new_params, self._state = self._dispatch_update(
             param_arrays, grad_arrays, self._state, self.lr
         )
         for p, arr in zip(self.params, new_params):
@@ -61,6 +62,35 @@ class Optimizer:
             # tape hygiene, as the reference's Adam does (`adam.py:61-62`)
             p.children.clear()
             p.parents.clear()
+
+    def _dispatch_update(self, param_arrays, grad_arrays, state, lr):
+        """Eager fast path: when every array lives on the JAX device, run the
+        whole update as ONE jitted XLA program (shape-keyed cache; the
+        grad-is-None mask is part of the cache key) instead of ~10 tiny
+        dispatches per parameter — the reference launched one CUDA kernel per
+        arithmetic op per parameter (`DeepFlows/optim/adam.py:36-60`)."""
+        all_jax = all(
+            hasattr(a, "aval")
+            for a in param_arrays + [g for g in grad_arrays if g is not None]
+        )
+        if not all_jax or not param_arrays:
+            return self.pure_update(param_arrays, grad_arrays, state, lr)
+
+        import jax
+        import numpy as np
+
+        mask = tuple(g is not None for g in grad_arrays)
+        jitted = self._jit_cache.get(mask)
+        if jitted is None:
+
+            def masked(params, grads_packed, state, lr):
+                it = iter(grads_packed)
+                grads = [next(it) if m else None for m in mask]
+                return self.pure_update(params, grads, state, lr)
+
+            jitted = self._jit_cache[mask] = jax.jit(masked)
+        packed = [g for g in grad_arrays if g is not None]
+        return jitted(param_arrays, packed, state, np.float32(lr))
 
     def zero_grad(self):
         for param in self.params:

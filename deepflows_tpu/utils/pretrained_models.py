@@ -150,25 +150,32 @@ def convert_torch_state_dict(
     return out
 
 
+def to_torch_layout(name: str, arr: np.ndarray) -> np.ndarray:
+    """Convert ONE array from this framework's layout to torch layout, by
+    parameter name: Linear 2-D weights transpose back to (out,in), and
+    (1,C,1,..)-shaped vector params/buffers flatten to (C,).  Also applies
+    to per-parameter optimizer state (same shapes as the parameter)."""
+    if arr.ndim == 2 and name.endswith("weight"):
+        return np.ascontiguousarray(arr.T)
+    if arr.ndim > 1 and arr.shape[0] == 1 and name.split(".")[-1] in (
+        "bias",
+        "weight",
+        "running_mean",
+        "running_var",
+    ) and 1 in arr.shape:
+        # (1,C,1,..) vectors back to (C,) — only when truly a vector
+        if int(np.prod(arr.shape)) == arr.shape[1]:
+            return arr.reshape(arr.shape[1])
+    return arr
+
+
 def export_torch_state_dict(model) -> Dict[str, np.ndarray]:
     """Inverse conversion: this framework's params/buffers in torch layout
     (for interop and round-trip testing)."""
-    out: Dict[str, np.ndarray] = {}
-    for name, t in model.params_and_buffers_saved().items():
-        arr = t.numpy()
-        if arr.ndim == 2 and name.endswith("weight"):
-            arr = np.ascontiguousarray(arr.T)  # Linear back to (out,in)
-        elif arr.ndim > 1 and arr.shape[0] == 1 and name.split(".")[-1] in (
-            "bias",
-            "weight",
-            "running_mean",
-            "running_var",
-        ) and 1 in arr.shape:
-            # (1,C,1,..) vectors back to (C,) — only when truly a vector
-            if int(np.prod(arr.shape)) == arr.shape[1]:
-                arr = arr.reshape(arr.shape[1])
-        out[name] = arr
-    return out
+    return {
+        name: to_torch_layout(name, t.numpy())
+        for name, t in model.params_and_buffers_saved().items()
+    }
 
 
 def download_pretrained_model(

@@ -402,3 +402,41 @@ def test_zero_grad():
     assert net.fc1.weight.grad is not None
     net.zero_grad()
     assert net.fc1.weight.grad is None
+
+
+def test_batchnorm_affine_grads_fused(device):
+    """The fused _BatchNormOp must route dgamma/dbeta correctly (it is one
+    tape node with three parents)."""
+    x = RNG.standard_normal((4, 2, 3, 3)).astype(np.float32)
+    bn = nn.BatchNorm2d(2, device=device)
+    bnt = torch.nn.BatchNorm2d(2)
+    tx = Tensor(x.copy(), device=device, requires_grad=True)
+    (bn(tx) * Tensor(x, device=device)).sum().backward()
+    xt = torch.tensor(x, requires_grad=True)
+    (bnt(xt) * torch.tensor(x)).sum().backward()
+    np.testing.assert_allclose(tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        bn.weight.grad.numpy().ravel(),
+        bnt.weight.grad.numpy(),
+        rtol=1e-3,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        bn.bias.grad.numpy().ravel(), bnt.bias.grad.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_batchnorm_eval_fast_path_constant(device):
+    """Eval-mode BN under no-grad takes the fused kernel and must not grow
+    the tape."""
+    from deepflows_tpu import Graph
+
+    bn = nn.BatchNorm2d(2, device=device)
+    x = RNG.standard_normal((4, 2, 3, 3)).astype(np.float32)
+    bn(Tensor(x, device=device))
+    bn.eval()  # flips global grad off (reference semantics)
+    n0 = len(Graph.node_list)
+    y = bn(Tensor(x, device=device))
+    assert not y.requires_grad
+    assert len(Graph.node_list) == n0
+    df.set_grad_enabled(True)
