@@ -35,12 +35,18 @@ def _from_matrix(m) -> np.ndarray:
 
 
 class PredictService:
-    """Predict handler backed by a deepflows_tpu model."""
+    """Predict handler backed by a deepflows_tpu model or a loaded ONNX
+    graph (both execute as jitted XLA programs)."""
 
     def __init__(self, model):
-        from ..jit import CompiledEvalStep
+        from ..onnx import OnnxModel
 
-        self._step = CompiledEvalStep(model)
+        if isinstance(model, OnnxModel):
+            self._step = model
+        else:
+            from ..jit import CompiledEvalStep
+
+            self._step = CompiledEvalStep(model)
 
     def predict(self, request, context=None):
         outs = []
@@ -68,23 +74,37 @@ class MyDLPWServicer:
         num_classes: int = 1000,
         max_workers: int = 10,
     ):
-        """Serve either an in-memory model, or (reference-style ctor
-        `serving.py:71-92`) a checkpoint file: ``root_dir`` + ``model_file``
-        restore a deepflows checkpoint into a zoo model named
-        ``model_name``."""
+        """Serve either an in-memory model, or a model FILE from disk
+        (reference ctor contract `DF_serving/serving/serving.py:25,71-92`:
+        ``root_dir`` + ``model_file``):
+
+        - ``*.onnx`` → loaded with deepflows_tpu's own ONNX runtime and
+          executed as a jitted XLA program (the reference ran onnxruntime
+          here, `serving.py:61-68`); no model class needed.
+        - ``*.pkl`` (deepflows checkpoint) → restored into the zoo model
+          named ``model_name``."""
         import grpc
 
         if model is None and model_file is not None:
             import os
 
-            from ..utils.model_utils import load_checkpoint
-            from ..utils.pretrained_models import _build_model
-
-            if model_name is None:
-                raise ValueError("model_name required to serve from a checkpoint")
-            model = _build_model(model_name, num_classes=num_classes, device="tpu")
             path = os.path.join(root_dir or ".", model_file)
-            load_checkpoint(model, None, path, strict=False)
+            if model_file.endswith(".onnx"):
+                from ..onnx import OnnxModel
+
+                model = OnnxModel(path)
+            else:
+                from ..utils.model_utils import load_checkpoint
+                from ..utils.pretrained_models import _build_model
+
+                if model_name is None:
+                    raise ValueError(
+                        "model_name required to serve from a checkpoint"
+                    )
+                model = _build_model(
+                    model_name, num_classes=num_classes, device="tpu"
+                )
+                load_checkpoint(model, None, path, strict=False)
         if model is None:
             raise ValueError("pass a deepflows_tpu model (or a checkpoint) to serve")
         self.host = host

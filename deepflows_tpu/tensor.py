@@ -462,6 +462,7 @@ class UnaryOperator(Tensor):
     def __init__(self, x: Tensor) -> None:
         if not isinstance(x, Tensor):
             x = Tensor(x)
+        self._x = x  # operand ref (graph export walks _x even under no_grad)
         super().__init__(
             array=self.forward(x),
             device=x.device,

@@ -1,0 +1,173 @@
+"""ONNX export / load / serve-from-disk (VERDICT r1 item 5; reference
+behavior being matched: `DF_serving/serving/serving.py:25,61-68` serves an
+.onnx from root_dir/model_file)."""
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, models
+from deepflows_tpu.jit import CompiledEvalStep
+from deepflows_tpu.onnx import OnnxModel, check_onnx, export_onnx
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def _roundtrip(model, shape, tmp_path, name):
+    df.manual_seed(0)
+    x = RNG.standard_normal(shape).astype(np.float32)
+    path = str(tmp_path / f"{name}.onnx")
+    export_onnx(model, x, path)
+    model.eval()
+    live = np.asarray(CompiledEvalStep(model)(x))
+    got = OnnxModel(path)(x)
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)
+    df.set_grad_enabled(True)
+    return path
+
+
+def test_export_mnist_cnn_roundtrip(tmp_path):
+    p = _roundtrip(models.MNIST_CNN(device="tpu"), (2, 1, 28, 28), tmp_path, "m")
+    info = check_onnx(p)
+    assert info["ops"]["Conv"] == 2 and info["ops"]["MatMul"] == 1
+    assert info["inputs"] == ["input"] and info["opset"] == [13]
+
+
+def test_export_cifar10_cnn_roundtrip(tmp_path):
+    # dropout must export as identity (eval), BN eval as folded Sub/Div
+    p = _roundtrip(models.CIFAR10_CNN(device="tpu"), (2, 3, 32, 32), tmp_path, "c")
+    info = check_onnx(p)
+    assert "Dropout" not in info["ops"]
+    assert info["ops"]["Conv"] == 3
+
+
+def test_export_resnet18_roundtrip(tmp_path):
+    p = _roundtrip(
+        models.ResNet18(num_classes=10, small_input=True, device="tpu"),
+        (2, 3, 32, 32),
+        tmp_path,
+        "r",
+    )
+    info = check_onnx(p)
+    assert info["ops"]["Conv"] == 20  # 16 block convs + 3 downsample + stem
+
+
+def test_export_vgg16_and_mobilenet(tmp_path):
+    _roundtrip(
+        models.VGG16(num_classes=10, img_size=32, device="tpu"),
+        (1, 3, 32, 32),
+        tmp_path,
+        "v",
+    )
+    _roundtrip(
+        models.MobileNetV1(num_classes=10, device="tpu"),
+        (1, 3, 32, 32),
+        tmp_path,
+        "mb",
+    )
+
+
+def test_dynamic_batch(tmp_path):
+    model = models.MNIST_CNN(device="tpu")
+    x = RNG.standard_normal((2, 1, 28, 28)).astype(np.float32)
+    path = str(tmp_path / "m.onnx")
+    export_onnx(model, x, path)
+    loaded = OnnxModel(path)
+    model.eval()
+    for bs in (1, 7):
+        xb = RNG.standard_normal((bs, 1, 28, 28)).astype(np.float32)
+        np.testing.assert_allclose(
+            loaded(xb), np.asarray(CompiledEvalStep(model)(xb)),
+            rtol=1e-5, atol=1e-5,
+        )
+    df.set_grad_enabled(True)
+
+
+def test_train_mode_export_rejected(tmp_path):
+    model = models.CIFAR10_CNN(device="tpu")
+    model.train()
+    from deepflows_tpu.onnx.export import _Exporter, trace
+
+    # trace() forces eval mode, so drive the exporter with a train trace
+    from deepflows_tpu.autograd import enable_grad
+    from deepflows_tpu.tensor import Tensor
+
+    with enable_grad():
+        x = Tensor(
+            RNG.standard_normal((2, 3, 32, 32)).astype(np.float32),
+            device="tpu",
+            requires_grad=True,
+        )
+        out = model(x)
+    ex = _Exporter(x, True)
+    with pytest.raises(ValueError, match="eval"):
+        ex.name_of(out)
+
+
+def test_serve_onnx_from_disk(tmp_path):
+    """Reference contract: MyDLPWServicer(host, root_dir, model_file) serves
+    a model file from disk (`DF_serving/serving/serving.py:25`)."""
+    from deepflows_tpu.serving import MyDLPWServicer, PredictClient
+
+    model = models.MNIST_CNN(device="tpu")
+    x = RNG.standard_normal((3, 1, 28, 28)).astype(np.float32)
+    path = str(tmp_path / "mnist.onnx")
+    export_onnx(model, x, path)
+    model.eval()
+    live = np.asarray(CompiledEvalStep(model)(x))
+    df.set_grad_enabled(True)
+
+    servicer = MyDLPWServicer(
+        "localhost:50905", root_dir=str(tmp_path), model_file="mnist.onnx"
+    )
+    server = servicer.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50905")
+        (out,) = client.predict(x)
+        client.close()
+    finally:
+        server.stop(0)
+    np.testing.assert_allclose(out, live, rtol=1e-4, atol=1e-5)
+
+
+def test_onnxruntime_crosscheck(tmp_path):
+    """Env-gated: runs only where onnxruntime is installed (absent in this
+    image) — proves the emitted files are wire-valid for the official stack."""
+    ort = pytest.importorskip("onnxruntime")
+    model = models.MNIST_CNN(device="tpu")
+    x = RNG.standard_normal((2, 1, 28, 28)).astype(np.float32)
+    path = str(tmp_path / "m.onnx")
+    export_onnx(model, x, path)
+    sess = ort.InferenceSession(path)
+    (got,) = sess.run(None, {"input": x})
+    model.eval()
+    live = np.asarray(CompiledEvalStep(model)(x))
+    df.set_grad_enabled(True)
+    np.testing.assert_allclose(got, live, rtol=1e-4, atol=1e-5)
+
+
+def test_unsupported_graph_rejected(tmp_path):
+    from deepflows_tpu.onnx.proto import onnx_minimal_pb2 as pb
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.opset_import.add().version = 13
+    n = m.graph.node.add()
+    n.op_type = "LSTM"
+    n.input.append("input")
+    n.output.append("out")
+    vi = m.graph.input.add()
+    vi.name = "input"
+    m.graph.output.add().name = "out"
+    path = str(tmp_path / "bad.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    with pytest.raises(ValueError, match="unsupported ONNX ops"):
+        OnnxModel(path)
