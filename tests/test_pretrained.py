@@ -154,3 +154,70 @@ def test_cli_list(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "resnet18" in out
+
+
+def test_mapping_jsons_cover_all_params():
+    """The shipped mapping JSONs (VERDICT r1 item 8; reference artifact:
+    `model_param_mappings/*_complete_mapping.json`) must exactly cover each
+    zoo model's parameter/buffer names."""
+    from deepflows_tpu.utils.pretrained_models import load_model_param_mapping
+
+    zoo = {
+        "resnet18": models.ResNet18(device="cpu"),
+        "resnet50": models.ResNet50(device="cpu"),
+        "vgg16": models.VGG16(device="cpu"),
+        "mobilenet_v1": models.MobileNetV1(device="cpu"),
+    }
+    for name, model in zoo.items():
+        mapping = load_model_param_mapping(name)
+        assert mapping is not None, f"missing mapping JSON for {name}"
+        ours = {n for n, _ in model.named_parameters()} | {
+            n for n, _ in model.named_buffers()
+        }
+        mapped_targets = {
+            v for v in mapping.values() if not v.endswith("num_batches_tracked")
+        }
+        assert mapped_targets == ours, (
+            f"{name}: mapping drift\n  only-in-json={mapped_targets - ours}\n"
+            f"  only-in-model={ours - mapped_targets}"
+        )
+
+
+def test_real_torchvision_checkpoint_end_to_end(tmp_path):
+    """Full pipeline on a REAL torchvision resnet18 state_dict: convert ->
+    load -> forward-output tolerance vs torch on the same weights.  Gated on
+    DEEPFLOWS_RESNET18_PTH (no torchvision/egress in this image); SKIPPED,
+    never silently passing, when absent.  The torch side runs through the
+    hand-written torchvision-layout twin (examples/torch_twins.py)."""
+    path = os.environ.get("DEEPFLOWS_RESNET18_PTH")
+    if not path or not os.path.exists(path):
+        pytest.skip("set DEEPFLOWS_RESNET18_PTH to a torchvision resnet18 .pth")
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+    )
+    from torch_twins import TorchResNet18
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out_pkl = convert_weights_to_deepflows(
+        "resnet18", path, pretrained_dir=str(tmp_path)
+    )
+    model = models.ResNet18(num_classes=1000, device="tpu")
+    load_pretrained_model(model, "resnet18", pretrained_dir=str(tmp_path))
+    model.eval()
+
+    twin = TorchResNet18(num_classes=1000, small_input=False)
+    missing, unexpected = twin.load_state_dict(sd, strict=False)
+    assert not [m for m in missing if not m.endswith("num_batches_tracked")]
+    twin.eval()
+
+    x = RNG.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    ours = model(Tensor(x, device="tpu")).numpy()
+    with torch.no_grad():
+        theirs = twin(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+    assert os.path.exists(out_pkl)
+    df.set_grad_enabled(True)
