@@ -41,7 +41,10 @@ class Adadelta(Optimizer):
             s = self.rho * s + (1 - self.rho) * g * g
             adjust = ((d + self.eps) ** 0.5) * g / (s + self.eps) ** 0.5
             d = self.rho * d + (1 - self.rho) * adjust * adjust
-            new_params.append(p - lr * adjust)
+            new_p = p - lr * adjust
+            if hasattr(new_p, "astype") and new_p.dtype != p.dtype:
+                new_p = new_p.astype(p.dtype)  # preserve param dtype (bf16)
+            new_params.append(new_p)
             new_s.append(s)
             new_d.append(d)
         return new_params, {"s": new_s, "delta": new_d}

@@ -36,6 +36,9 @@ class Adagrad(Optimizer):
             if self.weight_decay:
                 g = g + p * self.weight_decay
             s = s + g * g
-            new_params.append(p - lr * g / (self.eps + s) ** 0.5)
+            new_p = p - lr * g / (self.eps + s) ** 0.5
+            if hasattr(new_p, "astype") and new_p.dtype != p.dtype:
+                new_p = new_p.astype(p.dtype)  # preserve param dtype (bf16)
+            new_params.append(new_p)
             new_s.append(s)
         return new_params, {"s": new_s}

@@ -47,5 +47,8 @@ class SGD(Optimizer):
             else:
                 update = g
                 new_v.append(None)
-            new_params.append(p - lr * update)
+            new_p = p - lr * update
+            if hasattr(new_p, "astype") and new_p.dtype != p.dtype:
+                new_p = new_p.astype(p.dtype)  # preserve param dtype (bf16)
+            new_params.append(new_p)
         return new_params, {"v": new_v if self.momentum > 0.0 else None}

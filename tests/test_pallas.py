@@ -107,3 +107,64 @@ def test_fused_adam_optimizer_matches_regular():
             opt.step()
         results.append(p.numpy())
     np.testing.assert_allclose(results[0], results[1], rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------ stochastic-rounding adam
+def test_fused_adam_sr_unbiased():
+    """E[SR(x)] = x: the stochastically rounded Adam result is unbiased in
+    ULP terms, where round-to-nearest has ~0.25-ulp mean |bias|."""
+    import jax.numpy as jnp
+
+    from deepflows_tpu.ops.pallas_kernels import fused_adam_sr
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal(512).astype(np.float32), jnp.bfloat16)
+    g = jnp.asarray(np.full(512, 1e-4, np.float32))
+    v = jnp.zeros(512)
+    s = jnp.zeros(512)
+    hyper = jnp.asarray([1e-3, 0.9, 0.999, 1e-8, 0.0, 0.1, 0.001], jnp.float32)
+    p32 = np.asarray(p, np.float32)
+    want = p32 - 1e-3 * (0.1e-4 / 0.1) / (np.sqrt(0.001e-8 / 0.001) + 1e-8)
+    ulp = 2.0 ** (np.floor(np.log2(np.maximum(np.abs(want), 1e-30))) - 7)
+    acc = np.zeros(512, np.float64)
+    N = 64
+    for seed in range(N):
+        out, nv, ns = fused_adam_sr(p, g, v, s, hyper, jnp.asarray([seed], jnp.int32))
+        acc += np.asarray(out, np.float64)
+    sr_bias = np.mean((acc / N - want) / ulp)
+    assert abs(sr_bias) < 0.05, sr_bias
+    # moments are exact f32 (not rounded)
+    np.testing.assert_allclose(np.asarray(nv), np.full(512, 0.1e-4), rtol=1e-6)
+
+
+def test_adam_sr_escapes_bf16_stall():
+    """The capability the kernel exists for: with bf16 weights and an update
+    smaller than ulp/2, round-to-nearest Adam NEVER moves the weight; the
+    stochastic-rounding path moves it by the expected amount."""
+    import jax.numpy as jnp
+
+    from deepflows_tpu import optim
+    from deepflows_tpu.backend import BackendTensor, Device
+    from deepflows_tpu.tensor import Tensor
+
+    dev = Device("tpu")
+    n, steps, lr = 512, 120, 2e-4  # ulp(1.0)=2^-8=3.9e-3, lr < ulp/2
+
+    def run(stochastic_round):
+        p = Tensor(
+            BackendTensor._wrap(jnp.ones(n, jnp.bfloat16), dev),
+            device=dev,
+            requires_grad=True,
+        )
+        opt = optim.Adam([p], lr=lr, stochastic_round=stochastic_round)
+        for _ in range(steps):
+            p.grad = BackendTensor._wrap(jnp.ones(n, jnp.float32), dev)
+            opt.step()
+        return np.asarray(p.data.array, np.float32)
+
+    rtn = run(False)
+    sr = run(True)
+    assert (rtn == 1.0).all(), "RTN should stall exactly at 1.0"
+    moved = 1.0 - sr.mean()
+    expected = lr * steps  # steady grads -> |update| ~= lr per step
+    assert 0.5 * expected < moved < 1.5 * expected, (moved, expected)
