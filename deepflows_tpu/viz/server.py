@@ -3,16 +3,22 @@
 
 Same HTTP/WS contract on stdlib http.server (FastAPI is absent here):
 
-- ``POST /api/train/start`` {model?, optimizer?, learning_rate?, epochs?,
-  batch_size?, layers?} → starts a daemon training thread
-- ``POST /api/train/stop`` → sets the stop flag (checked per batch)
-- ``GET  /api/models``     → available model names
-- ``GET  /``               → built-in single-file dashboard (replaces the
-  reference's Vue app; no node build needed)
-- ``WS   /ws``             → pushes ``{type: "metrics", data: {epoch, batch,
-  loss, accuracy}}`` every 10 batches, ``{type: "resources", data: {...}}``
-  at 1 Hz (psutil), and ``{type: "status", data: ...}`` transitions —
-  message shapes per the reference (`server.py:348-357,159-166`).
+- ``POST /api/train/start`` {model?, optimizer?, scheduler?, learning_rate?,
+  weight_decay?, epochs?, batch_size?, num_samples?, target_acc?, layers?}
+  → starts a daemon training thread
+- ``POST /api/train/stop``     → sets the stop flag (checked per batch)
+- ``POST /api/model/validate`` {layers, input_shape?} → builds the dynamic
+  model and returns per-layer output shapes (live feedback for the builder)
+- ``GET  /api/models``         → available model names
+- ``GET  /api/history``        → finished-run summaries (config, final
+  loss/accuracy, wall time, outcome)
+- ``GET  /``                   → built-in single-file dashboard (replaces
+  the reference's Vue app; no node build needed)
+- ``WS   /ws``                 → pushes ``{type: "metrics", data: {epoch,
+  batch, loss, accuracy}}`` every 10 batches, ``{type: "resources"}`` at
+  1 Hz (psutil), ``{type: "status"}`` transitions — message shapes per the
+  reference (`server.py:348-357,159-166`) — plus a superset
+  ``{type: "epoch", data: {epoch, test_acc, lr, epoch_time}}`` per epoch.
 
 Training runs a real deepflows_tpu loop on the TPU device.  Data: OpenML
 MNIST when the network allows (like the reference), else sklearn's bundled
@@ -146,10 +152,28 @@ def _load_mnist(limit=3000):
         return x[:limit], d.target[:limit].astype(np.int32)
 
 
+def infer_layer_shapes(layers, input_shape):
+    """Per-layer output shapes for the model-builder preview: builds the
+    dynamic model on the numpy CPU device and runs one zeros batch through
+    each layer (superset of the reference, whose builder had no feedback)."""
+    from ..tensor import Tensor
+    from ..autograd import no_grad
+
+    model = build_dynamic_model(layers, device="cpu")
+    x = Tensor(np.zeros((1, *input_shape), np.float32), device="cpu")
+    shapes = []
+    with no_grad():
+        for spec, mod in zip(layers, model):
+            x = mod(x)
+            shapes.append({"type": spec["type"], "output_shape": list(x.shape)})
+    return shapes
+
+
 class TrainingState:
     def __init__(self):
         self.flags = {"running": False, "stop": False}
         self.thread: Optional[threading.Thread] = None
+        self.history: list[dict] = []  # finished-run summaries
 
 
 def train_worker(manager: ConnectionManager, state: TrainingState, config: dict):
@@ -159,63 +183,127 @@ def train_worker(manager: ConnectionManager, state: TrainingState, config: dict)
     from ..jit import CompiledTrainStep
     from ..utils.data import data_loader
 
+    from ..jit import CompiledEvalStep
+
+    t_run = time.time()
+    summary = {"config": {k: v for k, v in config.items() if k != "layers"},
+               "started": time.strftime("%H:%M:%S"), "final_loss": None,
+               "test_acc": None, "epochs_run": 0, "outcome": "error"}
     try:
         manager.broadcast({"type": "status", "data": "loading data"})
         x, y = _load_mnist(limit=int(config.get("num_samples", 3000)))
+        n_test = max(1, len(x) // 6)
+        x, x_test = x[:-n_test], x[-n_test:]
+        y, y_test = y[:-n_test], y[-n_test:]
         device = config.get("device", "tpu")
         layers = config.get("layers")
+        model_name = str(config.get("model", "MNIST_CNN"))
         if layers:
             model = build_dynamic_model(layers, device=device)
+        elif model_name == "MLP":
+            from ..models import MLP
+
+            model = MLP(device=device)
         else:
             from ..models import MNIST_CNN
 
             model = MNIST_CNN(device=device)
         lr = float(config.get("learning_rate", 1e-3))
+        wd = float(config.get("weight_decay", 0.0))
         opt_name = str(config.get("optimizer", "adam")).lower()
         opts = {
-            "adam": lambda p: optim.Adam(p, lr=lr),
-            "sgd": lambda p: optim.SGD(p, lr=lr, momentum=0.9),
+            "adam": lambda p: optim.Adam(p, lr=lr, weight_decay=wd),
+            "sgd": lambda p: optim.SGD(p, lr=lr, momentum=0.9, weight_decay=wd),
             "adagrad": lambda p: optim.Adagrad(p, lr=lr),
             "adadelta": lambda p: optim.Adadelta(p, lr=lr),
         }
         opt = opts.get(opt_name, opts["adam"])(model.parameters())
+        epochs = int(config.get("epochs", 3))
+        sch_name = str(config.get("scheduler", "none")).lower()
+        scheduler = None
+        if sch_name == "step":
+            scheduler = optim.StepLR(opt, step_size=max(1, epochs // 3), gamma=0.5)
+        elif sch_name == "cosine":
+            scheduler = optim.CosineAnnealingLR(opt, T_max=epochs)
+        target_acc = config.get("target_acc")
 
         def metrics_fn(out, yt):
             pred = out.argmax(1)
             return {"acc": (pred.data.array == yt.data.array).mean()}
 
         step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss(), metrics_fn=metrics_fn)
+        ev = CompiledEvalStep(model)
+
+        def test_accuracy():
+            correct = 0
+            for b in range(0, len(x_test), 256):
+                pred = np.asarray(ev(x_test[b : b + 256])).argmax(1)
+                correct += int((pred == y_test[b : b + 256]).sum())
+            return correct / len(x_test)
+
         bs = int(config.get("batch_size", 64))
-        epochs = int(config.get("epochs", 3))
         manager.broadcast({"type": "status", "data": "training"})
+        last_loss = float("nan")
         for epoch in range(epochs):
-            loader = data_loader(x, y, bs, shuffle=True, drop_last=True)
+            t0 = time.time()
+            loader = data_loader(x, y, bs, shuffle=True, drop_last=True,
+                                 prefetch_size=2)
             for i, (xb, yb) in enumerate(loader):
                 if state.flags["stop"]:
+                    summary["outcome"] = "stopped"
                     manager.broadcast({"type": "status", "data": "stopped"})
                     return
                 loss = step(xb, yb)
                 if i % 10 == 0:
+                    last_loss = float(loss)
                     manager.broadcast(
                         {
                             "type": "metrics",
                             "data": {
                                 "epoch": epoch,
                                 "batch": i,
-                                "loss": float(loss),
+                                "loss": last_loss,
                                 "accuracy": float(step._last_metrics["acc"]),
                             },
                         }
                     )
+            acc = test_accuracy()
+            summary.update(
+                final_loss=last_loss, test_acc=acc, epochs_run=epoch + 1
+            )
+            # superset message (reference pushes only metrics/resources/status)
+            manager.broadcast(
+                {
+                    "type": "epoch",
+                    "data": {
+                        "epoch": epoch,
+                        "test_acc": acc,
+                        "lr": float(opt.lr),
+                        "epoch_time": time.time() - t0,
+                    },
+                }
+            )
+            if scheduler is not None:
+                scheduler.step()
+            if target_acc is not None and acc * 100.0 >= float(target_acc):
+                summary["outcome"] = "target reached"
+                manager.broadcast(
+                    {"type": "status", "data": f"target {target_acc}% reached"}
+                )
+                return
+        summary["outcome"] = "finished"
         manager.broadcast({"type": "status", "data": "finished"})
     except Exception as e:  # surface errors to the dashboard
+        summary["outcome"] = f"error: {e}"
         manager.broadcast({"type": "status", "data": f"error: {e}"})
     finally:
+        summary["wall_time"] = round(time.time() - t_run, 2)
+        state.history.append(summary)
         state.flags["running"] = False
         df.set_grad_enabled(True)
 
 
-AVAILABLE_MODELS = ["MNIST_CNN", "dynamic"]
+AVAILABLE_MODELS = ["MNIST_CNN", "MLP", "dynamic"]
 
 
 def make_server(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
@@ -255,6 +343,9 @@ def make_server(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
             if self.path == "/api/models":
                 self._json({"models": AVAILABLE_MODELS})
                 return
+            if self.path == "/api/history":
+                self._json({"runs": state.history})
+                return
             self._json({"error": "not found"}, 404)
 
         def do_POST(self):
@@ -279,6 +370,16 @@ def make_server(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
             if self.path == "/api/train/stop":
                 state.flags["stop"] = True
                 self._json({"status": "stopping"})
+                return
+            if self.path == "/api/model/validate":
+                try:
+                    shapes = infer_layer_shapes(
+                        config.get("layers") or [],
+                        tuple(config.get("input_shape", (1, 28, 28))),
+                    )
+                    self._json({"ok": True, "shapes": shapes})
+                except Exception as e:
+                    self._json({"ok": False, "error": str(e)})
                 return
             self._json({"error": "not found"}, 404)
 

@@ -148,3 +148,55 @@ def test_full_training_cycle(server):
         time.sleep(0.2)
     assert not srv.state.flags["running"]
     sock.close()
+
+
+def test_model_validate_endpoint(server):
+    host, _ = server
+    layers = [
+        {"type": "Conv2d", "in_channels": 1, "out_channels": 8,
+         "kernel_size": 3, "padding": 1},
+        {"type": "MaxPool2d", "kernel_size": 2, "stride": 2},
+        {"type": "Flatten"},
+        {"type": "Linear", "in_features": 8 * 14 * 14, "out_features": 10},
+    ]
+    resp = _post(host, "/api/model/validate",
+                 {"layers": layers, "input_shape": [1, 28, 28]})
+    assert resp["ok"]
+    shapes = [s["output_shape"] for s in resp["shapes"]]
+    assert shapes == [[1, 8, 28, 28], [1, 8, 14, 14], [1, 1568], [1, 10]]
+    # a broken model reports the error instead of 500ing
+    bad = _post(host, "/api/model/validate",
+                {"layers": [{"type": "Linear", "in_features": 3,
+                             "out_features": 2}],
+                 "input_shape": [1, 28, 28]})
+    assert not bad["ok"] and bad["error"]
+
+
+def test_history_and_epoch_message(server):
+    host, srv = server
+    sock = _ws_connect(host)
+    sock.settimeout(120)
+    _post(host, "/api/train/start",
+          {"epochs": 1, "num_samples": 256, "batch_size": 32,
+           "scheduler": "cosine", "weight_decay": 1e-4})
+    got_epoch = False
+    deadline = time.time() + 110
+    while time.time() < deadline:
+        frame = read_frame(sock)
+        if frame is None:
+            break
+        _, payload = frame
+        msg = json.loads(payload)
+        if msg["type"] == "epoch":
+            assert {"epoch", "test_acc", "lr", "epoch_time"} <= set(msg["data"])
+            got_epoch = True
+        if msg["type"] == "status" and msg["data"] in ("finished", "stopped"):
+            break
+    assert got_epoch
+    deadline = time.time() + 30
+    while srv.state.flags["running"] and time.time() < deadline:
+        time.sleep(0.2)
+    runs = json.loads(_get(host, "/api/history"))["runs"]
+    assert runs and runs[-1]["outcome"] in ("finished", "stopped")
+    assert runs[-1]["test_acc"] is not None
+    sock.close()
