@@ -24,16 +24,35 @@ from ..jit import CompiledEvalStep, CompiledTrainStep
 P = PartitionSpec
 
 
-def tensor_parallel_rules(axis: str = "model") -> Callable:
-    """Default TP rule: shard Linear weights/biases on their out-features
-    dim over ``axis``; everything else replicated.  XLA inserts the needed
-    collectives for the alternating row/col products."""
+def tensor_parallel_rules(axis: str = "model", shard_conv: bool = True) -> Callable:
+    """Default TP rule: shard Linear weights/biases AND conv kernels on
+    their out-features/out-channels dim over ``axis``; everything else
+    (BN affine vectors, biases shaped (1,C,1,1)) replicated.  XLA's SPMD
+    partitioner inserts the collectives — for a channel-sharded conv
+    followed by a replicated-op (BN stats) it emits the all-gather; for
+    Linear chains it alternates row/col products."""
 
     def rule(name: str, shape) -> PartitionSpec:
         if len(shape) == 2 and name.endswith("weight"):
-            return P(None, axis)  # (in, out) -> shard out
+            return P(None, axis)  # Linear (in, out) -> shard out
         if len(shape) == 2 and name.endswith("bias"):
             return P(None, axis)
+        if shard_conv and len(shape) == 4 and shape[2] > 1 and name.endswith("weight"):
+            # conv kernel (out, in, kh, kw) -> shard out-channels; (1,C,1,1)
+            # affine/bias vectors are excluded by the kh>1 guard
+            return P(axis, None, None, None)
+        return rule_conv1x1(name, shape)
+
+    def rule_conv1x1(name: str, shape) -> PartitionSpec:
+        if (
+            shard_conv
+            and len(shape) == 4
+            and name.endswith("weight")
+            and shape[0] > 1
+            and shape[1] > 1
+        ):
+            # 1x1 conv (out, in, 1, 1): distinguish from (1,C,1,1) vectors
+            return P(axis, None, None, None)
         return P()
 
     return rule
@@ -116,8 +135,21 @@ class ShardedTrainStep(CompiledTrainStep):
             batch_sh,  # y
         )
         donate_argnums = (0, 1, 2) if donate else ()
+        # pin state outputs to the SAME layouts as the inputs: with sharded
+        # conv channels, GSPMD would otherwise emit e.g. channel-sharded BN
+        # running stats, and call N+1 would reject the committed layout
+        out_shardings = (
+            rep,  # loss
+            self._param_shardings,
+            buffer_shardings,
+            opt_state_shardings,
+            None,  # metrics: unconstrained (structure is metrics_fn's)
+        )
         self._jitted = jax.jit(
-            self._pure_step, in_shardings=in_shardings, donate_argnums=donate_argnums
+            self._pure_step,
+            in_shardings=in_shardings,
+            out_shardings=out_shardings,
+            donate_argnums=donate_argnums,
         )
 
 

@@ -109,6 +109,12 @@ def test_tensor_parallel_runs_and_matches():
     assert len(w.sharding.device_set) == 8
     spec = w.sharding.spec
     assert tuple(spec) == (None, "model")
+    # conv kernel is sharded on its out-channel dim
+    cw = m2[0].weight.data.array
+    assert tuple(cw.sharding.spec)[:1] == ("model",)
+    # BN running stats stay replicated across calls (pinned out_shardings)
+    rm = m2[1].running_mean.data.array
+    assert rm.sharding.is_fully_replicated
 
 
 def test_sharded_eval_step():
