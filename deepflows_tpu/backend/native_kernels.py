@@ -80,6 +80,9 @@ def _load():
         "nat_matmul": [f32p, f32p, f32p, i64, i64, i64],
         "nat_reduce_sum": [f32p, f32p, i64, i64],
         "nat_reduce_max": [f32p, f32p, i64, i64],
+        "nat_im2col": [f32p, f32p] + [i64] * 10,
+        "nat_max_pool2d": [f32p, f32p] + [i64] * 9,
+        "nat_batchnorm_train": [f32p, f32p, f32p, f32p, f32p, f32p, i64, i64, i64, f32],
     }
     for fname, argtypes in sigs.items():
         fn = getattr(lib, fname)
@@ -118,7 +121,6 @@ to_numpy = _np_k.to_numpy
 device_put = _np_k.device_put
 conv1d = _np_k.conv1d
 conv1d_grad = _np_k.conv1d_grad
-max_pool2d = _np_k.max_pool2d
 max_pool2d_grad = _np_k.max_pool2d_grad
 avg_pool2d = _np_k.avg_pool2d
 avg_pool2d_grad = _np_k.avg_pool2d_grad
@@ -127,9 +129,57 @@ max_pool1d_grad = _np_k.max_pool1d_grad
 avg_pool1d = _np_k.avg_pool1d
 avg_pool1d_grad = _np_k.avg_pool1d_grad
 conv2d_grad = _np_k.conv2d_grad
-batchnorm_train = _np_k.batchnorm_train
 batchnorm_grad = _np_k.batchnorm_grad
 batchnorm_eval = _np_k.batchnorm_eval
+
+
+def max_pool2d(x, kernel_size, stride=None, padding=0):
+    """Threaded C max pool (f32 NCHW); NumPy fallback otherwise."""
+    x = np.asarray(x)
+    if x.dtype != np.float32 or x.ndim != 4:
+        return _np_k.max_pool2d(x, kernel_size, stride, padding)
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    stride = stride or kernel_size
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
+    if ph or pw:
+        x = np.pad(
+            x, ((0, 0), (0, 0), (ph, ph), (pw, pw)),
+            constant_values=-np.inf,
+        ).astype(np.float32)
+    n, c, h, w = x.shape
+    oh, ow = (h - kh) // sh + 1, (w - kw) // sw + 1
+    out = np.empty((n, c, oh, ow), np.float32)
+    xc = _f32(x)  # keep the contiguous buffer alive across the C call
+    _load().nat_max_pool2d(
+        _ptr(xc), _ptr(out), n * c, h, w, kh, kw, sh, sw, oh, ow
+    )
+    return out
+
+
+def batchnorm_train(x, gamma, beta, axes, eps):
+    """Threaded C batch norm over NCHW (axes (0,2,3)); NumPy fallback for
+    other layouts."""
+    x = np.asarray(x)
+    if x.dtype != np.float32 or x.ndim != 4 or tuple(axes) != (0, 2, 3):
+        return _np_k.batchnorm_train(x, gamma, beta, axes, eps)
+    n, c, h, w = x.shape
+    xc = _f32(x)
+    out = np.empty_like(xc)
+    mean = np.empty(c, np.float32)
+    var = np.empty(c, np.float32)
+    g = _f32(gamma).reshape(-1) if gamma is not None else None
+    b = _f32(beta).reshape(-1) if beta is not None else None
+    null = ctypes.POINTER(ctypes.c_float)()
+    _load().nat_batchnorm_train(
+        _ptr(xc),
+        _ptr(g) if g is not None else null,
+        _ptr(b) if b is not None else null,
+        _ptr(out), _ptr(mean), _ptr(var),
+        n, c, h * w, float(eps),
+    )
+    keep = (1, c, 1, 1)
+    return out, mean.reshape(keep), var.reshape(keep)
 
 
 def fill(shape, value, dtype=None):
@@ -285,19 +335,21 @@ def reduce_max(a, axis=None, keepdims=False):
 
 
 def conv2d(x, w, stride=1, padding=0, groups=1):
-    """im2col + C SGEMM (groups=1, float32); NumPy fallback otherwise."""
-    if groups != 1 or x.dtype != np.float32:
+    """C im2col (threaded, one fused gather) + threaded C SGEMM (groups=1,
+    float32); NumPy fallback otherwise."""
+    if groups != 1 or np.asarray(x).dtype != np.float32:
         return _np_k.conv2d(x, w, stride, padding, groups)
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
-    xpad = _np_k._pad_nchw(x, ph, pw)
+    xpad = _f32(_np_k._pad_nchw(x, ph, pw))
     co, ci, kh, kw = w.shape
-    cols = _np_k._im2col_view(xpad, kh, kw, sh, sw)  # (N,C,kh,kw,oh,ow)
-    n, _, _, _, oh, ow = cols.shape
-    cols2 = np.ascontiguousarray(
-        cols.transpose(0, 4, 5, 1, 2, 3).reshape(n * oh * ow, ci * kh * kw)
+    n, _, h, w_ = xpad.shape
+    oh, ow = (h - kh) // sh + 1, (w_ - kw) // sw + 1
+    cols2 = np.empty((n * oh * ow, ci * kh * kw), np.float32)
+    _load().nat_im2col(
+        _ptr(xpad), _ptr(cols2), n, ci, h, w_, kh, kw, sh, sw, oh, ow
     )
-    w2 = np.ascontiguousarray(w.reshape(co, ci * kh * kw).T)
+    w2 = np.ascontiguousarray(np.asarray(w).reshape(co, ci * kh * kw).T)
     y = matmul(cols2, w2)  # (N*oh*ow, co)
     return np.ascontiguousarray(
         y.reshape(n, oh, ow, co).transpose(0, 3, 1, 2)

@@ -105,3 +105,51 @@ def test_train_on_native_device():
         first = first if first is not None else v
         last = v
     assert last < first * 0.5
+
+
+def test_native_maxpool_vs_numpy():
+    from deepflows_tpu.backend import native_kernels as nk
+    from deepflows_tpu.backend import numpy_kernels as npk
+
+    x = RNG.standard_normal((2, 3, 9, 9)).astype(np.float32)
+    for k, s, p in [(2, 2, 0), (3, 2, 1), (3, 1, 0)]:
+        np.testing.assert_allclose(
+            nk.max_pool2d(x, k, s, p), npk.max_pool2d(x, k, s, p)
+        )
+
+
+def test_native_batchnorm_vs_numpy():
+    from deepflows_tpu.backend import native_kernels as nk
+    from deepflows_tpu.backend import numpy_kernels as npk
+
+    x = RNG.standard_normal((4, 5, 6, 7)).astype(np.float32) * 3 + 1
+    g = RNG.standard_normal((1, 5, 1, 1)).astype(np.float32)
+    b = RNG.standard_normal((1, 5, 1, 1)).astype(np.float32)
+    for gamma, beta in [(g, b), (None, None)]:
+        o1, m1, v1 = nk.batchnorm_train(x, gamma, beta, (0, 2, 3), 1e-5)
+        o2, m2, v2 = npk.batchnorm_train(x, gamma, beta, (0, 2, 3), 1e-5)
+        np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(m1.ravel(), m2.ravel(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(v1.ravel(), v2.ravel(), rtol=1e-4, atol=1e-6)
+
+
+def test_native_conv_strided_padded_vs_numpy():
+    from deepflows_tpu.backend import native_kernels as nk
+    from deepflows_tpu.backend import numpy_kernels as npk
+
+    x = RNG.standard_normal((2, 3, 11, 9)).astype(np.float32)
+    w = RNG.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    for s, p in [(1, 0), (1, 1), (2, 1), (2, 2)]:
+        np.testing.assert_allclose(
+            nk.conv2d(x, w, s, p), npk.conv2d(x, w, s, p), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_native_matmul_threaded_large():
+    """Row counts above the thread-chunk threshold exercise the threaded
+    SGEMM path."""
+    from deepflows_tpu.backend import native_kernels as nk
+
+    a = RNG.standard_normal((512, 64)).astype(np.float32)
+    b = RNG.standard_normal((64, 96)).astype(np.float32)
+    np.testing.assert_allclose(nk.matmul(a, b), a @ b, rtol=1e-4, atol=1e-4)
