@@ -394,6 +394,28 @@ class Module:
                 b.data = b.data.to(device)
         return self
 
+    def to_dtype(self, dtype, cast_buffers: bool = False):
+        """Cast every parameter to ``dtype`` in place (torch's
+        ``.half()/.bfloat16()`` analog).  BN running stats and other buffers
+        stay in their dtype unless ``cast_buffers`` (normalization statistics
+        want f32).  bf16 params + ``optim.Adam(stochastic_round=True)`` is
+        the full-bf16-weight training recipe."""
+        for module in self.children():
+            module.to_dtype(dtype, cast_buffers)
+        for p in self._parameters.values():
+            if p is not None:
+                p.data = p.data.astype(dtype)
+        if cast_buffers:
+            for b in self._buffers.values():
+                if b is not None:
+                    b.data = b.data.astype(dtype)
+        return self
+
+    def bfloat16(self):
+        import jax.numpy as jnp
+
+        return self.to_dtype(jnp.bfloat16)
+
     def tpu(self):
         return self.to("tpu")
 

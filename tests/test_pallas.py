@@ -168,3 +168,42 @@ def test_adam_sr_escapes_bf16_stall():
     moved = 1.0 - sr.mean()
     expected = lr * steps  # steady grads -> |update| ~= lr per step
     assert 0.5 * expected < moved < 1.5 * expected, (moved, expected)
+
+
+def test_bf16_sr_training_recovers_f32_convergence():
+    """End-to-end: Module.bfloat16() + Adam(stochastic_round=True) trains a
+    small net to (near-)f32 loss, while RTN bf16 lags — the SR-Adam
+    capability exercised through the compiled step."""
+    import deepflows_tpu as df
+    from deepflows_tpu import nn, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    rng = np.random.default_rng(0)
+    xw = rng.standard_normal((256, 16)).astype(np.float32)
+    true_w = rng.standard_normal((16, 4)).astype(np.float32)
+    yv = (xw @ true_w).argmax(1).astype(np.int32)
+
+    def run(bf16, sr, epochs=25):
+        df.manual_seed(0)
+        model = nn.Sequential(
+            nn.Linear(16, 32, device="tpu"), nn.ReLU(),
+            nn.Linear(32, 4, device="tpu"),
+        )
+        if bf16:
+            model.bfloat16()
+            import jax.numpy as jnp
+
+            assert model[0].weight.data.array.dtype == jnp.bfloat16
+        opt = optim.Adam(model.parameters(), lr=2e-3, stochastic_round=sr)
+        step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+        for _ in range(epochs):
+            for b in range(0, 256, 64):
+                loss = step(xw[b : b + 64], yv[b : b + 64])
+        return float(loss)
+
+    f32 = run(False, False)
+    rtn = run(True, False)
+    sr = run(True, True)
+    # SR must land close to f32 and beat round-to-nearest
+    assert sr < rtn, (sr, rtn)
+    assert sr < f32 * 2.0, (sr, f32)
