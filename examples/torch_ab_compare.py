@@ -19,33 +19,12 @@ import torch.nn as tnn
 import deepflows_tpu as df
 from deepflows_tpu import models, nn, optim
 from deepflows_tpu.jit import CompiledTrainStep
-from deepflows_tpu.utils.pretrained_models import export_torch_state_dict
 
 from common import get_cifar10
+from torch_twins import TorchCIFAR10CNN, load_from_deepflows
 
-
-class TorchTwin(tnn.Module):
-    """torch twin of models.CIFAR10_CNN (same module names/shapes)."""
-
-    def __init__(self, num_classes=10):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(3, 32, 5, padding=2)
-        self.bn1 = tnn.BatchNorm2d(32)
-        self.conv2 = tnn.Conv2d(32, 64, 5, padding=2)
-        self.bn2 = tnn.BatchNorm2d(64)
-        self.conv3 = tnn.Conv2d(64, 128, 3, padding=1)
-        self.bn3 = tnn.BatchNorm2d(128)
-        self.pool = tnn.MaxPool2d(2, 2)
-        self.relu = tnn.ReLU()
-        self.drop = tnn.Dropout(0.5)
-        self.fc = tnn.Linear(128 * 4 * 4, num_classes)
-
-    def forward(self, x):
-        x = self.pool(self.relu(self.bn1(self.conv1(x))))
-        x = self.pool(self.relu(self.bn2(self.conv2(x))))
-        x = self.pool(self.relu(self.bn3(self.conv3(x))))
-        x = x.flatten(1)
-        return self.fc(self.drop(x))
+# see examples/parity_trajectory.py for the FULL reference-recipe A/B with
+# per-epoch state re-sync and committed tables (docs/TRAJECTORY_AB_*.md)
 
 
 def main(epochs=2, batch_size=64, lr=1e-3, limit=2048):
@@ -54,12 +33,8 @@ def main(epochs=2, batch_size=64, lr=1e-3, limit=2048):
     n_batches = len(x_train) // batch_size
 
     ours = models.CIFAR10_CNN(device="tpu")
-    twin = TorchTwin()
     # identical initialization: export ours in torch layout
-    twin.load_state_dict(
-        {k: torch.tensor(v) for k, v in export_torch_state_dict(ours).items()},
-        strict=False,
-    )
+    twin = load_from_deepflows(TorchCIFAR10CNN(), ours)
 
     opt = optim.Adam(ours.parameters(), lr=lr)
     step = CompiledTrainStep(ours, opt, nn.CrossEntropyLoss())
