@@ -105,19 +105,34 @@ class CompiledTrainStep:
         metrics_fn: Optional[Callable] = None,
         compute_dtype=None,
         grad_transform: Optional[Callable] = None,
+        accum_steps: int = 1,
     ):
         """``compute_dtype=jnp.bfloat16`` enables mixed precision: forward +
         backward run in bf16 on the MXU while master weights, gradients as
         seen by the optimizer, and optimizer state stay float32 (the opt-in
         path SURVEY §7.3 item 7 calls for).  ``grad_transform`` (e.g.
         ``optim.clip_by_global_norm(1.0)``) maps the list of grad arrays
-        before the optimizer update, inside the fused program."""
+        before the optimizer update, inside the fused program.
+
+        ``accum_steps=N`` enables GRADIENT ACCUMULATION: the batch is split
+        into N microbatches and forward+backward runs as a ``lax.scan``
+        (activation memory is one microbatch's worth), gradients are
+        averaged, and ONE optimizer update fires — large effective batches
+        in fixed HBM.  The reported loss is the microbatch mean.  BatchNorm
+        statistics are per-microbatch (running stats EMA chains N times per
+        step, like N sequential small steps); dropout draws fresh masks per
+        microbatch."""
         self.model = model
         self.optimizer = optimizer
         self.criterion = criterion
         self.metrics_fn = metrics_fn
         self.compute_dtype = compute_dtype
         self.grad_transform = grad_transform
+        self.accum_steps = int(accum_steps)
+        if self.accum_steps < 1:
+            raise ValueError("accum_steps must be >= 1")
+        if self.accum_steps > 1 and metrics_fn is not None:
+            raise ValueError("metrics_fn is not supported with accum_steps > 1")
 
         self._device = tpu()
         if not self._device.enabled():
@@ -187,16 +202,38 @@ class CompiledTrainStep:
             x_in = x.astype(cd) if cd is not None and jnp.issubdtype(
                 jnp.asarray(x).dtype, jnp.floating
             ) else x
-            xt = Tensor(BackendTensor._wrap(x_in, dev))
-            yt = Tensor(BackendTensor._wrap(y, dev))
-            out = self.model(xt)
-            loss = self.criterion(out, yt)
-            loss.backward(retain_graph=True)
-            grads = [
-                (p.grad.array if p.grad is not None else None) for p in self._params
-            ]
-            if cd is not None:
-                grads = [None if g is None else g.astype(jnp.float32) for g in grads]
+
+            def fwd_bwd(xb, yb):
+                """One microbatch forward+backward on a fresh tape; params
+                and buffers are read from their current bindings.  Returns
+                (loss array, grads list with None for no-grad params, out)."""
+                Graph.node_list = []
+                for p in self._params:
+                    p.grad = None
+                    p.children.clear()
+                    p.parents.clear()
+                    Graph.add(p)
+                xt = Tensor(BackendTensor._wrap(xb, dev))
+                yt = Tensor(BackendTensor._wrap(yb, dev))
+                out = self.model(xt)
+                loss = self.criterion(out, yt)
+                loss.backward(retain_graph=True)
+                grads = [
+                    (p.grad.array if p.grad is not None else None)
+                    for p in self._params
+                ]
+                if cd is not None:
+                    grads = [
+                        None if g is None else g.astype(jnp.float32)
+                        for g in grads
+                    ]
+                return loss.data.array, grads, out
+
+            if self.accum_steps == 1:
+                loss_arr, grads, out = fwd_bwd(x_in, y)
+            else:
+                loss_arr, grads = self._accumulated(x_in, y, fwd_bwd, jnp)
+                out = None
             if self.grad_transform is not None:
                 grads = self.grad_transform(grads)
             opt_params = [param_arrays[i] for i in self._opt_index]
@@ -216,15 +253,13 @@ class CompiledTrainStep:
                 for b, orig in zip(self._buffers, saved_buffers)
             ]
             metrics = None
-            if self.metrics_fn is not None:
-                m = self.metrics_fn(out, yt)
+            if self.metrics_fn is not None and out is not None:
+                m = self.metrics_fn(out, Tensor(BackendTensor._wrap(y, dev)))
                 metrics = jax.tree.map(
                     lambda v: v.data.array if isinstance(v, Tensor) else v, m
                 )
-            loss_out = loss.data.array
+            loss_out = loss_arr
             if cd is not None:
-                import jax.numpy as jnp
-
                 loss_out = loss_out.astype(jnp.float32)
             return loss_out, new_params, new_buffers, new_opt_state, metrics
         finally:
@@ -238,6 +273,52 @@ class CompiledTrainStep:
             Graph.node_list = saved_tape
             df_random.clear_trace_key()
             set_grad_enabled(saved_grad_flag)
+
+    # ------------------------------------------------------------------
+    def _accumulated(self, x, y, fwd_bwd, jnp):
+        """Gradient accumulation: microbatch 0 runs inline (discovering the
+        grad structure — which params have None grads is trace-static), the
+        remaining accum_steps-1 microbatches run as a ``lax.scan`` whose
+        carry is (grad accumulators, buffer arrays, microbatch index), so
+        compiled activation memory is ONE microbatch's worth."""
+        from jax import lax
+
+        n = self.accum_steps
+        batch = x.shape[0]
+        if batch % n:
+            raise ValueError(
+                f"batch size {batch} not divisible by accum_steps {n}"
+            )
+        micro = batch // n
+        xm = x.reshape((n, micro) + x.shape[1:])
+        ym = y.reshape((n, micro) + y.shape[1:])
+        step_key = df_random.get_trace_key()
+        loss0, grads0, _ = fwd_bwd(xm[0], ym[0])
+        buf0 = [b.data.array for b in self._buffers]
+        dev = self._device
+
+        def body(carry, xy):
+            grads_acc, bufs, k = carry
+            xb, yb = xy
+            for b, arr in zip(self._buffers, bufs):
+                b.data = BackendTensor._wrap(arr, dev)
+            df_random.set_trace_key(jax.random.fold_in(step_key, k))
+            loss_k, grads_k, _ = fwd_bwd(xb, yb)
+            new_acc = [
+                None if a is None else a + g
+                for a, g in zip(grads_acc, grads_k)
+            ]
+            new_bufs = [b.data.array for b in self._buffers]
+            return (new_acc, new_bufs, k + 1), loss_k
+
+        (grads_fin, bufs_fin, _), losses = lax.scan(
+            body, (grads0, buf0, jnp.int32(1)), (xm[1:], ym[1:])
+        )
+        for b, arr in zip(self._buffers, bufs_fin):
+            b.data = BackendTensor._wrap(arr, dev)
+        grads = [None if g is None else g / n for g in grads_fin]
+        loss = (loss0 + losses.sum()) / n
+        return loss, grads
 
     # ------------------------------------------------------------------
     def __call__(self, x, y):

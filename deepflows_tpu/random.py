@@ -41,6 +41,10 @@ def clear_trace_key() -> None:
     _trace_key = None
 
 
+def get_trace_key():
+    return _trace_key
+
+
 def next_key():
     global _eager_key, _trace_counter
     if _trace_key is not None:

@@ -214,3 +214,59 @@ def test_mixed_precision_bf16_step():
     # BN buffers keep f32
     assert model[1].running_mean.dtype == jnp.float32
     assert step._trace_count == 1
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """accum_steps=N must reproduce the one-big-batch update exactly for
+    BN-free models (BN microbatch statistics differ by design)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 12)).astype(np.float32)
+    y = rng.integers(0, 4, 32).astype(np.int32)
+
+    def build():
+        df.manual_seed(0)
+        m = nn.Sequential(
+            nn.Linear(12, 16, device="tpu"), nn.ReLU(),
+            nn.Linear(16, 4, device="tpu"),
+        )
+        return m, optim.SGD(m.parameters(), lr=0.05, momentum=0.9)
+
+    m1, o1 = build()
+    m2, o2 = build()
+    big = CompiledTrainStep(m1, o1, nn.CrossEntropyLoss())
+    acc = CompiledTrainStep(m2, o2, nn.CrossEntropyLoss(), accum_steps=4)
+    for _ in range(3):
+        l1, l2 = float(big(x, y)), float(acc(x, y))
+        np.testing.assert_allclose(l1, l2, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        m1[0].weight.numpy(), m2[0].weight.numpy(), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_gradient_accumulation_with_frozen_params():
+    """None grads (frozen params) must survive the scan carry."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 8)).astype(np.float32)
+    y = rng.integers(0, 2, 16).astype(np.int32)
+    df.manual_seed(0)
+    m = nn.Sequential(nn.Linear(8, 8, device="tpu"), nn.ReLU(),
+                      nn.Linear(8, 2, device="tpu"))
+    m[0].weight.requires_grad = False
+    m[0].bias.requires_grad = False
+    frozen_before = m[0].weight.numpy().copy()
+    opt = optim.Adam([p for p in m.parameters() if p.requires_grad], lr=1e-2)
+    step = CompiledTrainStep(m, opt, nn.CrossEntropyLoss(), accum_steps=2)
+    losses = [float(step(x, y)) for _ in range(4)]
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(m[0].weight.numpy(), frozen_before)
+
+
+def test_gradient_accumulation_rejects_ragged_batch():
+    df.manual_seed(0)
+    m = nn.Sequential(nn.Linear(4, 2, device="tpu"))
+    opt = optim.SGD(m.parameters(), lr=0.1)
+    step = CompiledTrainStep(m, opt, nn.CrossEntropyLoss(), accum_steps=3)
+    x = np.zeros((8, 4), np.float32)
+    y = np.zeros(8, np.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        step(x, y)
