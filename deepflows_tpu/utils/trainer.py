@@ -45,9 +45,15 @@ class Trainer:
         self.history = {"loss": [], "test_acc": [], "epoch_time": [], "lr": []}
 
     def evaluate(self, x, y, batch_size=256) -> float:
+        import jax
+
         metric = Accumulator(2)
-        for xb, yb in data_loader(x, y, batch_size):
-            pred = np.asarray(self.eval_step(xb)).argmax(1)
+        batches = list(data_loader(x, y, batch_size))
+        # dispatch all eval steps, then ONE host readback (per-batch
+        # np.asarray pays a device round-trip per batch)
+        outs = jax.device_get([self.eval_step(xb) for xb, _ in batches])
+        for logits, (_, yb) in zip(outs, batches):
+            pred = np.asarray(logits).argmax(1)
             metric.add(float((pred == yb).sum()), len(yb))
         return metric[0] / max(metric[1], 1)
 
@@ -88,7 +94,10 @@ class Trainer:
                 losses.append(self.step(xb, yb))
             if self.scheduler is not None:
                 self.scheduler.step()
-            loss = float(np.mean([float(l) for l in losses]))
+            import jax
+
+            # one transfer for all per-step losses (not one RTT per step)
+            loss = float(np.mean(jax.device_get(losses)))
             dt = time.time() - t0
             acc = (
                 self.evaluate(x_test, y_test, eval_batch_size)

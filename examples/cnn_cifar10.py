@@ -17,7 +17,7 @@ from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
 from deepflows_tpu.utils import save_checkpoint
 from deepflows_tpu.utils.data import data_loader
 
-from common import EpochTimer, get_cifar10, random_flip
+from common import EpochTimer, eval_accuracy, get_cifar10, mean_loss, random_flip
 
 
 def main(
@@ -70,18 +70,12 @@ def main(
             losses.append(step(xb, yb))
         scheduler.step()
 
-        correct = total = 0
-        for xb, yb in data_loader(x_test, y_test, batch_size):
-            pred = np.asarray(eval_step(xb)).argmax(1)
-            correct += int((pred == yb).sum())
-            total += len(yb)
-        acc = 100.0 * correct / total
+        acc = eval_accuracy(eval_step, x_test, y_test, batch_size)
         best_acc = max(best_acc, acc)
-        timer.epoch_done(
-            epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc
-        )
+        epoch_loss = mean_loss(losses)
+        timer.epoch_done(epoch, loss=epoch_loss, test_acc=acc)
         if checkpoint_path:
-            save_checkpoint(model, optimizer, epoch, float(np.mean([float(l) for l in losses])), checkpoint_path)
+            save_checkpoint(model, optimizer, epoch, epoch_loss, checkpoint_path)
         if acc >= target_acc:
             print(f"early stop: reached target accuracy {target_acc}%")
             break

@@ -137,3 +137,24 @@ class EpochTimer:
         total = time.time() - self.t_start
         print(f"total time: {total:.2f}s")
         return total
+
+
+def mean_loss(losses) -> float:
+    """Mean of per-step device-scalar losses with ONE host transfer.
+    ``[float(l) for l in losses]`` pays a tunnel round-trip PER STEP
+    (~78 x 30-50 ms per epoch at bs 64); ``jax.device_get`` of the whole
+    list is a single transfer."""
+    import jax
+
+    return float(np.mean(jax.device_get(list(losses))))
+
+
+def eval_accuracy(eval_step, x, y, batch_size=256) -> float:
+    """Batched eval with one host readback for all logits."""
+    import jax
+
+    outs = [eval_step(x[b : b + batch_size]) for b in range(0, len(x), batch_size)]
+    correct = 0
+    for logits, b in zip(jax.device_get(outs), range(0, len(x), batch_size)):
+        correct += int((np.asarray(logits).argmax(1) == y[b : b + batch_size]).sum())
+    return 100.0 * correct / len(x)

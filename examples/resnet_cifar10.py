@@ -12,7 +12,7 @@ from deepflows_tpu import models, nn, optim
 from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
 from deepflows_tpu.utils.data import data_loader
 
-from common import EpochTimer, get_cifar10, random_flip
+from common import EpochTimer, eval_accuracy, get_cifar10, mean_loss, random_flip
 
 
 def main(
@@ -50,14 +50,9 @@ def main(
             )
         ]
         scheduler.step()
-        correct = total = 0
-        for xb, yb in data_loader(x_test, y_test, batch_size):
-            pred = np.asarray(eval_step(xb)).argmax(1)
-            correct += int((pred == yb).sum())
-            total += len(yb)
-        acc = 100.0 * correct / total
+        acc = eval_accuracy(eval_step, x_test, y_test, batch_size)
         best = max(best, acc)
-        timer.epoch_done(epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc)
+        timer.epoch_done(epoch, loss=mean_loss(losses), test_acc=acc)
         if acc >= target_acc:
             break
     timer.total()
