@@ -171,3 +171,54 @@ def test_unsupported_graph_rejected(tmp_path):
         f.write(m.SerializeToString())
     with pytest.raises(ValueError, match="unsupported ONNX ops"):
         OnnxModel(path)
+
+
+def test_foreign_graph_ops_execute(tmp_path):
+    """Ops our exporter never emits but foreign files use (Gemm with transB,
+    Flatten, BatchNormalization, GlobalAveragePool) must execute correctly."""
+    from deepflows_tpu.onnx.proto import onnx_minimal_pb2 as pb
+    from deepflows_tpu.onnx.export import _tensor_proto, _value_info
+
+    rng = np.random.default_rng(0)
+    C = 3
+    scale = rng.standard_normal(C).astype(np.float32)
+    bias = rng.standard_normal(C).astype(np.float32)
+    mean = rng.standard_normal(C).astype(np.float32)
+    var = np.abs(rng.standard_normal(C)).astype(np.float32) + 0.5
+    W = rng.standard_normal((4, C)).astype(np.float32)  # Gemm weight (out,in)
+    b = rng.standard_normal(4).astype(np.float32)
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.opset_import.add().version = 13
+    g = m.graph
+    g.name = "foreign"
+    g.input.append(_value_info("input", (2, C, 5, 5), True))
+    for name, arr in [("scale", scale), ("bias", bias), ("mean", mean),
+                      ("var", var), ("W", W), ("b", b)]:
+        g.initializer.append(_tensor_proto(name, arr))
+
+    n = g.node.add(); n.op_type = "BatchNormalization"
+    n.input.extend(["input", "scale", "bias", "mean", "var"]); n.output.append("bn")
+    a = n.attribute.add(); a.name = "epsilon"; a.type = pb.AttributeProto.FLOAT; a.f = 1e-5
+    n = g.node.add(); n.op_type = "GlobalAveragePool"
+    n.input.append("bn"); n.output.append("gap")
+    n = g.node.add(); n.op_type = "Flatten"
+    n.input.append("gap"); n.output.append("flat")
+    n = g.node.add(); n.op_type = "Gemm"
+    n.input.extend(["flat", "W", "b"]); n.output.append("out")
+    a = n.attribute.add(); a.name = "transB"; a.type = pb.AttributeProto.INT; a.i = 1
+    g.output.append(_value_info("out", (2, 4), True))
+
+    path = str(tmp_path / "foreign.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+
+    from deepflows_tpu.onnx import OnnxModel
+
+    x = rng.standard_normal((2, C, 5, 5)).astype(np.float32)
+    got = OnnxModel(path)(x)
+    bn = (x - mean.reshape(1, C, 1, 1)) / np.sqrt(var.reshape(1, C, 1, 1) + 1e-5)
+    bn = bn * scale.reshape(1, C, 1, 1) + bias.reshape(1, C, 1, 1)
+    want = bn.mean((2, 3)) @ W.T + b
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
