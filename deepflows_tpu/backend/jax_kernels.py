@@ -280,6 +280,43 @@ def batchnorm_eval(x, gamma, beta, rm, rv, eps):
     return _bn_eval(x, gamma, beta, rm, rv, float(eps))
 
 
+# ---------------------------------------------------------------- losses
+@partial(jax.jit, static_argnames=("reduction",))
+def _softmax_xent(logits, target, reduction):
+    m = jnp.max(logits, 1, keepdims=True)
+    shifted = logits - m
+    logz = jnp.log(jnp.sum(jnp.exp(shifted), 1, keepdims=True))
+    nll = -(shifted - logz) * target
+    total = jnp.sum(nll)
+    if reduction == "mean":
+        total = total / logits.shape[0]
+    return total
+
+
+def softmax_xent(logits, target, reduction="mean"):
+    """Fused stable cross-entropy vs a (one-hot) target matrix in ONE
+    compiled program (reference composes it from ~10 ops,
+    `DeepFlows/nn/functional.py:104-115`)."""
+    return _softmax_xent(logits, target, reduction)
+
+
+@partial(jax.jit, static_argnames=("reduction",))
+def _softmax_xent_grad(logits, target, gy, reduction):
+    m = jnp.max(logits, 1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, 1, keepdims=True)
+    t_mass = jnp.sum(target, 1, keepdims=True)
+    g = (p * t_mass - target) * gy
+    if reduction == "mean":
+        g = g / logits.shape[0]
+    return g.astype(logits.dtype)
+
+
+def softmax_xent_grad(logits, target, gy, reduction="mean"):
+    """d(loss)/d(logits) for ``softmax_xent`` (closed form, one program)."""
+    return _softmax_xent_grad(logits, target, gy, reduction)
+
+
 # ---------------------------------------------------------------- pooling
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding"))
 def _max_pool2d(x, ksize, stride, padding):

@@ -130,6 +130,8 @@ avg_pool1d = _np_k.avg_pool1d
 avg_pool1d_grad = _np_k.avg_pool1d_grad
 conv2d_grad = _np_k.conv2d_grad
 batchnorm_grad = _np_k.batchnorm_grad
+softmax_xent = _np_k.softmax_xent
+softmax_xent_grad = _np_k.softmax_xent_grad
 batchnorm_eval = _np_k.batchnorm_eval
 
 

@@ -360,3 +360,24 @@ def batchnorm_eval(x, gamma, beta, rm, rv, eps):
     if gamma is not None:
         out = out * gamma + beta
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------- losses
+def softmax_xent(logits, target, reduction="mean"):
+    """Fused stable cross-entropy vs a (one-hot) target matrix."""
+    m = logits.max(1, keepdims=True)
+    shifted = logits - m
+    logz = np.log(np.exp(shifted).sum(1, keepdims=True))
+    total = (-(shifted - logz) * target).sum(dtype=logits.dtype)
+    if reduction == "mean":
+        total = total / logits.shape[0]
+    return np.asarray(total, logits.dtype)
+
+
+def softmax_xent_grad(logits, target, gy, reduction="mean"):
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    p = e / e.sum(1, keepdims=True)
+    g = (p * target.sum(1, keepdims=True) - target) * gy
+    if reduction == "mean":
+        g = g / logits.shape[0]
+    return g.astype(logits.dtype)

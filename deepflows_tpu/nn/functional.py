@@ -243,12 +243,46 @@ def _maybe_one_hot(target: Tensor, input: Tensor) -> Tensor:
         return Tensor(BackendTensor._wrap(oh, input.device))
 
 
+class _SoftmaxXentOp(Tensor):
+    """Fused stable cross-entropy: ONE tape node (kernel softmax_xent /
+    softmax_xent_grad) instead of the ~10 composed nodes of max/sub/exp/sum/
+    log/mul/sum — the standard classification tail, fused like _BatchNormOp.
+    ``target`` is a constant one-hot/weight matrix (raw array)."""
+
+    def __init__(self, x: Tensor, target_arr, reduction: str):
+        dev = x.device
+        self.reduction = reduction
+        self._target_arr = target_arr
+        out = dev.softmax_xent(x.data.array, target_arr, reduction)
+        super().__init__(
+            BackendTensor._wrap(out, dev),
+            device=dev,
+            requires_grad=is_grad_enable() and x.requires_grad,
+        )
+        self._x = x
+        if self.requires_grad:
+            x.build_edge(self)
+
+    def grad_fn(self, node, grad):
+        gx = self.device.softmax_xent_grad(
+            self._x.data.array, self._target_arr, grad.array, self.reduction
+        )
+        return BackendTensor._wrap(gx, self.device)
+
+
 def cross_entropy(
     input: Tensor, target: Tensor, reduction: str = "mean", dim: int = 1
 ) -> Tensor:
     """Stable log-softmax cross-entropy vs one-hot (or integer) target;
     'mean' divides by the batch size (reference `functional.py:104-115`)."""
     target = _maybe_one_hot(target, input)
+    if (
+        input.ndim == 2
+        and dim == 1
+        and reduction in ("mean", "sum")
+        and not target.requires_grad
+    ):
+        return _SoftmaxXentOp(input, target.data.array, reduction)
     m = tensor.max(input, dim, True)
     shifted = input - m
     log_sum_exp = tensor.log(tensor.sum(tensor.exp(shifted), dim, True))

@@ -440,3 +440,31 @@ def test_batchnorm_eval_fast_path_constant(device):
     assert not y.requires_grad
     assert len(Graph.node_list) == n0
     df.set_grad_enabled(True)
+
+
+def test_fused_cross_entropy_grads_match_torch(device):
+    """The fused _SoftmaxXentOp (one tape node) must match torch for both
+    reductions, int and one-hot targets, incl. the logits gradient."""
+    logits = RNG.standard_normal((6, 5)).astype(np.float32)
+    labels = RNG.integers(0, 5, 6)
+    for reduction in ("mean", "sum"):
+        for tgt in (labels.astype(np.int32), np.eye(5, dtype=np.float32)[labels]):
+            t = Tensor(logits.copy(), device=device, requires_grad=True)
+            loss = nn.functional.cross_entropy(
+                t, Tensor(tgt, device=device), reduction=reduction
+            )
+            from deepflows_tpu.nn.functional import _SoftmaxXentOp
+
+            assert isinstance(loss, _SoftmaxXentOp)  # fused path engaged
+            loss.backward()
+            lt = torch.tensor(logits, requires_grad=True)
+            tl = torch.nn.functional.cross_entropy(
+                lt, torch.tensor(labels, dtype=torch.long), reduction=reduction
+            )
+            tl.backward()
+            np.testing.assert_allclose(
+                float(loss.numpy()), float(tl.detach()), rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                t.grad.numpy(), lt.grad.numpy(), rtol=1e-4, atol=1e-6
+            )
