@@ -63,8 +63,11 @@ def _timed_repeats(one_chain, repeats):
 
 
 def _flops_of(jitted, *args):
+    """FLOPs from the LOWERED (uncompiled) program — within ~2% of the
+    compiled count, and avoids re-compiling executables the bench already
+    compiled once (multi-minute through this environment's TPU tunnel)."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = jitted.lower(*args).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None

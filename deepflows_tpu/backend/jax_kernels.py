@@ -270,7 +270,9 @@ def _bn_eval(x, gamma, beta, rm, rv, eps):
     out = (x - rm) / jnp.sqrt(rv + eps)
     if gamma is not None:
         out = out * gamma + beta
-    return out
+    # f32 running stats must not upcast a bf16 inference graph (protocol:
+    # the numpy kernel casts back to x.dtype too)
+    return out.astype(x.dtype)
 
 
 def batchnorm_eval(x, gamma, beta, rm, rv, eps):

@@ -316,8 +316,13 @@ class CompiledTrainStep:
         )
         for b, arr in zip(self._buffers, bufs_fin):
             b.data = BackendTensor._wrap(arr, dev)
-        grads = [None if g is None else g / n for g in grads_fin]
-        loss = (loss0 + losses.sum()) / n
+        # a mean-reduction criterion averaged within each microbatch, so the
+        # cross-microbatch combine is also a mean; a sum-reduction criterion
+        # must SUM (dividing would silently rescale the effective lr)
+        mean_like = getattr(self.criterion, "reduction", "mean") != "sum"
+        scale = (1.0 / n) if mean_like else 1.0
+        grads = [None if g is None else g * scale for g in grads_fin]
+        loss = (loss0 + losses.sum()) * scale
         return loss, grads
 
     # ------------------------------------------------------------------

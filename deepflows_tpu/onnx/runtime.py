@@ -106,13 +106,13 @@ class OnnxModel:
             raise ValueError(f"graph outputs never produced: {missing}")
 
     # ------------------------------------------------------------ execution
-    def _run(self, consts, x):
+    def _run(self, consts, xs):
         import jax.numpy as jnp
 
         from ..backend import jax_kernels as K
 
         env = dict(consts)
-        env[self.input_names[0]] = x
+        env.update(zip(self.input_names, xs))
 
         def pads4(attrs):
             p = attrs.get("pads", (0, 0, 0, 0))
@@ -217,16 +217,21 @@ class OnnxModel:
                 raise ValueError(t)
         return tuple(env[name] for name in self.output_names)
 
-    def __call__(self, x):
+    def __call__(self, *xs):
         import jax
 
-        x = np.asarray(x, np.float32)
-        key = x.shape
+        if len(xs) != len(self.input_names):
+            raise ValueError(
+                f"graph takes {len(self.input_names)} inputs "
+                f"{self.input_names}, got {len(xs)}"
+            )
+        xs = tuple(np.asarray(x, np.float32) for x in xs)
+        key = tuple(x.shape for x in xs)
         if key not in self._jitted:
             consts = {k: jax.device_put(v) for k, v in self.initializers.items()}
-            run = jax.jit(lambda xx: self._run(consts, xx))
+            run = jax.jit(lambda *a: self._run(consts, a))
             self._jitted[key] = run
-        outs = self._jitted[key](x)
+        outs = self._jitted[key](*xs)
         out = [np.asarray(o) for o in outs]
         return out[0] if len(out) == 1 else out
 

@@ -244,8 +244,9 @@ def _adam_sr_math(p_ref, g_ref, v_ref, s_ref, h_ref, p_out, v_out, s_out, bits):
 
 def _adam_sr_kernel_tpu(seed_ref, p_ref, g_ref, v_ref, s_ref, h_ref, p_out, v_out, s_out):
     # in-kernel PRNG: the random bits never touch HBM (a fusion XLA cannot
-    # express -- threefry output would be materialized between programs)
-    pltpu.prng_seed(seed_ref[0])
+    # express -- threefry output would be materialized between programs).
+    # per-grid-block seed offset keeps blocks' bit streams independent
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.bitcast(pltpu.prng_random_bits(p_ref.shape), jnp.uint32)
     _adam_sr_math(p_ref, g_ref, v_ref, s_ref, h_ref, p_out, v_out, s_out, bits)
 
@@ -273,13 +274,20 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
     Returns (new_p bf16, new_v f32, new_s f32)."""
     shape = p.shape
     n = p.size
-    lanes = 128 * 16  # bf16 min tile is (16, 128)
+    # grid-block over rows so VMEM stays bounded for ResNet-scale params:
+    # per block, 4 f32 + bf16/bf16 buffers of (BLOCK_ROWS, 128) ≈ 1.8 MB
+    BLOCK_ROWS = 512  # multiple of 16 (bf16 min sublane tile)
+    lanes = 128 * 16
     npad = _round_up(max(n, lanes), lanes)
+    rows = npad // 128
+    nblocks = pl.cdiv(rows, BLOCK_ROWS)
+    rows_padded = nblocks * BLOCK_ROWS
+    npad = rows_padded * 128
 
     def pad(a, dtype):
         return (
             jnp.pad(a.reshape(-1).astype(dtype), (0, npad - n))
-            .reshape(npad // 128, 128)
+            .reshape(rows_padded, 128)
         )
 
     p2 = pad(p, jnp.bfloat16)
@@ -289,14 +297,17 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
         jax.ShapeDtypeStruct(p2.shape, jnp.float32),
         jax.ShapeDtypeStruct(p2.shape, jnp.float32),
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # index_map receives the scalar-prefetch refs after the grid indices
+    blk = pl.BlockSpec(
+        (BLOCK_ROWS, 128), lambda i, *_refs: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if not _interpret():
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[vmem, vmem, vmem, vmem,
-                      pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(vmem, vmem, vmem),
+            grid=(nblocks,),
+            in_specs=[blk, blk, blk, blk, smem],
+            out_specs=(blk, blk, blk),
         )
         new_p, new_v, new_s = pl.pallas_call(
             _adam_sr_kernel_tpu, grid_spec=grid_spec, out_shape=out_shape
@@ -305,10 +316,9 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
         bits = jax.random.bits(jax.random.PRNGKey(seed[0]), p2.shape, jnp.uint32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[vmem, vmem, vmem, vmem, vmem,
-                      pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(vmem, vmem, vmem),
+            grid=(nblocks,),
+            in_specs=[blk, blk, blk, blk, blk, smem],
+            out_specs=(blk, blk, blk),
         )
         new_p, new_v, new_s = pl.pallas_call(
             _adam_sr_kernel_bits,

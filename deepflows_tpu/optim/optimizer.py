@@ -106,7 +106,13 @@ class Optimizer:
         if "lr" in sd:
             self.lr = sd["lr"]
 
-    def _zeros_like_params(self):
-        return [
-            p.device.fill(p.shape, 0.0, dtype=p.dtype) for p in self.params
-        ]
+    def _zeros_like_params(self, dtype=None):
+        """Zero state slots.  ``dtype`` defaults to float32 rather than the
+        parameter dtype: moment/accumulator state must stay f32 even for
+        bf16 parameters (f32 grads promote the first update to f32 anyway —
+        a param-dtype init would flip the state dtype after step 1 and force
+        a full retrace of compiled steps)."""
+        import numpy as np
+
+        dtype = dtype or np.float32
+        return [p.device.fill(p.shape, 0.0, dtype=dtype) for p in self.params]

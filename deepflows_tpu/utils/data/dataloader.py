@@ -174,29 +174,23 @@ class DataLoader:
         self.as_contiguous = as_contiguous
         self.collate_fn = collate_fn
         self.device = device
-        self._custom_sampler = sampler
-        self._rng = np.random.default_rng(seed)
-        # kept for surface parity with the reference loader
+        # `sampler` is the single source of truth for iteration order —
+        # replacing loader.sampler (the reference's surface) takes effect on
+        # the next epoch
         self.sampler = sampler if sampler is not None else (
             RandomSampler(dataset, seed=seed) if shuffle else SequentialSampler(dataset)
         )
-        self.batch_sampler = BatchSampler(self.sampler, self.batch_size, drop_last)
+
+    @property
+    def batch_sampler(self):
+        """Chunked view over the CURRENT ``self.sampler``."""
+        return BatchSampler(self.sampler, self.batch_size, self.drop_last)
 
     # -- index planning -------------------------------------------------
     def _plan(self):
-        """Yield per-batch index lists for one epoch."""
-        if self._custom_sampler is not None:
-            yield from BatchSampler(
-                self._custom_sampler, self.batch_size, self.drop_last
-            )
-            return
-        n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        tail = n - n % self.batch_size
-        for lo in range(0, tail, self.batch_size):
-            yield order[lo : lo + self.batch_size].tolist()
-        if tail < n and not self.drop_last:
-            yield order[tail:].tolist()
+        """Yield per-batch index lists for one epoch (driven by
+        ``self.sampler`` so custom/replaced samplers are honored)."""
+        yield from self.batch_sampler
 
     # -- batch assembly (runs on the prefetch thread when enabled) ------
     def _assemble(self, idx):
@@ -219,10 +213,7 @@ class DataLoader:
         return map(self._assemble, plan)
 
     def __len__(self):
-        if self._custom_sampler is not None:
-            return len(self.batch_sampler)
-        full, rem = divmod(len(self.dataset), self.batch_size)
-        return full + (1 if rem and not self.drop_last else 0)
+        return len(self.batch_sampler)
 
 
 def _stage(batch, device):

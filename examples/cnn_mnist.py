@@ -12,7 +12,7 @@ from deepflows_tpu import models, nn, optim
 from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
 from deepflows_tpu.utils.data import data_loader
 
-from common import EpochTimer, get_mnist
+from common import EpochTimer, get_mnist, mean_loss
 
 
 def main(device="tpu", epochs=3, batch_size=64, lr=1e-3, limit=None):
@@ -36,7 +36,7 @@ def main(device="tpu", epochs=3, batch_size=64, lr=1e-3, limit=None):
             correct += int((pred == yb).sum())
             total += len(yb)
         acc = 100.0 * correct / total
-        timer.epoch_done(epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc)
+        timer.epoch_done(epoch, loss=mean_loss(losses), test_acc=acc)
     timer.total()
     return acc
 

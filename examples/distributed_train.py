@@ -63,6 +63,8 @@ def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
     )
     import time
 
+    import jax
+
     n_chips = devices
     throughput = []
     for epoch in range(epochs):
@@ -74,13 +76,14 @@ def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
         ):
             losses.append(step(xb, yb))
             n_images += len(yb)
-        # force completion before reading the clock (async dispatch)
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        # force completion before reading the clock (async dispatch) — one
+        # device_get for all step losses, not one transfer per step
+        epoch_loss = float(np.mean(jax.device_get(losses)))
         dt = time.time() - t0
         ips = n_images / dt
         throughput.append(ips)
         print(
-            f"epoch {epoch}: loss={mean_loss:.4f} "
+            f"epoch {epoch}: loss={epoch_loss:.4f} "
             f"{ips:,.0f} img/s total = {ips / n_chips:,.0f} img/s/chip "
             f"({n_chips} devices)"
         )

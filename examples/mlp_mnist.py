@@ -15,7 +15,7 @@ from deepflows_tpu.jit import CompiledTrainStep
 from deepflows_tpu.utils import evaluate_accuracy
 from deepflows_tpu.utils.data import data_loader
 
-from common import EpochTimer, get_mnist
+from common import EpochTimer, get_mnist, mean_loss
 
 
 def main(device="tpu", epochs=5, batch_size=256, lr=1e-3, compiled=True, limit=None):
@@ -43,7 +43,7 @@ def main(device="tpu", epochs=5, batch_size=256, lr=1e-3, compiled=True, limit=N
                 losses.append(float(loss.numpy()))
         acc = evaluate_accuracy(model, data_loader(x_test, y_test, batch_size))
         model.train()
-        timer.epoch_done(epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc)
+        timer.epoch_done(epoch, loss=mean_loss(losses), test_acc=acc)
     timer.total()
     return acc
 

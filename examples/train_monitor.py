@@ -17,7 +17,7 @@ from deepflows_tpu.jit import CompiledTrainStep
 from deepflows_tpu.utils import load_checkpoint, save_checkpoint
 from deepflows_tpu.utils.data import data_loader
 
-from common import EpochTimer, get_cifar10
+from common import EpochTimer, get_cifar10, mean_loss
 
 
 def device_memory_mb():
@@ -50,7 +50,7 @@ def main(epochs=3, batch_size=64, checkpoint="/tmp/dishes_monitor_ck.pkl", limit
         ]
         mem = device_memory_mb()
         mem_usage.append(mem)
-        loss = float(np.mean([float(l) for l in losses]))
+        loss = mean_loss(losses)
         timer.epoch_done(epoch, loss=loss, device_mem_mb=mem)
         save_checkpoint(
             model, opt, epoch, loss, checkpoint,

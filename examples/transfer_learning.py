@@ -18,7 +18,7 @@ from deepflows_tpu.utils.pretrained_models import (
     is_pretrained_available,
 )
 
-from common import EpochTimer, get_cifar10, random_flip
+from common import EpochTimer, get_cifar10, mean_loss, random_flip
 
 
 def build_model(device="tpu", pretrained_dir=None, freeze_backbone=False):
@@ -77,7 +77,7 @@ def main(
             total += len(yb)
         acc = 100.0 * correct / total
         best = max(best, acc)
-        timer.epoch_done(epoch, loss=float(np.mean([float(l) for l in losses])), test_acc=acc)
+        timer.epoch_done(epoch, loss=mean_loss(losses), test_acc=acc)
     timer.total()
     print(f"best test accuracy: {best:.2f}%")
     return best

@@ -326,8 +326,8 @@ def run(model_name, batch_size, steps, warmup=5, image_size=None,
     x, y = jax.device_put(x), jax.device_put(y)
     flops = None
     try:
-        comp = jitted.lower(params, state, opt, np.int32(0), x, y).compile()
-        ca = comp.cost_analysis()
+        # lowered (uncompiled) cost analysis — avoids a duplicate compile
+        ca = jitted.lower(params, state, opt, np.int32(0), x, y).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None

@@ -171,3 +171,132 @@ def test_adam_fused_after_late_device_move():
     y = RNG.standard_normal((4, 2)).astype(np.float32)
     l1, l2 = float(step(x, y)), float(step(x, y))
     assert np.isfinite(l1) and l2 < l1
+
+
+# ---------------------------------------------------- round-2 review fixes
+def test_sr_adam_no_retrace_after_first_step():
+    """Moments must init f32 (not param dtype): a bf16 init flipped the
+    opt-state dtype after step 1 and forced a full XLA retrace."""
+    import numpy as np
+
+    from deepflows_tpu import nn, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    df.manual_seed(0)
+    m = nn.Sequential(nn.Linear(8, 8, device="tpu"), nn.ReLU(),
+                      nn.Linear(8, 2, device="tpu")).bfloat16()
+    opt = optim.Adam(m.parameters(), lr=1e-3, stochastic_round=True)
+    step = CompiledTrainStep(m, opt, nn.CrossEntropyLoss())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    y = rng.integers(0, 2, 4).astype(np.int32)
+    import jax.numpy as jnp
+
+    assert opt._state["v"][0].dtype == jnp.float32  # before any step
+    for _ in range(3):
+        step(x, y)
+    assert step._trace_count == 1
+
+
+def test_batchnorm_eval_preserves_dtype():
+    """jax batchnorm_eval must not upcast bf16 inference to f32 (protocol
+    parity with the numpy kernel)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepflows_tpu.backend import jax_kernels as jk
+    from deepflows_tpu.backend import numpy_kernels as nk
+
+    x = jnp.ones((2, 3, 4, 4), jnp.bfloat16)
+    rm = jnp.zeros((1, 3, 1, 1), jnp.float32)
+    rv = jnp.ones((1, 3, 1, 1), jnp.float32)
+    g = jnp.ones((1, 3, 1, 1), jnp.float32)
+    b = jnp.zeros((1, 3, 1, 1), jnp.float32)
+    out = jk.batchnorm_eval(x, g, b, rm, rv, 1e-5)
+    assert out.dtype == jnp.bfloat16
+    out_np = nk.batchnorm_eval(
+        np.ones((2, 3, 4, 4), np.float32), np.asarray(g), np.asarray(b),
+        np.asarray(rm), np.asarray(rv), 1e-5,
+    )
+    assert out_np.dtype == np.float32
+
+
+def test_grad_accumulation_sum_reduction():
+    """accum_steps with a sum-reduction criterion must SUM (not average) —
+    averaging silently rescaled the effective lr."""
+    import numpy as np
+
+    from deepflows_tpu import nn, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 8)).astype(np.float32)
+    y = rng.integers(0, 2, 16).astype(np.int32)
+
+    def build():
+        df.manual_seed(0)
+        m = nn.Sequential(nn.Linear(8, 2, device="tpu"))
+        return m, optim.SGD(m.parameters(), lr=0.01)
+
+    m1, o1 = build()
+    m2, o2 = build()
+    crit = nn.CrossEntropyLoss(reduction="sum")
+    big = CompiledTrainStep(m1, o1, crit)
+    acc = CompiledTrainStep(m2, o2, crit, accum_steps=4)
+    l1, l2 = float(big(x, y)), float(acc(x, y))
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    np.testing.assert_allclose(
+        m1[0].weight.numpy(), m2[0].weight.numpy(), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_onnx_multi_input_graph():
+    """Multi-input ONNX graphs must execute (were a KeyError inside jit)."""
+    import numpy as np
+
+    from deepflows_tpu.onnx import OnnxModel
+    from deepflows_tpu.onnx.export import _value_info
+    from deepflows_tpu.onnx.proto import onnx_minimal_pb2 as pb
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.opset_import.add().version = 13
+    g = m.graph
+    g.input.append(_value_info("a", (2, 3), True))
+    g.input.append(_value_info("b", (2, 3), True))
+    n = g.node.add()
+    n.op_type = "Add"
+    n.input.extend(["a", "b"])
+    n.output.append("out")
+    g.output.append(_value_info("out", (2, 3), True))
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "two.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    om = OnnxModel(path)
+    a = np.ones((2, 3), np.float32)
+    b = np.full((2, 3), 2.0, np.float32)
+    np.testing.assert_allclose(om(a, b), a + b)
+    with pytest.raises(ValueError, match="inputs"):
+        om(a)
+
+
+def test_dataloader_sampler_replacement_takes_effect():
+    """loader.sampler is the single source of truth (the reference surface);
+    replacing it post-construction must change iteration order."""
+    import numpy as np
+
+    from deepflows_tpu.utils.data import DataLoader, SequentialSampler, TensorDataset
+
+    X = np.arange(8, dtype=np.float32).reshape(8, 1)
+    y = np.arange(8, dtype=np.int32)
+    loader = DataLoader(TensorDataset(X, y), batch_size=4)
+
+    class Reversed(SequentialSampler):
+        def __iter__(self):
+            return iter(range(len(self.source) - 1, -1, -1))
+
+    loader.sampler = Reversed(loader.dataset)
+    got = np.concatenate([b[1] for b in loader])
+    np.testing.assert_array_equal(got, np.arange(7, -1, -1))
