@@ -135,12 +135,16 @@ def default_device() -> BackendDevice:
     """Default device for tensors created without ``device=``.
 
     ``DEEPFLOWS_BACKEND`` forces it by device name (``cpu`` / ``tpu`` /
-    ``cpu_native``); unset or unknown names fall back to cpu.  The reference
-    kept the analogous env override commented out
+    ``cpu_native``); unset or unknown names fall back to cpu.  Re-read per
+    call (cheap dict lookup; tests toggle it) — the reference kept the
+    analogous env override commented out
     (`DeepFlows/backend_selection.py:3-4`)."""
     import os
 
-    name = os.environ.get("DEEPFLOWS_BACKEND", "").strip().lower()
+    raw = os.environ.get("DEEPFLOWS_BACKEND")
+    if not raw:  # fast path for the common no-override case
+        return cpu()
+    name = raw.strip().lower()
     if name in ("", "nd", "np", "cpu"):
         return cpu()
     try:

@@ -234,7 +234,9 @@ def _bn_train(x, gamma, beta, axes, eps):
     out = diff / jnp.sqrt(var + eps)
     if gamma is not None:
         out = out * gamma + beta
-    return out, mean, var
+    # f32 affine params must not upcast bf16 activations (protocol parity
+    # with the numpy kernel's out.astype(x.dtype))
+    return out.astype(x.dtype), mean, var
 
 
 def batchnorm_train(x, gamma, beta, axes, eps):

@@ -12,6 +12,8 @@ import os
 from . import backend as backend_api
 from .backend import BackendTensor, Device, default_device
 
-BACKEND = os.environ.get("DEEPFLOWS_BACKEND", "nd")  # see default_device()
+# informational snapshot at import time (reference surface); the live lookup
+# happens in backend.device.default_device(), which re-reads the env var
+BACKEND = os.environ.get("DEEPFLOWS_BACKEND", "nd")
 
 __all__ = ["BACKEND", "backend_api", "BackendTensor", "Device", "default_device"]

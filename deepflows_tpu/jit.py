@@ -314,6 +314,9 @@ class CompiledTrainStep:
         (grads_fin, bufs_fin, _), losses = lax.scan(
             body, (grads0, buf0, jnp.int32(1)), (xm[1:], ym[1:])
         )
+        # the body left the global trace key bound to a scan-local tracer;
+        # restore a valid key for anything drawing randomness after the scan
+        df_random.set_trace_key(jax.random.fold_in(step_key, n))
         for b, arr in zip(self._buffers, bufs_fin):
             b.data = BackendTensor._wrap(arr, dev)
         # a mean-reduction criterion averaged within each microbatch, so the

@@ -331,7 +331,8 @@ class _BatchNormOp(Tensor):
         out, mean, var = dev.batchnorm_train(
             x.data.array, w_arr, b_arr, self.axes, self.eps
         )
-        self.mean, self.var = mean, var
+        # stash for the module's EMA; names must NOT shadow Tensor.mean/var
+        self.batch_mean, self.batch_var = mean, var
         rg = is_grad_enable() and (
             x.requires_grad
             or (weight is not None and weight.requires_grad)
@@ -365,7 +366,8 @@ class _BatchNormOp(Tensor):
 def batch_norm(x: Tensor, weight, bias, axes, eps: float = 1e-5) -> Tensor:
     """Fused train-mode batch normalization over ``axes`` (biased variance,
     reference numerics `nn/modules/batchnorm.py:31-42`).  Returns the
-    normalized tensor; batch stats are on the op node (``out.mean/.var``)."""
+    normalized tensor; batch stats are on the op node
+    (``out.batch_mean``/``out.batch_var``)."""
     return _BatchNormOp(x, weight, bias, axes, eps)
 
 

@@ -68,10 +68,12 @@ class _BatchNormNd(Module):
                 m = self.momentum
                 dev = x.device
                 self.running_mean.data = BackendTensor._wrap(
-                    self.running_mean.data.array * (1 - m) + out.mean * m, dev
+                    self.running_mean.data.array * (1 - m) + out.batch_mean * m,
+                    dev,
                 )
                 self.running_var.data = BackendTensor._wrap(
-                    self.running_var.data.array * (1 - m) + out.var * m, dev
+                    self.running_var.data.array * (1 - m) + out.batch_var * m,
+                    dev,
                 )
             return out
         if not (is_grad_enable() and (x.requires_grad or self.affine)):

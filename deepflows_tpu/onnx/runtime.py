@@ -38,6 +38,8 @@ def _decode_tensor(tp: pb.TensorProto) -> np.ndarray:
         arr = np.asarray(tp.int64_data, np.int64).astype(dtype)
     elif tp.int32_data:
         arr = np.asarray(tp.int32_data, np.int32).astype(dtype)
+    elif tp.double_data:
+        arr = np.asarray(tp.double_data, np.float64).astype(dtype)
     else:
         arr = np.zeros(shape, dtype)
     return arr.reshape(shape)
@@ -78,6 +80,7 @@ class OnnxModel:
         self.nodes = list(g.node)
         self._validate()
         self._jitted = {}
+        self._consts = None  # device-resident initializers, shared per shape
 
     # ------------------------------------------------------------ checking
     SUPPORTED = {
@@ -88,10 +91,32 @@ class OnnxModel:
         "BatchNormalization",
     }
 
+    # attributes whose NON-DEFAULT values would change numerics silently
+    _REJECT_ATTRS = {
+        "Conv": {"dilations": lambda v: any(d != 1 for d in v),
+                 "auto_pad": lambda v: v not in ("", "NOTSET")},
+        "MaxPool": {"dilations": lambda v: any(d != 1 for d in v),
+                    "ceil_mode": lambda v: v != 0,
+                    "auto_pad": lambda v: v not in ("", "NOTSET")},
+        "AveragePool": {"ceil_mode": lambda v: v != 0,
+                        "auto_pad": lambda v: v not in ("", "NOTSET")},
+    }
+
     def _validate(self):
         unsupported = {n.op_type for n in self.nodes} - self.SUPPORTED
         if unsupported:
             raise ValueError(f"unsupported ONNX ops: {sorted(unsupported)}")
+        for n in self.nodes:
+            checks = self._REJECT_ATTRS.get(n.op_type)
+            if not checks:
+                continue
+            a = _attrs(n)
+            for name, bad in checks.items():
+                if name in a and bad(a[name]):
+                    raise ValueError(
+                        f"node {n.name or n.op_type}: unsupported attribute "
+                        f"{name}={a[name]!r} (would silently change numerics)"
+                    )
         known = set(self.initializers) | set(self.input_names)
         for n in self.nodes:
             for i in n.input:
@@ -134,14 +159,15 @@ class OnnxModel:
                 if len(ins) == 3:  # optional bias (C,)
                     env[o] = env[o] + ins[2].reshape(1, -1, 1, 1)
             elif t == "MaxPool":
+                # ONNX defaults strides to 1 per spatial axis (NOT kernel)
                 env[o] = K.max_pool2d(
                     ins[0], a["kernel_shape"],
-                    a.get("strides", a["kernel_shape"]), pads4(a),
+                    a.get("strides", (1, 1)), pads4(a),
                 )
             elif t == "AveragePool":
                 env[o] = K.avg_pool2d(
                     ins[0], a["kernel_shape"],
-                    a.get("strides", a["kernel_shape"]), pads4(a),
+                    a.get("strides", (1, 1)), pads4(a),
                 )
             elif t == "GlobalAveragePool":
                 env[o] = jnp.mean(ins[0], axis=(2, 3), keepdims=True)
@@ -228,7 +254,11 @@ class OnnxModel:
         xs = tuple(np.asarray(x, np.float32) for x in xs)
         key = tuple(x.shape for x in xs)
         if key not in self._jitted:
-            consts = {k: jax.device_put(v) for k, v in self.initializers.items()}
+            if self._consts is None:  # one device copy, shared by all shapes
+                self._consts = {
+                    k: jax.device_put(v) for k, v in self.initializers.items()
+                }
+            consts = self._consts
             run = jax.jit(lambda *a: self._run(consts, a))
             self._jitted[key] = run
         outs = self._jitted[key](*xs)

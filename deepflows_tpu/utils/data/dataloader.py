@@ -83,60 +83,68 @@ class BatchSampler(Sampler):
         return full + (1 if rem and not self.drop_last else 0)
 
 
+_DONE = object()
+
+
+def _produce(batch_indices, assemble, q, stop, errbox):
+    """Producer body — a FREE function so the worker thread holds no
+    reference to the _Prefetcher (otherwise an abandoned, never-started
+    iterator could never be garbage-collected and its thread would spin
+    forever)."""
+    try:
+        for idx in batch_indices:
+            if stop.is_set():
+                return
+            item = assemble(idx)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+    except BaseException as exc:  # surfaced on the consumer thread
+        errbox.append(exc)
+    finally:
+        while not stop.is_set():
+            try:
+                q.put(_DONE, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
+
 class _Prefetcher:
     """Daemon producer thread pushing assembled batches into a bounded queue.
 
-    The queue depth bounds host memory; ``close()`` (or generator teardown)
-    stops the producer promptly even when the consumer exits mid-epoch, so an
-    early-stopped training loop doesn't strand a blocked thread.
-    """
-
-    _DONE = object()
+    The queue depth bounds host memory; ``close()`` stops the producer
+    promptly — it runs from generator teardown when a consumer exits
+    mid-epoch, and from ``__del__`` when an iterator is dropped without ever
+    being started."""
 
     def __init__(self, batch_indices, assemble, depth):
         self._queue = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
-        self._error = None
+        self._errbox = []
         self._worker = threading.Thread(
-            target=self._produce,
-            args=(batch_indices, assemble),
+            target=_produce,
+            args=(batch_indices, assemble, self._queue, self._stop, self._errbox),
             daemon=True,
             name="deepflows-prefetch",
         )
         self._worker.start()
 
-    def _produce(self, batch_indices, assemble):
-        try:
-            for idx in batch_indices:
-                if self._stop.is_set():
-                    return
-                item = assemble(idx)
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-        except BaseException as exc:  # surfaced on the consumer thread
-            self._error = exc
-        finally:
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(self._DONE, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
-
     def close(self):
         self._stop.set()
+
+    __del__ = close
 
     def __iter__(self):
         try:
             while True:
                 item = self._queue.get()
-                if item is self._DONE:
-                    if self._error is not None:
-                        raise self._error
+                if item is _DONE:
+                    if self._errbox:
+                        raise self._errbox[0]
                     return
                 yield item
         finally:

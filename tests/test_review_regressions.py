@@ -300,3 +300,126 @@ def test_dataloader_sampler_replacement_takes_effect():
     loader.sampler = Reversed(loader.dataset)
     got = np.concatenate([b[1] for b in loader])
     np.testing.assert_array_equal(got, np.arange(7, -1, -1))
+
+
+def test_onnx_pool_default_stride_is_one():
+    """ONNX spec: pool strides default to 1 (was kernel_shape — overlapping
+    pools in foreign graphs silently over-downsampled)."""
+    import numpy as np
+
+    from deepflows_tpu.onnx import OnnxModel
+    from deepflows_tpu.onnx.export import _value_info
+    from deepflows_tpu.onnx.proto import onnx_minimal_pb2 as pb
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.opset_import.add().version = 13
+    g = m.graph
+    g.input.append(_value_info("input", (1, 1, 4, 4), True))
+    n = g.node.add()
+    n.op_type = "MaxPool"
+    n.input.append("input")
+    n.output.append("out")
+    a = n.attribute.add()
+    a.name = "kernel_shape"
+    a.type = pb.AttributeProto.INTS
+    a.ints.extend([3, 3])  # no strides attribute -> stride 1
+    g.output.append(_value_info("out", (1, 1, 2, 2), True))
+    import os, tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "p.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    out = OnnxModel(path)(x)
+    assert out.shape == (1, 1, 2, 2)  # stride-1 overlapping windows
+    np.testing.assert_allclose(out.ravel(), [10, 11, 14, 15])
+
+
+def test_onnx_rejects_silently_wrong_attributes():
+    """auto_pad/dilations/ceil_mode with non-default values must be rejected
+    at load (they were silently ignored)."""
+    import pytest as _pytest
+
+    from deepflows_tpu.onnx import OnnxModel
+    from deepflows_tpu.onnx.export import _value_info
+    from deepflows_tpu.onnx.proto import onnx_minimal_pb2 as pb
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.opset_import.add().version = 13
+    g = m.graph
+    g.input.append(_value_info("input", (1, 1, 4, 4), True))
+    n = g.node.add()
+    n.op_type = "Conv"
+    n.input.extend(["input", "input"])
+    n.output.append("out")
+    a = n.attribute.add()
+    a.name = "auto_pad"
+    a.type = pb.AttributeProto.STRING
+    a.s = b"SAME_UPPER"
+    g.output.append(_value_info("out", (1, 1, 4, 4), True))
+    import os, tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "c.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    with _pytest.raises(ValueError, match="auto_pad"):
+        OnnxModel(path)
+
+
+def test_bn_output_is_tensor_with_callable_mean():
+    """_BatchNormOp's stat stash must not shadow Tensor.mean (y.mean() on a
+    train-mode BN output raised TypeError)."""
+    import numpy as np
+
+    from deepflows_tpu import nn
+    from deepflows_tpu.tensor import Tensor
+
+    bn = nn.BatchNorm2d(2, device="tpu")
+    x = np.random.default_rng(0).standard_normal((4, 2, 3, 3)).astype(np.float32)
+    y = bn(Tensor(x, device="tpu"))
+    assert callable(y.mean)
+    gap = y.mean((2, 3), True)  # GAP directly on a BN output
+    assert gap.shape == (4, 2, 1, 1)
+    assert y.batch_mean.shape == (1, 2, 1, 1)
+
+
+def test_bn_train_preserves_dtype():
+    import jax.numpy as jnp
+
+    from deepflows_tpu.backend import jax_kernels as jk
+
+    x = jnp.ones((2, 3, 4, 4), jnp.bfloat16)
+    g = jnp.ones((1, 3, 1, 1), jnp.float32)
+    b = jnp.zeros((1, 3, 1, 1), jnp.float32)
+    out, mean, var = jk.batchnorm_train(x, g, b, (0, 2, 3), 1e-5)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_prefetcher_never_started_iterator_does_not_leak_thread():
+    import gc
+    import threading
+    import time
+
+    import numpy as np
+
+    from deepflows_tpu.utils.data import data_loader
+
+    X = np.zeros((64, 1), np.float32)
+    y = np.zeros(64, np.int32)
+    it = iter(data_loader(X, y, batch_size=4, prefetch_size=2))
+    del it  # never started
+    gc.collect()
+    deadline = time.time() + 3
+    while time.time() < deadline:
+        if not any(
+            t.name == "deepflows-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    assert not any(
+        t.name == "deepflows-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
