@@ -49,11 +49,20 @@ from deepflows_tpu import models, nn, optim
 from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
 
 from common import get_cifar10
-from torch_twins import TorchCIFAR10CNN, TorchResNet18, load_from_deepflows
+from torch_twins import (
+    TorchCIFAR10CNN,
+    TorchDishesCNN,
+    TorchResNet18,
+    load_from_deepflows,
+)
 
 RECIPES = {
     "cifar10_cnn": dict(epochs=10, batch_size=64),
     "resnet18": dict(epochs=15, batch_size=16),
+    # reference `test/CNN_Dishes_cuda.py`: Adam lr 1e-3 wd 1e-4, bs 32,
+    # 50 epochs (input here is the harness's 3x32x32 stream; the reference
+    # trained at 64x64 — architecture/optimizer/schedule are the recipe)
+    "dishes_cnn": dict(epochs=50, batch_size=32),
 }
 
 
@@ -85,6 +94,12 @@ def build_ours(model_name, exact):
     if model_name == "resnet18":
         model = models.ResNet18(num_classes=10, small_input=True, device="tpu")
         opt = optim.SGD(model.parameters(), lr=0.01, momentum=0.9, weight_decay=5e-4)
+    elif model_name == "dishes_cnn":
+        model = models.DishesCNN(num_classes=10, img_size=32, device="tpu")
+        if exact:
+            model.classifier[0].p = 0.0
+            model.classifier[3].p = 0.0
+        opt = optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
     else:
         model = models.CIFAR10_CNN(device="tpu")
         if exact:
@@ -99,6 +114,12 @@ def build_torch(model_name, df_model, exact):
         topt = torch.optim.SGD(
             twin.parameters(), lr=0.01, momentum=0.9, weight_decay=5e-4
         )
+    elif model_name == "dishes_cnn":
+        twin = TorchDishesCNN(num_classes=10, img_size=32)
+        if exact:
+            twin.classifier[0].p = 0.0
+            twin.classifier[3].p = 0.0
+        topt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=1e-4)
     else:
         twin = TorchCIFAR10CNN()
         if exact:
@@ -117,14 +138,15 @@ def lr_schedule(model_name, epochs):
     scheduler formulas themselves are covered by tests/test_optim.py."""
 
     class _Dummy:
-        lr = 0.01 if model_name == "resnet18" else 5e-3
+        lr = {"resnet18": 0.01, "dishes_cnn": 1e-3}.get(model_name, 5e-3)
 
     dummy = _Dummy()
-    sch = (
-        optim.StepLR(dummy, step_size=5, gamma=0.5)
-        if model_name == "resnet18"
-        else optim.CosineAnnealingLR(dummy, T_max=10, eta_min=1e-5)
-    )
+    if model_name == "resnet18":
+        sch = optim.StepLR(dummy, step_size=5, gamma=0.5)
+    elif model_name == "dishes_cnn":
+        sch = optim.LRScheduler(dummy)  # reference Dishes recipe: constant lr
+    else:
+        sch = optim.CosineAnnealingLR(dummy, T_max=10, eta_min=1e-5)
     lrs = []
     for _ in range(epochs):
         lrs.append(float(dummy.lr))

@@ -117,3 +117,40 @@ def load_from_deepflows(twin: tnn.Module, df_model, strict=True):
         raise RuntimeError(f"state_dict mismatch: missing={real_missing} "
                            f"unexpected={unexpected}")
     return twin
+
+
+class TorchDishesCNN(tnn.Module):
+    """Twin of `deepflows_tpu.models.DishesCNN` (reference
+    `test/CNN_Dishes_cuda.py`, mirrored at
+    `test/CNN_Dishes_torch_gpu_monitor.py:82-103`) — identical Sequential
+    slot indices so state_dicts map 1:1."""
+
+    def __init__(self, num_classes=10, img_size=64):
+        super().__init__()
+        self.features = tnn.Sequential(
+            tnn.Conv2d(3, 64, 3, padding=1),
+            tnn.BatchNorm2d(64),
+            tnn.ReLU(),
+            tnn.MaxPool2d(2, 2),
+            tnn.Conv2d(64, 128, 3, padding=1),
+            tnn.BatchNorm2d(128),
+            tnn.ReLU(),
+            tnn.MaxPool2d(2, 2),
+            tnn.Conv2d(128, 256, 3, padding=1),
+            tnn.BatchNorm2d(256),
+            tnn.ReLU(),
+            tnn.MaxPool2d(2, 2),
+        )
+        feat = img_size // 8
+        self.classifier = tnn.Sequential(
+            tnn.Dropout(0.5),
+            tnn.Linear(256 * feat * feat, 512),
+            tnn.ReLU(),
+            tnn.Dropout(0.5),
+            tnn.Linear(512, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.flatten(1)
+        return self.classifier(x)
