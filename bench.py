@@ -63,16 +63,26 @@ def _timed_repeats(one_chain, repeats):
 
 
 def _flops_of(jitted, *args):
-    """FLOPs from the LOWERED (uncompiled) program — within ~2% of the
-    compiled count, and avoids re-compiling executables the bench already
-    compiled once (multi-minute through this environment's TPU tunnel)."""
+    """FLOPs from the LOWERED (uncompiled) program when the backend supports
+    it (within ~2% of the compiled count, no duplicate compile); falls back
+    to compiling — the TPU backend only implements cost analysis on the
+    compiled executable."""
     try:
-        ca = jitted.lower(*args).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        lowered = jitted.lower(*args)
     except Exception:
         return None
+    for stage in (lambda: lowered.cost_analysis(),
+                  lambda: lowered.compile().cost_analysis()):
+        try:
+            ca = stage()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
+            if flops:
+                return flops
+        except Exception:
+            continue
+    return None
 
 
 def main() -> None:

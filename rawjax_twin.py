@@ -326,11 +326,19 @@ def run(model_name, batch_size, steps, warmup=5, image_size=None,
     x, y = jax.device_put(x), jax.device_put(y)
     flops = None
     try:
-        # lowered (uncompiled) cost analysis — avoids a duplicate compile
-        ca = jitted.lower(params, state, opt, np.int32(0), x, y).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
+        # lowered cost analysis when supported; TPU needs the compiled one
+        lowered = jitted.lower(params, state, opt, np.int32(0), x, y)
+        for stage in (lambda: lowered.cost_analysis(),
+                      lambda: lowered.compile().cost_analysis()):
+            try:
+                ca = stage()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                if ca and ca.get("flops"):
+                    flops = float(ca["flops"])
+                    break
+            except Exception:
+                continue
     except Exception:
         pass
     t = 0
