@@ -121,3 +121,40 @@ def test_random_architecture_matches_torch(seed):
             got, want, rtol=1e-2, atol=1e-3,
             err_msg=f"grad mismatch {name} for spec {spec}",
         )
+
+
+@pytest.mark.parametrize("seed", range(6, 10))
+def test_random_architecture_ce_loss_matches_torch(seed):
+    """Same property with a cross-entropy tail — exercises the fused
+    softmax-xent op through random architectures (an extended 60-seed run
+    of this property passed during round 2)."""
+    rng = np.random.default_rng(seed)
+    img = int(rng.choice([8, 16]))
+    spec = random_cnn_spec(rng, 3, img)
+    df.manual_seed(seed)
+    ours = build_ours(spec)
+    twin = build_torch(spec)
+    from deepflows_tpu.utils.pretrained_models import export_torch_state_dict
+
+    twin.load_state_dict(
+        {k: torch.tensor(v) for k, v in export_torch_state_dict(ours).items()},
+        strict=False,
+    )
+    x = rng.standard_normal((4, 3, img, img)).astype(np.float32)
+    y = rng.integers(0, spec[-1][2], 4)
+    tx = Tensor(x.copy(), device="tpu", requires_grad=True)
+    loss = nn.functional.cross_entropy(
+        ours(tx), Tensor(y.astype(np.int32), device="tpu")
+    )
+    loss.backward()
+    xt = torch.tensor(x, requires_grad=True)
+    tl = torch.nn.functional.cross_entropy(
+        twin(xt), torch.tensor(y, dtype=torch.long)
+    )
+    tl.backward()
+    np.testing.assert_allclose(
+        float(loss.numpy()), float(tl.detach()), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-4
+    )
