@@ -71,6 +71,7 @@ class ShardedTrainStep(CompiledTrainStep):
         metrics_fn: Optional[Callable] = None,
         compute_dtype=None,
         grad_transform: Optional[Callable] = None,
+        accum_steps: int = 1,
     ):
         super().__init__(
             model,
@@ -80,6 +81,7 @@ class ShardedTrainStep(CompiledTrainStep):
             metrics_fn=metrics_fn,
             compute_dtype=compute_dtype,
             grad_transform=grad_transform,
+            accum_steps=accum_steps,
         )
         self.mesh = mesh
         self.data_axis = data_axis

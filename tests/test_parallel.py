@@ -157,3 +157,35 @@ def test_sharded_bf16_step_runs():
     l2 = float(step(x, y))
     assert np.isfinite(l1) and np.isfinite(l2) and l2 < l1
     assert m[0].weight.dtype == jnp.float32
+
+
+def test_sharded_gradient_accumulation_matches_single():
+    """ShardedTrainStep(accum_steps=N) over the dp×tp mesh equals the
+    single-device accumulated step."""
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    mesh = make_mesh({"data": 4, "model": 2})
+
+    def build():
+        df.manual_seed(0)
+        m = nn.Sequential(
+            nn.Flatten(),
+            nn.Linear(48, 32, device="tpu"),
+            nn.ReLU(),
+            nn.Linear(32, 4, device="tpu"),
+        )
+        return m, optim.SGD(m.parameters(), lr=0.05, momentum=0.9)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 3, 4, 4)).astype(np.float32)
+    y = rng.integers(0, 4, 32).astype(np.int32)
+    m1, o1 = build()
+    m2, o2 = build()
+    single = CompiledTrainStep(m1, o1, nn.CrossEntropyLoss(), accum_steps=2)
+    sharded = ShardedTrainStep(
+        m2, o2, nn.CrossEntropyLoss(), mesh,
+        param_rules=tensor_parallel_rules("model"), accum_steps=2,
+    )
+    for _ in range(2):
+        l1, l2 = float(single(x, y)), float(sharded(x, y))
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
