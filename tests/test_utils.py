@@ -303,3 +303,17 @@ def test_device_data_loader():
     for xb, yb in DeviceDataLoader(data_loader(X, y, batch_size=4)):
         loss = step(xb, yb)
     assert np.isfinite(float(loss))
+
+
+def test_step_report():
+    from deepflows_tpu.jit import CompiledTrainStep
+    from deepflows_tpu.utils.profiling import step_report
+
+    df.manual_seed(0)
+    m = nn.Sequential(nn.Linear(8, 4, device="tpu"))
+    step = CompiledTrainStep(m, optim.SGD(m.parameters(), lr=0.1), nn.CrossEntropyLoss())
+    x = np.zeros((4, 8), np.float32)
+    yv = np.zeros(4, np.int32)
+    rep = step_report(step, x, yv)
+    assert rep.get("flops_per_step", 0) > 0
+    assert "summary" in rep
