@@ -2,6 +2,7 @@
 reference has no distributed code — SURVEY §2.3)."""
 
 from .mesh import auto_mesh, batch_sharding, make_mesh, replicated
+from .pipeline import PipelinedTrainStep, PipelineStack, pipeline_apply
 from .sharded import ShardedEvalStep, ShardedTrainStep, tensor_parallel_rules
 
 __all__ = [
@@ -12,4 +13,7 @@ __all__ = [
     "ShardedTrainStep",
     "ShardedEvalStep",
     "tensor_parallel_rules",
+    "PipelineStack",
+    "PipelinedTrainStep",
+    "pipeline_apply",
 ]

@@ -1,0 +1,403 @@
+"""Pipeline parallelism (GPipe-style) over a ``pipe`` mesh axis.
+
+The reference has no distributed machinery at all (SURVEY §2.3) — like
+``ShardedTrainStep`` (dp/tp), this is part of the TPU-native scale-out
+superset.  Design (the vmap-pipeline formulation, scaling-book ch. "pipeline
+parallelism" recipe — no hand-written send/recv):
+
+- A :class:`PipelineStack` holds ``S`` *homogeneous* stage modules whose
+  parameters are stacked on a leading stage axis, sharded ``P('pipe', ...)``
+  over the mesh — each pipe rank materialises exactly its own stage's
+  weights.
+- One training step reshapes the global batch into ``M`` microbatches and
+  runs ``M + S - 1`` ticks as a ``lax.scan``.  Every tick applies
+  ``jax.vmap`` of the (purified, array-level) stage forward across the stage
+  axis — under GSPMD each pipe rank computes only its stage — then shifts
+  the activation buffer one stage forward with ``jnp.roll`` on the sharded
+  axis, which XLA lowers to an ICI ``collective-permute``.  The fill/drain
+  bubble (ranks computing on garbage during the first/last ``S-1`` ticks) is
+  exactly GPipe's bubble fraction ``(S-1)/(M+S-1)``.
+- The whole thing is one differentiable jnp program: the backward schedule
+  (reverse fill/drain with reversed collective-permutes) falls out of
+  ``jax.grad`` through the scan — no hand-written backward pipeline.
+
+Because the pipelined program is differentiated by ``jax.grad`` at the
+array level (not by the tape's reverse walk), stage modules must be
+*deterministic and buffer-free*: Linear/Conv/activations/pools are fine,
+BatchNorm (running-stat buffers) and Dropout (per-step PRNG) are rejected /
+unsupported in stages.  The optimizer update reuses the exact same
+``Optimizer.pure_update`` core as every other path, over the stacked
+parameters, with optimizer state sharded to match (``P('pipe', ...)``).
+
+Composes with data parallelism: the microbatch batch dim is sharded over
+the ``data`` axis, so a ``{'data': D, 'pipe': S}`` mesh runs D replicas of
+an S-deep pipeline and the gradient ``psum`` over ``data`` is inserted by
+the SPMD partitioner.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..autograd import is_grad_enable, set_grad_enabled
+from ..backend import BackendTensor, tpu
+from ..jit import _TRACE_LOCK
+from ..nn.modules.module import Module
+from ..nn.parameter import Parameter
+from ..tensor import Graph, Tensor
+
+P = PartitionSpec
+
+
+# --------------------------------------------------------------------------
+# purification: tape-API callables -> array-level pure functions
+# --------------------------------------------------------------------------
+def purify_module(module: Module) -> Callable:
+    """Array-level pure forward ``fn(param_arrays, x_array) -> y_array`` for a
+    tape Module.  Grad recording is off inside (the caller differentiates the
+    jnp program with ``jax.grad``); the module must be buffer-free."""
+    params = [p for _, p in module.named_parameters()]
+    if any(True for _ in module.named_buffers()):
+        raise ValueError(
+            "pipeline stages must be buffer-free (BatchNorm running stats "
+            "cannot be threaded through the pipeline scan); use GroupNorm-"
+            "style normalisation or norm-free stages"
+        )
+    dev = tpu()
+
+    def fn(param_arrays, x):
+        with _TRACE_LOCK:
+            saved = [p.data for p in params]
+            saved_tape = Graph.node_list
+            Graph.node_list = []
+            saved_flag = is_grad_enable()
+            set_grad_enabled(False)
+            try:
+                for p, a in zip(params, param_arrays):
+                    p.data = BackendTensor._wrap(a, dev)
+                out = module(Tensor(BackendTensor._wrap(x, dev)))
+                return out.data.array
+            finally:
+                for p, d in zip(params, saved):
+                    p.data = d
+                    p.children.clear()
+                    p.parents.clear()
+                Graph.node_list = saved_tape
+                set_grad_enabled(saved_flag)
+
+    return fn
+
+
+def purify_fn(fn: Callable) -> Callable:
+    """Array-level version of a tape-API function (e.g. a criterion):
+    wraps array args in Tensors, runs with grad recording off, unwraps."""
+    dev = tpu()
+
+    def pure(*arrays):
+        with _TRACE_LOCK:
+            saved_tape = Graph.node_list
+            Graph.node_list = []
+            saved_flag = is_grad_enable()
+            set_grad_enabled(False)
+            try:
+                tensors = [Tensor(BackendTensor._wrap(a, dev)) for a in arrays]
+                out = fn(*tensors)
+                return jax.tree.map(
+                    lambda t: t.data.array if isinstance(t, Tensor) else t,
+                    out,
+                    is_leaf=lambda t: isinstance(t, Tensor),
+                )
+            finally:
+                Graph.node_list = saved_tape
+                set_grad_enabled(saved_flag)
+
+    return pure
+
+
+# --------------------------------------------------------------------------
+# the stacked-stage container
+# --------------------------------------------------------------------------
+class PipelineStack(Module):
+    """``S`` homogeneous stage modules with parameters stacked on a leading
+    stage axis.
+
+    The stacked tensors are registered as this Module's own Parameters (so
+    ``.parameters()`` feeds any optimizer and ``state_dict`` checkpoints the
+    stack); ``stages[0]`` is kept as the template whose purified forward is
+    vmapped across the stage axis at run time.
+
+    Stage homogeneity (same parameter names/shapes, activation shape ==
+    input shape) is what lets one SPMD program express the pipeline; it is
+    the standard restriction (pipelining identical blocks), not a
+    deepflows_tpu limitation.
+    """
+
+    def __init__(self, stages: Sequence[Module]):
+        super().__init__()
+        stages = list(stages)
+        if len(stages) < 1:
+            raise ValueError("need at least one stage")
+        names0 = [n for n, _ in stages[0].named_parameters()]
+        shapes0 = [p.shape for _, p in stages[0].named_parameters()]
+        for s in stages[1:]:
+            names = [n for n, _ in s.named_parameters()]
+            shapes = [p.shape for _, p in s.named_parameters()]
+            if names != names0 or shapes != shapes0:
+                raise ValueError(
+                    "pipeline stages must be homogeneous (identical "
+                    f"parameter structure); got {list(zip(names, shapes))} vs "
+                    f"{list(zip(names0, shapes0))}"
+                )
+        self.n_stages = len(stages)
+        # deliberately NOT a registered submodule: the template provides the
+        # purified forward only; its own (stage-0) params must not appear in
+        # .parameters() next to the stacked ones
+        object.__setattr__(self, "template", stages[0])
+        self._param_names = names0
+        import jax.numpy as jnp
+
+        dev = tpu()
+        for i, name in enumerate(names0):
+            stacked = jnp.stack(
+                [
+                    [p for _, p in s.named_parameters()][i].data.array
+                    for s in stages
+                ]
+            )
+            self.register_parameter(
+                f"stacked_{name.replace('.', '_')}",
+                Parameter(Tensor(BackendTensor._wrap(stacked, dev))),
+            )
+
+    def stage_fn(self) -> Callable:
+        """Purified per-stage forward (template-bound)."""
+        return purify_module(self.template)
+
+    def forward(self, x):
+        raise NotImplementedError(
+            "PipelineStack is driven by PipelinedTrainStep / its eval_logits "
+            "(the pipelined program is array-level, not a tape forward)"
+        )
+
+
+# --------------------------------------------------------------------------
+# the pipelined program
+# --------------------------------------------------------------------------
+def pipeline_apply(
+    stage_fn: Callable,
+    stacked_params,
+    x_micro,
+    *,
+    mesh: Optional[Mesh] = None,
+    pipe_axis: str = "pipe",
+    data_axis: str = "data",
+):
+    """Run ``M`` microbatches through ``S`` stages; returns stacked outputs
+    ``(M, b, ...)``.
+
+    ``x_micro``: ``(M, b, *features)``; stage input and output shapes must
+    match (homogeneous stages).  Tick ``t`` computes stage ``s`` on
+    microbatch ``t - s`` (where valid); ``jnp.roll`` along the stage axis is
+    the inter-stage transfer (collective-permute under GSPMD when the axis
+    is sharded over ``pipe``).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    S = stacked_params[0].shape[0]
+    M = x_micro.shape[0]
+    if M < 1:
+        raise ValueError("need at least one microbatch")
+
+    def _constrain(v, spec):
+        if mesh is not None:
+            return lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
+        return v
+
+    feat = x_micro.shape[1:]
+    state = jnp.zeros((S,) + feat, x_micro.dtype)
+    # probe the stage output shape statically (must equal input shape)
+    out_aval = jax.eval_shape(
+        stage_fn, [a[0] for a in stacked_params], jax.ShapeDtypeStruct(feat, x_micro.dtype)
+    )
+    if tuple(out_aval.shape) != tuple(feat):
+        raise ValueError(
+            f"stage output shape {out_aval.shape} != input shape {feat}; "
+            "pipeline stages must preserve activation shape"
+        )
+    outs = jnp.zeros((M,) + feat, out_aval.dtype)
+
+    act_spec = P(pipe_axis, data_axis)
+    micro_spec = P(None, data_axis)
+
+    def tick(carry, t):
+        state, outs = carry
+        # inject the current microbatch into the stage-0 slot (clipped index
+        # during the drain phase; those ticks' stage-0 work is bubble)
+        inj = x_micro[jnp.clip(t, 0, M - 1)]
+        state = state.at[0].set(inj)
+        state = _constrain(state, act_spec)
+        y = jax.vmap(stage_fn, in_axes=(0, 0))(stacked_params, state)
+        y = _constrain(y, act_spec)
+        # collect the last stage's output: tick t finished microbatch t-(S-1)
+        w = t - (S - 1)
+        wc = jnp.clip(w, 0, M - 1)
+        valid = (w >= 0) & (w < M)
+        outs = outs.at[wc].set(jnp.where(valid, y[-1], outs[wc]))
+        outs = _constrain(outs, micro_spec)
+        # shift activations one stage forward (slot 0 is rewritten next tick)
+        state = jnp.roll(y, 1, axis=0)
+        return (state, outs), None
+
+    (state, outs), _ = lax.scan(
+        tick, (state, outs), jnp.arange(M + S - 1, dtype=jnp.int32)
+    )
+    return outs
+
+
+# --------------------------------------------------------------------------
+# the train step
+# --------------------------------------------------------------------------
+class PipelinedTrainStep:
+    """One fused XLA program per step: microbatched pipeline forward,
+    ``jax.grad`` backward (reverse pipeline), optimizer ``pure_update`` on
+    the stacked (pipe-sharded) parameters, donated buffers.
+
+    ``optimizer`` must hold exactly ``stack.parameters()``.  ``criterion``
+    is a tape-API loss (purified internally); ``metrics_fn`` is not
+    supported (use :meth:`eval_logits`).
+    """
+
+    def __init__(
+        self,
+        stack: PipelineStack,
+        optimizer,
+        criterion: Callable,
+        mesh: Mesh,
+        n_micro: int,
+        *,
+        data_axis: str = "data",
+        pipe_axis: str = "pipe",
+        donate: bool = True,
+        grad_transform: Optional[Callable] = None,
+    ):
+        if pipe_axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {pipe_axis!r}")
+        if mesh.shape[pipe_axis] != stack.n_stages:
+            raise ValueError(
+                f"mesh {pipe_axis}={mesh.shape[pipe_axis]} != "
+                f"{stack.n_stages} stages"
+            )
+        self.stack = stack
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.n_micro = int(n_micro)
+        self.data_axis = data_axis
+        self.pipe_axis = pipe_axis
+        self.grad_transform = grad_transform
+        self._params = [p for _, p in stack.named_parameters()]
+        if [id(p) for p in optimizer.params] != [id(p) for p in self._params]:
+            raise ValueError("optimizer must hold exactly stack.parameters()")
+        optimizer._ensure_state()
+        self._stage_fn = stack.stage_fn()
+        self._criterion = purify_fn(criterion)
+        self._call_count = 0
+
+        rep = NamedSharding(mesh, P())
+        pspec = [
+            NamedSharding(mesh, P(pipe_axis, *([None] * (len(p.shape) - 1))))
+            for p in self._params
+        ]
+        self._param_shardings = pspec
+
+        def _state_shardings(state):
+            out = {}
+            for k, v in state.items():
+                if isinstance(v, list):
+                    out[k] = [
+                        None if x is None else pspec[i] for i, x in enumerate(v)
+                    ]
+                else:
+                    out[k] = rep
+            return out
+
+        opt_sh = _state_shardings(optimizer._state)
+        # pre-place params + optimizer state on the mesh (first call sees the
+        # committed layout; avoids a second trace)
+        dev = tpu()
+        for p, sh in zip(self._params, pspec):
+            p.data = BackendTensor._wrap(jax.device_put(p.data.array, sh), dev)
+        optimizer._state = jax.tree.map(
+            lambda arr, sh: None if arr is None else jax.device_put(arr, sh),
+            optimizer._state,
+            opt_sh,
+            is_leaf=lambda x: x is None,
+        )
+
+        batch_sh = NamedSharding(mesh, P(data_axis))
+        in_sh = (pspec, opt_sh, rep, batch_sh, batch_sh)
+        out_sh = (rep, pspec, opt_sh)
+        self._jitted = jax.jit(
+            self._pure_step,
+            in_shardings=in_sh,
+            out_shardings=out_sh,
+            donate_argnums=(0, 1) if donate else (),
+        )
+        self._eval_jitted = jax.jit(
+            self._pure_eval, in_shardings=(pspec, batch_sh)
+        )
+
+    # ------------------------------------------------------------------
+    def _forward(self, param_arrays, x):
+        M = self.n_micro
+        B = x.shape[0]
+        if B % M:
+            raise ValueError(f"batch {B} not divisible by n_micro {M}")
+        xm = x.reshape((M, B // M) + x.shape[1:])
+        outs = pipeline_apply(
+            self._stage_fn,
+            param_arrays,
+            xm,
+            mesh=self.mesh,
+            pipe_axis=self.pipe_axis,
+            data_axis=self.data_axis,
+        )
+        return outs.reshape((B,) + outs.shape[2:])
+
+    def _pure_step(self, param_arrays, opt_state, lr, x, y):
+        def loss_fn(params):
+            logits = self._forward(params, x)
+            return self._criterion(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(param_arrays)
+        if self.grad_transform is not None:
+            grads = self.grad_transform(grads)
+        new_params, new_state = self.optimizer.pure_update(
+            param_arrays, grads, opt_state, lr
+        )
+        return loss, new_params, new_state
+
+    def _pure_eval(self, param_arrays, x):
+        return self._forward(param_arrays, x)
+
+    # ------------------------------------------------------------------
+    def __call__(self, x, y):
+        dev = tpu()
+        param_arrays = [p.data.array for p in self._params]
+        lr = np.float32(self.optimizer.lr)
+        self._call_count += 1
+        loss, new_params, new_state = self._jitted(
+            param_arrays, self.optimizer._state, lr, x, y
+        )
+        for p, arr in zip(self._params, new_params):
+            p.data = BackendTensor._wrap(arr, dev)
+        self.optimizer._state = new_state
+        return loss
+
+    def eval_logits(self, x):
+        """Jitted pipelined inference over the same mesh layout."""
+        return self._eval_jitted([p.data.array for p in self._params], x)

@@ -1,0 +1,170 @@
+"""Pipeline parallelism (GPipe over a 'pipe' mesh axis) on the 8-virtual-
+device CPU mesh.  Correctness bar: the pipelined program is numerically the
+same model as running the stages sequentially on one device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, nn, optim
+from deepflows_tpu.jit import CompiledTrainStep
+from deepflows_tpu.parallel import make_mesh
+from deepflows_tpu.parallel.pipeline import (
+    PipelinedTrainStep,
+    PipelineStack,
+    pipeline_apply,
+    purify_module,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def make_stages(n=4, width=16, seed=0):
+    df.manual_seed(seed)
+    return [
+        nn.Sequential(
+            nn.Linear(width, width, device="tpu"),
+            nn.ReLU(),
+        )
+        for _ in range(n)
+    ]
+
+
+def batch(n=16, width=16, seed=1):
+    r = np.random.default_rng(seed)
+    return (
+        r.standard_normal((n, width)).astype(np.float32),
+        r.standard_normal((n, width)).astype(np.float32),
+    )
+
+
+def test_pipeline_apply_matches_sequential():
+    stages = make_stages(4)
+    stack = PipelineStack(stages)
+    x, _ = batch(8)
+    xm = x.reshape(4, 2, 16)
+
+    stacked = [p.data.array for _, p in stack.named_parameters()]
+    outs = pipeline_apply(stack.stage_fn(), stacked, jnp.asarray(xm))
+    got = np.asarray(outs).reshape(8, 16)
+
+    # sequential truth over the original (unstacked) stage modules
+    ref = df.Tensor(x, device="tpu")
+    for s in stages:
+        ref = s(ref)
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_apply_on_mesh():
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    stages = make_stages(4)
+    stack = PipelineStack(stages)
+    x, _ = batch(8)
+    xm = jnp.asarray(x.reshape(4, 2, 16))
+    stacked = [p.data.array for _, p in stack.named_parameters()]
+
+    with mesh:
+        outs = jax.jit(
+            lambda ps, xs: pipeline_apply(
+                stack.stage_fn(), ps, xs, mesh=mesh
+            )
+        )(stacked, xm)
+    ref = pipeline_apply(stack.stage_fn(), stacked, xm)
+    np.testing.assert_allclose(
+        np.asarray(outs), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pipelined_train_step_matches_single_device():
+    # reference: same stages trained as one Sequential on one device
+    stages = make_stages(4)
+    ref_model = nn.Sequential(*stages)
+    ref_opt = optim.SGD(ref_model.parameters(), lr=0.1, momentum=0.9)
+    ref_step = CompiledTrainStep(ref_model, ref_opt, nn.MSELoss())
+
+    # pipelined: stacked copies of the SAME initial params over data x pipe
+    stages2 = make_stages(4)  # same seed -> identical init
+    stack = PipelineStack(stages2)
+    opt = optim.SGD(stack.parameters(), lr=0.1, momentum=0.9)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(
+        stack, opt, nn.MSELoss(), mesh, n_micro=4
+    )
+
+    for i in range(3):
+        x, y = batch(16, seed=10 + i)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-5 * max(1.0, abs(ref_loss))
+
+    # stacked params == the per-stage params, stage by stage
+    ref_params = [p.data.array for p in ref_model.parameters()]
+    n_per_stage = len(ref_params) // 4
+    stacked = [p.data.array for p in stack.parameters()]
+    for j in range(n_per_stage):
+        for s in range(4):
+            np.testing.assert_allclose(
+                np.asarray(stacked[j][s]),
+                np.asarray(ref_params[s * n_per_stage + j]),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+
+def test_eval_logits_matches_forward():
+    stages = make_stages(4)
+    stack = PipelineStack(stages)
+    opt = optim.SGD(stack.parameters(), lr=0.1)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+    x, _ = batch(8)
+    got = np.asarray(step.eval_logits(x))
+    ref = df.Tensor(x, device="tpu")
+    for s in stages:
+        ref = s(ref)
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_heterogeneous_stages_rejected():
+    df.manual_seed(0)
+    stages = [
+        nn.Sequential(nn.Linear(16, 16, device="tpu"), nn.ReLU()),
+        nn.Sequential(nn.Linear(16, 8, device="tpu"), nn.ReLU()),
+    ]
+    with pytest.raises(ValueError, match="homogeneous"):
+        PipelineStack(stages)
+
+
+def test_buffered_stages_rejected():
+    df.manual_seed(0)
+    stages = [
+        nn.Sequential(nn.Conv2d(4, 4, 3, padding=1, device="tpu"), nn.BatchNorm2d(4, device="tpu"))
+        for _ in range(2)
+    ]
+    stack = PipelineStack(stages)
+    with pytest.raises(ValueError, match="buffer-free"):
+        purify_module(stack.template)
+
+
+def test_shape_changing_stage_rejected():
+    df.manual_seed(0)
+    stages = [
+        nn.Sequential(nn.Linear(16, 8, device="tpu")),
+        nn.Sequential(nn.Linear(16, 8, device="tpu")),
+    ]
+    stack = PipelineStack(stages)
+    stacked = [p.data.array for _, p in stack.named_parameters()]
+    x = jnp.zeros((2, 4, 16))
+    with pytest.raises(ValueError, match="preserve activation shape"):
+        pipeline_apply(stack.stage_fn(), stacked, x)
