@@ -21,7 +21,8 @@ Methodology (addresses VERDICT r1 items 2+3):
 Env knobs: BENCH_MODEL (cifar10_cnn|resnet18|resnet50), BENCH_BATCH,
 BENCH_STEPS, BENCH_REPEATS, BENCH_DTYPE=bf16, BENCH_IMAGE (input size),
 BENCH_EAGER=0 (skip eager baseline), BENCH_RAWJAX=0 (skip twin),
-BENCH_IMPL=rawjax (report the twin as the headline instead).
+BENCH_IMPL=rawjax (report the twin as the headline instead),
+BENCH_REMAT=1 (rematerialise residual blocks — nn.Remat).
 """
 
 from __future__ import annotations
@@ -125,14 +126,18 @@ def main() -> None:
 
     df.manual_seed(0)
 
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+
     def build_model():
         if model_name == "resnet18":
             return models.ResNet18(
-                num_classes=10, small_input=image_size <= 64, device="tpu"
+                num_classes=10, small_input=image_size <= 64, device="tpu",
+                remat=remat,
             )
         if model_name == "resnet50":
             return models.ResNet50(
-                num_classes=10, small_input=image_size <= 64, device="tpu"
+                num_classes=10, small_input=image_size <= 64, device="tpu",
+                remat=remat,
             )
         return models.CIFAR10_CNN(device="tpu")
 

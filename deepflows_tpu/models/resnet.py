@@ -28,7 +28,9 @@ def conv1x1(in_planes, out_planes, stride=1, device=None):
 class BasicBlock(nn.Module):
     expansion = 1
 
-    def __init__(self, inplanes, planes, stride=1, downsample=None, device=None):
+    def __init__(
+        self, inplanes, planes, stride=1, downsample=None, device=None, remat=False
+    ):
         super().__init__()
         self.conv1 = conv3x3(inplanes, planes, stride, device=device)
         self.bn1 = nn.BatchNorm2d(planes, device=device)
@@ -37,8 +39,14 @@ class BasicBlock(nn.Module):
         self.bn2 = nn.BatchNorm2d(planes, device=device)
         self.downsample = downsample
         self.stride = stride
+        self._remat = remat
 
     def forward(self, x):
+        if self._remat:
+            return nn.remat_call(self, x, self._forward_impl)
+        return self._forward_impl(x)
+
+    def _forward_impl(self, x):
         identity = x
         out = self.relu(self.bn1(self.conv1(x)))
         out = self.bn2(self.conv2(out))
@@ -50,7 +58,9 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     expansion = 4
 
-    def __init__(self, inplanes, planes, stride=1, downsample=None, device=None):
+    def __init__(
+        self, inplanes, planes, stride=1, downsample=None, device=None, remat=False
+    ):
         super().__init__()
         self.conv1 = conv1x1(inplanes, planes, device=device)
         self.bn1 = nn.BatchNorm2d(planes, device=device)
@@ -61,8 +71,14 @@ class Bottleneck(nn.Module):
         self.relu = nn.ReLU()
         self.downsample = downsample
         self.stride = stride
+        self._remat = remat
 
     def forward(self, x):
+        if self._remat:
+            return nn.remat_call(self, x, self._forward_impl)
+        return self._forward_impl(x)
+
+    def _forward_impl(self, x):
         identity = x
         out = self.relu(self.bn1(self.conv1(x)))
         out = self.relu(self.bn2(self.conv2(out)))
@@ -85,14 +101,19 @@ class ResNet(nn.Module):
         in_channels=3,
         small_input=False,
         device=None,
+        remat=False,
     ):
         """``small_input=True`` swaps the 7×7-s2 stem + maxpool for a 3×3-s1
         stem — the CIFAR-style adaptation the reference's transfer-learning
         script performs by hand (`test/ResNet_CIFAR10_transfer_learning.py:196-206`).
+        ``remat=True`` rematerialises each residual block in backward
+        (nn.Remat — only the block inputs stay resident between forward and
+        backward; trades recompute FLOPs for HBM traffic/capacity).
         """
         super().__init__()
         self.inplanes = 64
         self._device = device
+        self._block_remat = remat
         if small_input:
             self.conv1 = nn.Conv2d(
                 in_channels, 64, 3, stride=1, padding=1, bias=False, device=device
@@ -120,11 +141,25 @@ class ResNet(nn.Module):
                 nn.BatchNorm2d(planes * block.expansion, device=self._device),
             )
         layers = [
-            block(self.inplanes, planes, stride, downsample, device=self._device)
+            block(
+                self.inplanes,
+                planes,
+                stride,
+                downsample,
+                device=self._device,
+                remat=self._block_remat,
+            )
         ]
         self.inplanes = planes * block.expansion
         for _ in range(1, blocks):
-            layers.append(block(self.inplanes, planes, device=self._device))
+            layers.append(
+                block(
+                    self.inplanes,
+                    planes,
+                    device=self._device,
+                    remat=self._block_remat,
+                )
+            )
         return nn.Sequential(*layers)
 
     def forward(self, x):
@@ -140,19 +175,28 @@ class ResNet(nn.Module):
         return self.fc(x)
 
 
-def ResNet18(num_classes=1000, in_channels=3, small_input=False, device=None):
+def ResNet18(
+    num_classes=1000, in_channels=3, small_input=False, device=None, remat=False
+):
     return ResNet(
-        BasicBlock, [2, 2, 2, 2], num_classes, in_channels, small_input, device
+        BasicBlock, [2, 2, 2, 2], num_classes, in_channels, small_input, device,
+        remat,
     )
 
 
-def ResNet34(num_classes=1000, in_channels=3, small_input=False, device=None):
+def ResNet34(
+    num_classes=1000, in_channels=3, small_input=False, device=None, remat=False
+):
     return ResNet(
-        BasicBlock, [3, 4, 6, 3], num_classes, in_channels, small_input, device
+        BasicBlock, [3, 4, 6, 3], num_classes, in_channels, small_input, device,
+        remat,
     )
 
 
-def ResNet50(num_classes=1000, in_channels=3, small_input=False, device=None):
+def ResNet50(
+    num_classes=1000, in_channels=3, small_input=False, device=None, remat=False
+):
     return ResNet(
-        Bottleneck, [3, 4, 6, 3], num_classes, in_channels, small_input, device
+        Bottleneck, [3, 4, 6, 3], num_classes, in_channels, small_input, device,
+        remat,
     )

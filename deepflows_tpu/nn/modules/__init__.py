@@ -17,6 +17,7 @@ from .flatten import Flatten
 from .linear import Linear
 from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
 from .module import Module
+from .remat import Remat, remat_call
 from .pool import (
     AdaptiveAvgPool2d,
     AvgPool1d,
@@ -54,4 +55,6 @@ __all__ = [
     "MSELoss",
     "BCELoss",
     "CrossEntropyLoss",
+    "Remat",
+    "remat_call",
 ]
