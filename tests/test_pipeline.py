@@ -168,3 +168,33 @@ def test_shape_changing_stage_rejected():
     x = jnp.zeros((2, 4, 16))
     with pytest.raises(ValueError, match="preserve activation shape"):
         pipeline_apply(stack.stage_fn(), stacked, x)
+
+
+def test_pipeline_stack_checkpoint_roundtrip(tmp_path):
+    """PipelineStack is a Module: reference-layout checkpoints capture the
+    stacked params, and a reloaded stack resumes the same pipeline."""
+    from deepflows_tpu.utils.model_utils import load_checkpoint, save_checkpoint
+
+    stages = make_stages(4)
+    stack = PipelineStack(stages)
+    opt = optim.SGD(stack.parameters(), lr=0.1)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+    x, y = batch(16)
+    step(x, y)
+    path = str(tmp_path / "pp.pkl")
+    save_checkpoint(stack, opt, epoch=1, save_path=path)
+
+    stack2 = PipelineStack(make_stages(4, seed=9))  # different init
+    opt2 = optim.SGD(stack2.parameters(), lr=0.1)
+    load_checkpoint(stack2, opt2, load_path=path)
+    for a, b in zip(stack.parameters(), stack2.parameters()):
+        np.testing.assert_allclose(
+            np.asarray(a.data.array), np.asarray(b.data.array), rtol=1e-6
+        )
+    # the restored stack drives a fresh PipelinedTrainStep to the same loss
+    step2 = PipelinedTrainStep(stack2, opt2, nn.MSELoss(), mesh, n_micro=4)
+    x2, y2 = batch(16, seed=77)
+    l1 = float(step(x2, y2))
+    l2 = float(step2(x2, y2))
+    assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
