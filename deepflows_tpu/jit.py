@@ -154,7 +154,15 @@ class CompiledTrainStep:
                 "optimizer holds parameters that are not in the model"
             ) from None
         optimizer._ensure_state()
-        # optimizer state must live on the jax device for donation to help
+        # pre-place optimizer state on the device: host scalars in the state
+        # (e.g. Adam's step counter t) would otherwise come back from call 1
+        # as committed device arrays and force a SECOND full trace/compile —
+        # minutes on a real chip (ShardedTrainStep already did this)
+        optimizer._state = jax.tree.map(
+            lambda a: None if a is None else jax.device_put(a),
+            optimizer._state,
+            is_leaf=lambda a: a is None,
+        )
         self.model.train()
 
         self._base_key = jax.random.key(config.seed + 1)

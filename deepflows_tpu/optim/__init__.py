@@ -3,8 +3,10 @@
 from .adadelta import Adadelta
 from .adagrad import Adagrad
 from .adam import Adam
+from .adamw import AdamW
 from .clip import clip_by_global_norm, clip_grad_norm_
 from .optimizer import Optimizer
+from .rmsprop import RMSprop
 from .scheduler import CosineAnnealingLR, LRScheduler, StepLR, WarmupCosineLR
 from .sgd import SGD
 
@@ -12,6 +14,8 @@ __all__ = [
     "Optimizer",
     "SGD",
     "Adam",
+    "AdamW",
+    "RMSprop",
     "Adagrad",
     "Adadelta",
     "LRScheduler",

@@ -181,3 +181,74 @@ def test_scheduler_drives_optimizer_lr_without_retrace():
     assert opt.lr == 0.5
     opt.step()
     np.testing.assert_allclose(p.numpy(), 1.0 - 1.0 - 0.5)
+
+
+@pytest.mark.parametrize("dev", ["cpu", "tpu"])
+def test_adamw_matches_torch(dev):
+    ours, want = run_steps(
+        lambda ps: optim.AdamW(ps, lr=0.01, weight_decay=0.1),
+        lambda ps: torch.optim.AdamW(ps, lr=0.01, weight_decay=0.1),
+        device=dev,
+    )
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+
+def test_adamw_decoupling_differs_from_adam():
+    """AdamW's decay must NOT flow through the adaptive denominator."""
+    ours_w, _ = run_steps(
+        lambda ps: optim.AdamW(ps, lr=0.01, weight_decay=0.5),
+        lambda ps: torch.optim.AdamW(ps, lr=0.01, weight_decay=0.5),
+    )
+    ours_a, _ = run_steps(
+        lambda ps: optim.Adam(ps, lr=0.01, weight_decay=0.5),
+        lambda ps: torch.optim.Adam(ps, lr=0.01, weight_decay=0.5),
+    )
+    assert np.abs(ours_w - ours_a).max() > 1e-4
+
+
+@pytest.mark.parametrize("dev", ["cpu", "tpu"])
+def test_rmsprop_matches_torch(dev):
+    ours, want = run_steps(
+        lambda ps: optim.RMSprop(ps, lr=0.01, alpha=0.95),
+        lambda ps: torch.optim.RMSprop(ps, lr=0.01, alpha=0.95),
+        device=dev,
+    )
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+
+def test_rmsprop_momentum_centered_wd_matches_torch():
+    ours, want = run_steps(
+        lambda ps: optim.RMSprop(
+            ps, lr=0.01, momentum=0.9, centered=True, weight_decay=0.01
+        ),
+        lambda ps: torch.optim.RMSprop(
+            ps, lr=0.01, momentum=0.9, centered=True, weight_decay=0.01
+        ),
+    )
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+
+def test_adamw_rmsprop_in_compiled_step():
+    """Both new optimizers must run inside CompiledTrainStep (traceable
+    pure cores, no retrace across steps)."""
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    for make in (
+        lambda ps: optim.AdamW(ps, lr=1e-3),
+        lambda ps: optim.RMSprop(ps, lr=1e-3, momentum=0.9, centered=True),
+    ):
+        df.manual_seed(0)
+        model = nn.Sequential(
+            nn.Linear(8, 16, device="tpu"), nn.ReLU(), nn.Linear(16, 4, device="tpu")
+        )
+        opt = make(model.parameters())
+        step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+        r = np.random.default_rng(0)
+        x = r.standard_normal((16, 8)).astype(np.float32)
+        y = r.integers(0, 4, 16).astype(np.int32)
+        losses = [float(step(x, y)) for _ in range(10)]
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        # exactly ONE compile: host scalars in optimizer state (step counter)
+        # must not force a second trace after call 1
+        assert step._jitted._cache_size() == 1
