@@ -158,3 +158,61 @@ def test_random_architecture_ce_loss_matches_torch(seed):
     np.testing.assert_allclose(
         tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("seed", range(10, 16))
+def test_random_architecture_remat_matches_torch(seed):
+    """Same property with the WHOLE stack rematerialised (nn.Remat): the
+    jax.vjp-based checkpointed backward must agree with torch across random
+    conv/BN/pool/linear compositions — including the functional threading of
+    BN running stats through the remat node."""
+    rng = np.random.default_rng(seed)
+    img = int(rng.choice([8, 16]))
+    spec = random_cnn_spec(rng, 3, img)
+    df.manual_seed(seed)
+    ours = build_ours(spec)
+    wrapped = nn.Remat(ours)
+    twin = build_torch(spec)
+    from deepflows_tpu.utils.pretrained_models import export_torch_state_dict
+
+    twin.load_state_dict(
+        {k: torch.tensor(v) for k, v in export_torch_state_dict(ours).items()},
+        strict=False,
+    )
+    x = rng.standard_normal((4, 3, img, img)).astype(np.float32)
+    tx = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = wrapped(tx)
+    xt = torch.tensor(x, requires_grad=True)
+    out_t = twin(xt)
+    np.testing.assert_allclose(
+        out.numpy(), out_t.detach().numpy(), rtol=1e-3, atol=1e-4,
+        err_msg=f"remat forward mismatch for spec {spec}",
+    )
+    (out * out).sum().backward()
+    (out_t * out_t).sum().backward()
+    np.testing.assert_allclose(
+        tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-3,
+        err_msg=f"remat input grad mismatch for spec {spec}",
+    )
+    ours_params = dict(ours.named_parameters())
+    for name, pt in twin.named_parameters():
+        got = ours_params[name].grad.numpy()
+        want = pt.grad.numpy()
+        if got.ndim == 2 and name.endswith("weight"):
+            got = got.T
+        else:
+            want = want.reshape(got.shape)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-2, atol=1e-3,
+            err_msg=f"remat grad mismatch {name} for spec {spec}",
+        )
+    # BN running stats must ALSO match torch's after the train-mode forward
+    ours_bufs = dict(ours.named_buffers())
+    for name, bt in twin.named_buffers():
+        if "num_batches" in name:
+            continue
+        np.testing.assert_allclose(
+            ours_bufs[name].numpy(), bt.numpy().reshape(ours_bufs[name].shape),
+            rtol=1e-3, atol=1e-4,
+            err_msg=f"remat buffer mismatch {name} for spec {spec}",
+        )
