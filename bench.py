@@ -192,7 +192,11 @@ def main() -> None:
     rawjax_ips = None
     rawjax_flops = None
     rawjax_samples = []
-    if impl == "rawjax" or os.environ.get("BENCH_RAWJAX", "1") == "1":
+    # with remat on, the non-remat rawjax twin is not the same program —
+    # a vs_rawjax ratio would misread the remat trade as framework overhead
+    if remat and impl != "rawjax":
+        pass
+    elif impl == "rawjax" or os.environ.get("BENCH_RAWJAX", "1") == "1":
         import rawjax_twin
 
         jitted, params, state, opt_state, xr, yr = rawjax_twin.make_train_step(
@@ -288,6 +292,7 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
         "impl": impl,
+        "remat": remat,  # resnet models only; ignored for cifar10_cnn
         "batch_size": batch_size,
         "steps": steps,
         "repeats": repeats,

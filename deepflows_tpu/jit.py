@@ -57,30 +57,9 @@ def jit(fn: Callable) -> Callable:
     Gradient recording is off inside (use CompiledTrainStep for training)."""
     import functools
 
-    from .autograd import is_grad_enable
+    from .purify import purify_fn
 
-    @jax.jit
-    def _traced(arrays):
-        with _TRACE_LOCK:
-            return _traced_locked(arrays)
-
-    def _traced_locked(arrays):
-        saved_tape = Graph.node_list
-        Graph.node_list = []
-        saved_flag = is_grad_enable()
-        set_grad_enabled(False)
-        dev = tpu()
-        try:
-            tensors = [Tensor(BackendTensor._wrap(a, dev)) for a in arrays]
-            out = fn(*tensors)
-            return jax.tree.map(
-                lambda t: t.data.array if isinstance(t, Tensor) else t,
-                out,
-                is_leaf=lambda t: isinstance(t, Tensor),
-            )
-        finally:
-            Graph.node_list = saved_tape
-            set_grad_enabled(saved_flag)
+    _traced = jax.jit(purify_fn(fn))
 
     @functools.wraps(fn)
     def wrapper(*args):
@@ -90,7 +69,7 @@ def jit(fn: Callable) -> Callable:
             else (a if hasattr(a, "dtype") else np.asarray(a))
             for a in args
         ]
-        return _traced(arrays)
+        return _traced(*arrays)
 
     return wrapper
 

@@ -27,9 +27,10 @@ from __future__ import annotations
 import jax
 
 from ... import random as df_random
-from ...autograd import is_grad_enable, set_grad_enabled
+from ...autograd import is_grad_enable
 from ...backend import BackendTensor
-from ...tensor import Graph, Tensor
+from ...purify import purified_call
+from ...tensor import Tensor
 from .module import Module
 
 
@@ -37,8 +38,6 @@ class _RematOp(Tensor):
     """Tape node: checkpointed block forward; parents = (x, *params)."""
 
     def __init__(self, module: Module, x: Tensor, forward=None):
-        from ...jit import _TRACE_LOCK
-
         dev = x.device
         call = forward if forward is not None else module
         params = [p for _, p in module.named_parameters()]
@@ -47,37 +46,14 @@ class _RematOp(Tensor):
 
         # one PRNG slot for the whole block; the same key is re-installed on
         # the replay so dropout masks match between forward and recompute
+        # (the trace-swapping protocol itself lives in deepflows_tpu.purify)
         block_key = df_random.next_key() if dev.is_jax else None
 
         def block_fn(param_arrays, buffer_arrays, x_arr):
-            with _TRACE_LOCK:
-                saved_p = [p.data for p in params]
-                saved_b = [b.data for b in buffers]
-                saved_tape = Graph.node_list
-                Graph.node_list = []
-                saved_flag = is_grad_enable()
-                saved_rng = (df_random._trace_key, df_random._trace_counter)
-                set_grad_enabled(False)
-                if block_key is not None:
-                    df_random.set_trace_key(block_key)
-                try:
-                    for p, a in zip(params, param_arrays):
-                        p.data = BackendTensor._wrap(a, dev)
-                    for b, a in zip(buffers, buffer_arrays):
-                        b.data = BackendTensor._wrap(a, dev)
-                    out = call(Tensor(BackendTensor._wrap(x_arr, dev)))
-                    new_bufs = [b.data.array for b in buffers]
-                    return out.data.array, new_bufs
-                finally:
-                    for p, d in zip(params, saved_p):
-                        p.data = d
-                        p.children.clear()
-                        p.parents.clear()
-                    for b, d in zip(buffers, saved_b):
-                        b.data = d
-                    Graph.node_list = saved_tape
-                    set_grad_enabled(saved_flag)
-                    df_random._trace_key, df_random._trace_counter = saved_rng
+            return purified_call(
+                call, params, buffers, param_arrays, buffer_arrays, x_arr,
+                dev, block_key=block_key,
+            )
 
         param_arrays = [p.data.array for p in params]
         buffer_arrays = [b.data.array for b in buffers]

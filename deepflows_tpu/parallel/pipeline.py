@@ -43,12 +43,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from ..autograd import is_grad_enable, set_grad_enabled
 from ..backend import BackendTensor, tpu
-from ..jit import _TRACE_LOCK
 from ..nn.modules.module import Module
 from ..nn.parameter import Parameter
-from ..tensor import Graph, Tensor
+from ..purify import purified_call, purify_fn  # noqa: F401  (re-export)
+from ..tensor import Tensor
 
 P = PartitionSpec
 
@@ -58,8 +57,9 @@ P = PartitionSpec
 # --------------------------------------------------------------------------
 def purify_module(module: Module) -> Callable:
     """Array-level pure forward ``fn(param_arrays, x_array) -> y_array`` for a
-    tape Module.  Grad recording is off inside (the caller differentiates the
-    jnp program with ``jax.grad``); the module must be buffer-free."""
+    tape Module (one shared trace-swapping core: `deepflows_tpu.purify`).
+    Grad recording is off inside (the caller differentiates the jnp program
+    with ``jax.grad``); the module must be buffer-free."""
     params = [p for _, p in module.named_parameters()]
     if any(True for _ in module.named_buffers()):
         raise ValueError(
@@ -70,52 +70,10 @@ def purify_module(module: Module) -> Callable:
     dev = tpu()
 
     def fn(param_arrays, x):
-        with _TRACE_LOCK:
-            saved = [p.data for p in params]
-            saved_tape = Graph.node_list
-            Graph.node_list = []
-            saved_flag = is_grad_enable()
-            set_grad_enabled(False)
-            try:
-                for p, a in zip(params, param_arrays):
-                    p.data = BackendTensor._wrap(a, dev)
-                out = module(Tensor(BackendTensor._wrap(x, dev)))
-                return out.data.array
-            finally:
-                for p, d in zip(params, saved):
-                    p.data = d
-                    p.children.clear()
-                    p.parents.clear()
-                Graph.node_list = saved_tape
-                set_grad_enabled(saved_flag)
+        y, _ = purified_call(module, params, [], param_arrays, [], x, dev)
+        return y
 
     return fn
-
-
-def purify_fn(fn: Callable) -> Callable:
-    """Array-level version of a tape-API function (e.g. a criterion):
-    wraps array args in Tensors, runs with grad recording off, unwraps."""
-    dev = tpu()
-
-    def pure(*arrays):
-        with _TRACE_LOCK:
-            saved_tape = Graph.node_list
-            Graph.node_list = []
-            saved_flag = is_grad_enable()
-            set_grad_enabled(False)
-            try:
-                tensors = [Tensor(BackendTensor._wrap(a, dev)) for a in arrays]
-                out = fn(*tensors)
-                return jax.tree.map(
-                    lambda t: t.data.array if isinstance(t, Tensor) else t,
-                    out,
-                    is_leaf=lambda t: isinstance(t, Tensor),
-                )
-            finally:
-                Graph.node_list = saved_tape
-                set_grad_enabled(saved_flag)
-
-    return pure
 
 
 # --------------------------------------------------------------------------
@@ -168,8 +126,12 @@ class PipelineStack(Module):
                     for s in stages
                 ]
             )
+            # the index prefix keeps mangled names collision-free (e.g.
+            # 'conv_1.weight' and 'conv.1.weight' both flatten to the same
+            # string — without the index one would silently overwrite the
+            # other and truncate the zip in purified stage calls)
             self.register_parameter(
-                f"stacked_{name.replace('.', '_')}",
+                f"stacked_{i}_{name.replace('.', '_')}",
                 Parameter(Tensor(BackendTensor._wrap(stacked, dev))),
             )
 
@@ -219,7 +181,14 @@ def pipeline_apply(
         return v
 
     feat = x_micro.shape[1:]
-    state = jnp.zeros((S,) + feat, x_micro.dtype)
+    # bubble safety: fill/drain ticks compute on whatever sits in the buffer
+    # and their outputs get ZERO cotangents — but zero COTANGENT does not
+    # neutralise NaN PRIMALS (0*NaN=NaN), so an all-zeros initial buffer
+    # would poison gradients for any stage not NaN-safe at x=0 (e.g. an
+    # L2-normalise dividing 0/0).  Seed the buffer with the first microbatch
+    # instead: every bubble compute then runs on real-data-derived values,
+    # finite for any stage that is finite on finite inputs.
+    state = jnp.broadcast_to(x_micro[0], (S,) + feat).astype(x_micro.dtype)
     # probe the stage output shape statically (must equal input shape)
     out_aval = jax.eval_shape(
         stage_fn, [a[0] for a in stacked_params], jax.ShapeDtypeStruct(feat, x_micro.dtype)

@@ -198,3 +198,33 @@ def test_pipeline_stack_checkpoint_roundtrip(tmp_path):
     l1 = float(step(x2, y2))
     l2 = float(step2(x2, y2))
     assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
+
+
+def test_bubble_ticks_do_not_poison_grads():
+    """Regression (review finding): fill/drain bubble ticks used to run
+    stages on an all-zeros buffer; a stage not NaN-safe at x=0 (here an L2
+    row-normalise, 0/0) produced NaN primal partials that zero cotangents
+    cannot neutralise (0*NaN=NaN), silently NaN-ing every parameter after
+    one step.  The buffer is now seeded with real microbatch data."""
+
+    class L2Stage(nn.Module):
+        def __init__(self, width):
+            super().__init__()
+            self.lin = nn.Linear(width, width, device="tpu")
+
+        def forward(self, x):
+            y = self.lin(x)
+            return y / (y * y).sum(1, True).sqrt()
+
+    df.manual_seed(0)
+    stages = [L2Stage(16) for _ in range(4)]
+    stack = PipelineStack(stages)
+    opt = optim.SGD(stack.parameters(), lr=0.05)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+    x, y = batch(16)
+    for _ in range(2):
+        loss = float(step(x, y))
+        assert np.isfinite(loss)
+    for p in stack.parameters():
+        assert np.all(np.isfinite(np.asarray(p.data.array))), "NaN params"
