@@ -101,13 +101,17 @@ class PipelineStack(Module):
             raise ValueError("need at least one stage")
         names0 = [n for n, _ in stages[0].named_parameters()]
         shapes0 = [p.shape for _, p in stages[0].named_parameters()]
+        bnames0 = [n for n, _ in stages[0].named_buffers()]
+        bshapes0 = [b.shape for _, b in stages[0].named_buffers()]
         for s in stages[1:]:
             names = [n for n, _ in s.named_parameters()]
             shapes = [p.shape for _, p in s.named_parameters()]
-            if names != names0 or shapes != shapes0:
+            bnames = [n for n, _ in s.named_buffers()]
+            bshapes = [b.shape for _, b in s.named_buffers()]
+            if names != names0 or shapes != shapes0 or bnames != bnames0 or bshapes != bshapes0:
                 raise ValueError(
                     "pipeline stages must be homogeneous (identical "
-                    f"parameter structure); got {list(zip(names, shapes))} vs "
+                    f"parameter/buffer structure); got {list(zip(names, shapes))} vs "
                     f"{list(zip(names0, shapes0))}"
                 )
         self.n_stages = len(stages)
@@ -116,6 +120,7 @@ class PipelineStack(Module):
         # .parameters() next to the stacked ones
         object.__setattr__(self, "template", stages[0])
         self._param_names = names0
+        self._buffer_names = bnames0
         import jax.numpy as jnp
 
         dev = tpu()
@@ -134,10 +139,58 @@ class PipelineStack(Module):
                 f"stacked_{i}_{name.replace('.', '_')}",
                 Parameter(Tensor(BackendTensor._wrap(stacked, dev))),
             )
+        # buffers (BatchNorm running stats) stack the same way: (S, ...) on
+        # the pipe axis; they are threaded through the tick scan and updated
+        # only on each stage's VALID ticks (bubble computes must not chain
+        # the EMA)
+        for i, name in enumerate(bnames0):
+            stacked = jnp.stack(
+                [
+                    [b for _, b in s.named_buffers()][i].data.array
+                    for s in stages
+                ]
+            )
+            self.register_buffer(
+                f"stacked_{i}_{name.replace('.', '_')}",
+                Tensor(BackendTensor._wrap(stacked, dev)),
+            )
 
     def stage_fn(self) -> Callable:
-        """Purified per-stage forward (template-bound)."""
+        """Purified buffer-free per-stage forward (template-bound); raises
+        if the stages carry buffers — use :meth:`buffered_stage_fn`."""
         return purify_module(self.template)
+
+    def buffered_stage_fn(self, training: bool = True) -> Callable:
+        """Purified per-stage forward with buffer threading:
+        ``fn(param_arrays, buffer_arrays, x) -> (y, new_buffer_arrays)``.
+        The template is flipped to train/eval mode for the duration of each
+        (traced) call, so BatchNorm uses batch stats + EMA updates under
+        ``training=True`` and running stats under ``training=False``.
+        Stages with Dropout are not supported on the pipeline path (no
+        per-step trace key is plumbed; masks would be trace-constant)."""
+        template = self.template
+        params = [p for _, p in template.named_parameters()]
+        buffers = [b for _, b in template.named_buffers()]
+        dev = tpu()
+
+        def fn(param_arrays, buffer_arrays, x):
+            from ..autograd import is_grad_enable, set_grad_enabled
+
+            was_mode = template.training
+            was_flag = is_grad_enable()
+            # train()/eval() flip the process-global grad flag (reference
+            # semantics) — restore both afterwards
+            template.train() if training else template.eval()
+            try:
+                return purified_call(
+                    template, params, buffers, param_arrays, buffer_arrays,
+                    x, dev,
+                )
+            finally:
+                template.train() if was_mode else template.eval()
+                set_grad_enabled(was_flag)
+
+        return fn
 
     def forward(self, x):
         raise NotImplementedError(
@@ -154,22 +207,29 @@ def pipeline_apply(
     stacked_params,
     x_micro,
     *,
+    stacked_buffers=None,
     mesh: Optional[Mesh] = None,
     pipe_axis: str = "pipe",
     data_axis: str = "data",
 ):
     """Run ``M`` microbatches through ``S`` stages; returns stacked outputs
-    ``(M, b, ...)``.
+    ``(M, b, ...)`` — or ``(outs, final_buffers)`` when ``stacked_buffers``
+    is given (buffered mode: ``stage_fn(params, buffers, x) -> (y, new_b)``,
+    e.g. from :meth:`PipelineStack.buffered_stage_fn`).
 
     ``x_micro``: ``(M, b, *features)``; stage input and output shapes must
     match (homogeneous stages).  Tick ``t`` computes stage ``s`` on
     microbatch ``t - s`` (where valid); ``jnp.roll`` along the stage axis is
     the inter-stage transfer (collective-permute under GSPMD when the axis
-    is sharded over ``pipe``).
+    is sharded over ``pipe``).  Buffers (BN running stats) update only on
+    each stage's valid ticks, so the EMA chains exactly once per microbatch
+    — the same per-microbatch semantics as ``CompiledTrainStep``'s gradient
+    accumulation.
     """
     import jax.numpy as jnp
     from jax import lax
 
+    buffered = stacked_buffers is not None
     S = stacked_params[0].shape[0]
     M = x_micro.shape[0]
     if M < 1:
@@ -190,9 +250,18 @@ def pipeline_apply(
     # finite for any stage that is finite on finite inputs.
     state = jnp.broadcast_to(x_micro[0], (S,) + feat).astype(x_micro.dtype)
     # probe the stage output shape statically (must equal input shape)
-    out_aval = jax.eval_shape(
-        stage_fn, [a[0] for a in stacked_params], jax.ShapeDtypeStruct(feat, x_micro.dtype)
-    )
+    x_aval = jax.ShapeDtypeStruct(feat, x_micro.dtype)
+    if buffered:
+        out_aval, _ = jax.eval_shape(
+            stage_fn,
+            [a[0] for a in stacked_params],
+            [b[0] for b in stacked_buffers],
+            x_aval,
+        )
+    else:
+        out_aval = jax.eval_shape(
+            stage_fn, [a[0] for a in stacked_params], x_aval
+        )
     if tuple(out_aval.shape) != tuple(feat):
         raise ValueError(
             f"stage output shape {out_aval.shape} != input shape {feat}; "
@@ -202,15 +271,29 @@ def pipeline_apply(
 
     act_spec = P(pipe_axis, data_axis)
     micro_spec = P(None, data_axis)
+    sidx = jnp.arange(S, dtype=jnp.int32)
 
     def tick(carry, t):
-        state, outs = carry
+        state, outs, bufs = carry
         # inject the current microbatch into the stage-0 slot (clipped index
         # during the drain phase; those ticks' stage-0 work is bubble)
         inj = x_micro[jnp.clip(t, 0, M - 1)]
         state = state.at[0].set(inj)
         state = _constrain(state, act_spec)
-        y = jax.vmap(stage_fn, in_axes=(0, 0))(stacked_params, state)
+        if buffered:
+            y, newb = jax.vmap(stage_fn, in_axes=(0, 0, 0))(
+                stacked_params, bufs, state
+            )
+            # stage s's EMA advances only when its tick is valid (it is
+            # processing a real microbatch), never on bubble work
+            svalid = (t - sidx >= 0) & (t - sidx < M)
+            bufs = [
+                jnp.where(svalid.reshape((S,) + (1,) * (b.ndim - 1)), nb, b)
+                for b, nb in zip(bufs, newb)
+            ]
+            bufs = [_constrain(b, P(pipe_axis)) for b in bufs]
+        else:
+            y = jax.vmap(stage_fn, in_axes=(0, 0))(stacked_params, state)
         y = _constrain(y, act_spec)
         # collect the last stage's output: tick t finished microbatch t-(S-1)
         w = t - (S - 1)
@@ -220,12 +303,13 @@ def pipeline_apply(
         outs = _constrain(outs, micro_spec)
         # shift activations one stage forward (slot 0 is rewritten next tick)
         state = jnp.roll(y, 1, axis=0)
-        return (state, outs), None
+        return (state, outs, bufs), None
 
-    (state, outs), _ = lax.scan(
-        tick, (state, outs), jnp.arange(M + S - 1, dtype=jnp.int32)
+    bufs0 = list(stacked_buffers) if buffered else []
+    (state, outs, bufs), _ = lax.scan(
+        tick, (state, outs, bufs0), jnp.arange(M + S - 1, dtype=jnp.int32)
     )
-    return outs
+    return (outs, bufs) if buffered else outs
 
 
 # --------------------------------------------------------------------------
@@ -269,10 +353,16 @@ class PipelinedTrainStep:
         self.pipe_axis = pipe_axis
         self.grad_transform = grad_transform
         self._params = [p for _, p in stack.named_parameters()]
+        self._buffers = [b for _, b in stack.named_buffers()]
         if [id(p) for p in optimizer.params] != [id(p) for p in self._params]:
             raise ValueError("optimizer must hold exactly stack.parameters()")
         optimizer._ensure_state()
-        self._stage_fn = stack.stage_fn()
+        if self._buffers:
+            self._stage_fn = stack.buffered_stage_fn(training=True)
+            self._eval_stage_fn = stack.buffered_stage_fn(training=False)
+        else:
+            self._stage_fn = stack.stage_fn()
+            self._eval_stage_fn = self._stage_fn
         self._criterion = purify_fn(criterion)
         self._call_count = 0
 
@@ -282,6 +372,10 @@ class PipelinedTrainStep:
             for p in self._params
         ]
         self._param_shardings = pspec
+        bspec = [
+            NamedSharding(mesh, P(pipe_axis, *([None] * (len(b.shape) - 1))))
+            for b in self._buffers
+        ]
 
         def _state_shardings(state):
             out = {}
@@ -295,11 +389,13 @@ class PipelinedTrainStep:
             return out
 
         opt_sh = _state_shardings(optimizer._state)
-        # pre-place params + optimizer state on the mesh (first call sees the
-        # committed layout; avoids a second trace)
+        # pre-place params + buffers + optimizer state on the mesh (first
+        # call sees the committed layout; avoids a second trace)
         dev = tpu()
         for p, sh in zip(self._params, pspec):
             p.data = BackendTensor._wrap(jax.device_put(p.data.array, sh), dev)
+        for b, sh in zip(self._buffers, bspec):
+            b.data = BackendTensor._wrap(jax.device_put(b.data.array, sh), dev)
         optimizer._state = jax.tree.map(
             lambda arr, sh: None if arr is None else jax.device_put(arr, sh),
             optimizer._state,
@@ -308,65 +404,82 @@ class PipelinedTrainStep:
         )
 
         batch_sh = NamedSharding(mesh, P(data_axis))
-        in_sh = (pspec, opt_sh, rep, batch_sh, batch_sh)
-        out_sh = (rep, pspec, opt_sh)
+        in_sh = (pspec, bspec, opt_sh, rep, batch_sh, batch_sh)
+        out_sh = (rep, pspec, bspec, opt_sh)
         self._jitted = jax.jit(
             self._pure_step,
             in_shardings=in_sh,
             out_shardings=out_sh,
-            donate_argnums=(0, 1) if donate else (),
+            donate_argnums=(0, 1, 2) if donate else (),
         )
         self._eval_jitted = jax.jit(
-            self._pure_eval, in_shardings=(pspec, batch_sh)
+            self._pure_eval, in_shardings=(pspec, bspec, batch_sh)
         )
 
     # ------------------------------------------------------------------
-    def _forward(self, param_arrays, x):
+    def _forward(self, param_arrays, buffer_arrays, x, stage_fn):
         M = self.n_micro
         B = x.shape[0]
         if B % M:
             raise ValueError(f"batch {B} not divisible by n_micro {M}")
         xm = x.reshape((M, B // M) + x.shape[1:])
-        outs = pipeline_apply(
-            self._stage_fn,
+        res = pipeline_apply(
+            stage_fn,
             param_arrays,
             xm,
+            stacked_buffers=buffer_arrays if self._buffers else None,
             mesh=self.mesh,
             pipe_axis=self.pipe_axis,
             data_axis=self.data_axis,
         )
-        return outs.reshape((B,) + outs.shape[2:])
+        outs, new_bufs = res if self._buffers else (res, [])
+        return outs.reshape((B,) + outs.shape[2:]), new_bufs
 
-    def _pure_step(self, param_arrays, opt_state, lr, x, y):
+    def _pure_step(self, param_arrays, buffer_arrays, opt_state, lr, x, y):
         def loss_fn(params):
-            logits = self._forward(params, x)
-            return self._criterion(logits, y)
+            logits, new_bufs = self._forward(
+                params, buffer_arrays, x, self._stage_fn
+            )
+            return self._criterion(logits, y), new_bufs
 
-        loss, grads = jax.value_and_grad(loss_fn)(param_arrays)
+        (loss, new_bufs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            param_arrays
+        )
         if self.grad_transform is not None:
             grads = self.grad_transform(grads)
         new_params, new_state = self.optimizer.pure_update(
             param_arrays, grads, opt_state, lr
         )
-        return loss, new_params, new_state
+        return loss, new_params, new_bufs, new_state
 
-    def _pure_eval(self, param_arrays, x):
-        return self._forward(param_arrays, x)
+    def _pure_eval(self, param_arrays, buffer_arrays, x):
+        logits, _ = self._forward(
+            param_arrays, buffer_arrays, x, self._eval_stage_fn
+        )
+        return logits
 
     # ------------------------------------------------------------------
     def __call__(self, x, y):
         dev = tpu()
         param_arrays = [p.data.array for p in self._params]
+        buffer_arrays = [b.data.array for b in self._buffers]
         lr = np.float32(self.optimizer.lr)
         self._call_count += 1
-        loss, new_params, new_state = self._jitted(
-            param_arrays, self.optimizer._state, lr, x, y
+        loss, new_params, new_bufs, new_state = self._jitted(
+            param_arrays, buffer_arrays, self.optimizer._state, lr, x, y
         )
         for p, arr in zip(self._params, new_params):
             p.data = BackendTensor._wrap(arr, dev)
+        for b, arr in zip(self._buffers, new_bufs):
+            b.data = BackendTensor._wrap(arr, dev)
         self.optimizer._state = new_state
         return loss
 
     def eval_logits(self, x):
-        """Jitted pipelined inference over the same mesh layout."""
-        return self._eval_jitted([p.data.array for p in self._params], x)
+        """Jitted pipelined inference over the same mesh layout (eval-mode
+        stages: BN running stats, no EMA update)."""
+        return self._eval_jitted(
+            [p.data.array for p in self._params],
+            [b.data.array for b in self._buffers],
+            x,
+        )

@@ -9,7 +9,7 @@ import pytest
 
 import deepflows_tpu as df
 from deepflows_tpu import Graph, nn, optim
-from deepflows_tpu.jit import CompiledTrainStep
+from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
 from deepflows_tpu.parallel import make_mesh
 from deepflows_tpu.parallel.pipeline import (
     PipelinedTrainStep,
@@ -146,7 +146,9 @@ def test_heterogeneous_stages_rejected():
         PipelineStack(stages)
 
 
-def test_buffered_stages_rejected():
+def test_buffered_stages_need_buffered_path():
+    """The buffer-free stage_fn refuses BN stages; the buffered path serves
+    them (full equivalence test below)."""
     df.manual_seed(0)
     stages = [
         nn.Sequential(nn.Conv2d(4, 4, 3, padding=1, device="tpu"), nn.BatchNorm2d(4, device="tpu"))
@@ -155,6 +157,82 @@ def test_buffered_stages_rejected():
     stack = PipelineStack(stages)
     with pytest.raises(ValueError, match="buffer-free"):
         purify_module(stack.template)
+    assert callable(stack.buffered_stage_fn())
+
+
+def test_pipelined_bn_stages_match_accumulated_single_device():
+    """BN-carrying stages: the pipelined step must equal CompiledTrainStep
+    with accum_steps=M on the same stages — identical per-microbatch BN
+    semantics (batch stats per microbatch, EMA chained once per microbatch,
+    never on bubble ticks), identical grads, identical running stats."""
+
+    def make_bn_stages(seed=0):
+        df.manual_seed(seed)
+        return [
+            nn.Sequential(
+                nn.Conv2d(4, 4, 3, padding=1, bias=False, device="tpu"),
+                nn.BatchNorm2d(4, device="tpu"),
+                nn.ReLU(),
+            )
+            for _ in range(4)
+        ]
+
+    def bn_batch(i):
+        r = np.random.default_rng(100 + i)
+        return (
+            r.standard_normal((16, 4, 8, 8)).astype(np.float32),
+            r.standard_normal((16, 4, 8, 8)).astype(np.float32),
+        )
+
+    stages = make_bn_stages()
+    ref_model = nn.Sequential(*stages)
+    ref_opt = optim.SGD(ref_model.parameters(), lr=0.1, momentum=0.9)
+    ref_step = CompiledTrainStep(
+        ref_model, ref_opt, nn.MSELoss(), accum_steps=4
+    )
+
+    stages2 = make_bn_stages()
+    stack = PipelineStack(stages2)
+    opt = optim.SGD(stack.parameters(), lr=0.1, momentum=0.9)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+
+    for i in range(3):
+        x, y = bn_batch(i)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss))
+
+    # params AND running stats agree stage-by-stage
+    ref_params = [p.data.array for p in ref_model.parameters()]
+    n_per = len(ref_params) // 4
+    stacked = [p.data.array for p in stack.parameters()]
+    for j in range(n_per):
+        for s in range(4):
+            np.testing.assert_allclose(
+                np.asarray(stacked[j][s]),
+                np.asarray(ref_params[s * n_per + j]),
+                rtol=1e-4, atol=1e-5,
+            )
+    ref_bufs = [b.data.array for _, b in ref_model.named_buffers()]
+    nb_per = len(ref_bufs) // 4
+    stacked_b = [b.data.array for _, b in stack.named_buffers()]
+    for j in range(nb_per):
+        for s in range(4):
+            np.testing.assert_allclose(
+                np.asarray(stacked_b[j][s]),
+                np.asarray(ref_bufs[s * nb_per + j]),
+                rtol=1e-4, atol=1e-6,
+            )
+    # eval path: running stats, no EMA mutation
+    x, _ = bn_batch(9)
+    bufs_before = [np.asarray(b.data.array).copy() for _, b in stack.named_buffers()]
+    logits = np.asarray(step.eval_logits(x))
+    ref_model.eval()
+    ref_out = CompiledEvalStep(ref_model)(x)
+    np.testing.assert_allclose(logits, np.asarray(ref_out), rtol=1e-4, atol=1e-5)
+    for b, (_, cur) in zip(bufs_before, stack.named_buffers()):
+        np.testing.assert_array_equal(b, np.asarray(cur.data.array))
 
 
 def test_shape_changing_stage_rejected():
