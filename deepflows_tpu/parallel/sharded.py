@@ -72,7 +72,14 @@ class ShardedTrainStep(CompiledTrainStep):
         compute_dtype=None,
         grad_transform: Optional[Callable] = None,
         accum_steps: int = 1,
+        zero_shard_state: bool = False,
     ):
+        """``zero_shard_state=True`` enables ZeRO-1-style optimizer-state
+        sharding: state slots belonging to REPLICATED parameters are stored
+        sharded over the ``data`` axis (dim 0, when divisible) instead of
+        replicated per rank — resident optimizer memory drops ~D× and the
+        SPMD partitioner inserts the gathers around the update.  State for
+        tensor-parallel-sharded params already shards with its param."""
         super().__init__(
             model,
             optimizer,
@@ -94,14 +101,25 @@ class ShardedTrainStep(CompiledTrainStep):
             self._param_shardings.append(NamedSharding(mesh, spec))
         buffer_shardings = [rep for _ in self._buffers]
 
+        d_size = mesh.shape[data_axis]
+
+        def _slot_sharding(i, x):
+            base = self._param_shardings[self._opt_index[i]]
+            if not zero_shard_state or base.spec != PartitionSpec():
+                return base
+            shape = getattr(x, "shape", ())
+            if len(shape) >= 1 and shape[0] > 1 and shape[0] % d_size == 0:
+                return NamedSharding(
+                    mesh, P(data_axis, *([None] * (len(shape) - 1)))
+                )
+            return base
+
         def _state_shardings(state):
             out = {}
             for k, v in state.items():
                 if isinstance(v, list):
                     out[k] = [
-                        None
-                        if x is None
-                        else self._param_shardings[self._opt_index[i]]
+                        None if x is None else _slot_sharding(i, x)
                         for i, x in enumerate(v)
                     ]
                 else:

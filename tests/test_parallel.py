@@ -189,3 +189,38 @@ def test_sharded_gradient_accumulation_matches_single():
     for _ in range(2):
         l1, l2 = float(single(x, y)), float(sharded(x, y))
         np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_zero_shard_state_matches_and_shards():
+    """ZeRO-1 optimizer-state sharding: training is bit-equivalent to the
+    replicated-state step, and eligible state slots are actually stored
+    sharded over the data axis."""
+
+    def run(zero):
+        model = make_model()
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        mesh = make_mesh({"data": 8})
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh,
+            zero_shard_state=zero,
+        )
+        for i in range(3):
+            x, y = batch(i)
+            loss = step(x, y)
+        params = [np.asarray(p.data.array) for p in model.parameters()]
+        return float(loss), params, opt
+
+    l0, p0, _ = run(False)
+    l1, p1, opt1 = run(True)
+    assert abs(l0 - l1) < 1e-6 * max(1.0, abs(l0))
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    # at least one state slot (conv kernel moment, dim0=8) is data-sharded
+    import jax
+    specs = [
+        v.sharding.spec
+        for v in opt1._state["v"]
+        if v is not None and hasattr(v, "sharding")
+    ]
+    from jax.sharding import PartitionSpec as P_
+    assert any(s == P_("data") or (len(s) and s[0] == "data") for s in specs), specs
