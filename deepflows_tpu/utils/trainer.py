@@ -32,7 +32,13 @@ class Trainer:
         augment_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         checkpoint_path: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
+        step=None,
+        eval_step=None,
     ):
+        """``step``/``eval_step`` inject pre-built step objects — e.g. a
+        ``parallel.ShardedTrainStep``/``ShardedEvalStep`` pair to run the
+        same high-level loop data/tensor-parallel over a mesh; defaults are
+        the single-chip compiled steps."""
         self.model = model
         self.optimizer = optimizer
         self.criterion = criterion
@@ -40,8 +46,8 @@ class Trainer:
         self.augment_fn = augment_fn
         self.checkpoint_path = checkpoint_path
         self.log = log_fn
-        self.step = CompiledTrainStep(model, optimizer, criterion)
-        self.eval_step = CompiledEvalStep(model)
+        self.step = step or CompiledTrainStep(model, optimizer, criterion)
+        self.eval_step = eval_step or CompiledEvalStep(model)
         self.history = {"loss": [], "test_acc": [], "epoch_time": [], "lr": []}
 
     def evaluate(self, x, y, batch_size=256) -> float:
@@ -78,6 +84,11 @@ class Trainer:
         collate = (
             (lambda batch: (augment(batch[0]), batch[1])) if augment else None
         )
+        # mesh-parallel steps declare batch in_shardings; a batch pre-staged
+        # onto ONE device would conflict with the committed mesh layout —
+        # let the jitted step shard host arrays itself in that case
+        if hasattr(self.step, "mesh"):
+            stage_on_device = False
         for epoch in range(epochs):
             t0 = time.time()
             losses = []

@@ -55,3 +55,42 @@ def test_bf16_optin_forward():
     out = lin(t)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out.numpy(), dtype=np.float32)).all()
+
+
+def test_trainer_with_sharded_steps():
+    """The high-level Trainer drives mesh-parallel steps when injected."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from deepflows_tpu.parallel import (
+        ShardedEvalStep,
+        ShardedTrainStep,
+        make_mesh,
+    )
+
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.Flatten(),
+        nn.Linear(64, 32, device="tpu"),
+        nn.ReLU(),
+        nn.Linear(32, 4, device="tpu"),
+    )
+    opt = optim.Adam(model.parameters(), lr=5e-3)
+    crit = nn.CrossEntropyLoss()
+    mesh = make_mesh({"data": 8})
+    trainer = Trainer(
+        model, opt, crit,
+        step=ShardedTrainStep(model, opt, crit, mesh),
+        eval_step=ShardedEvalStep(model, mesh),
+        log_fn=lambda s: None,
+    )
+    r = np.random.default_rng(0)
+    x = r.standard_normal((256, 8, 8)).astype(np.float32)
+    w = r.standard_normal((64, 4)).astype(np.float32)
+    y = (x.reshape(256, -1) @ w).argmax(1).astype(np.int32)
+    hist = trainer.fit(x[:192], y[:192], x[192:], y[192:], epochs=4, batch_size=64)
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert len(hist["test_acc"]) == 4
