@@ -150,3 +150,28 @@ def test_remat_onnx_export_identical(tmp_path):
     p1 = export_onnx(plain, x, str(tmp_path / "plain.onnx"))
     p2 = export_onnx(rem, x, str(tmp_path / "remat.onnx"))
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_remat_inside_gradient_accumulation():
+    """Remat nodes must trace correctly inside the accumulation lax.scan
+    (a fresh vjp closure per microbatch) and reproduce the plain accum
+    trajectory."""
+
+    def run(remat):
+        df.manual_seed(0)
+        model = models.ResNet18(
+            num_classes=4, small_input=True, device="tpu", remat=remat
+        )
+        opt = optim.SGD(model.parameters(), lr=0.05)
+        step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss(), accum_steps=2)
+        r = np.random.default_rng(5)
+        losses = []
+        for _ in range(2):
+            x = r.standard_normal((8, 3, 16, 16)).astype(np.float32)
+            y = r.integers(0, 4, 8).astype(np.int32)
+            losses.append(float(step(x, y)))
+        return losses
+
+    plain = run(False)
+    rem = run(True)
+    np.testing.assert_allclose(plain, rem, rtol=1e-4)
