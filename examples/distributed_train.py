@@ -29,7 +29,7 @@ def ensure_devices(n: int) -> None:
         sys.exit(f"need {n} devices, have {len(jax.devices())}")
 
 
-def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
+def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024, zero=False):
     ensure_devices(devices)
     import numpy as np
 
@@ -60,6 +60,7 @@ def main(devices=8, model_parallel=2, epochs=2, batch_size=64, limit=1024):
         nn.CrossEntropyLoss(),
         mesh,
         param_rules=tensor_parallel_rules("model") if model_parallel > 1 else None,
+        zero_shard_state=zero,  # ZeRO-1: optimizer state stored data-sharded
     )
     import time
 
@@ -108,5 +109,6 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=1024)
+    p.add_argument("--zero", action="store_true", help="ZeRO-1 sharded optimizer state")
     args = p.parse_args()
-    main(args.devices, args.model_parallel, args.epochs, args.batch_size, args.limit)
+    main(args.devices, args.model_parallel, args.epochs, args.batch_size, args.limit, args.zero)
