@@ -99,21 +99,27 @@ class PipelineStack(Module):
         stages = list(stages)
         if len(stages) < 1:
             raise ValueError("need at least one stage")
-        names0 = [n for n, _ in stages[0].named_parameters()]
-        shapes0 = [p.shape for _, p in stages[0].named_parameters()]
-        bnames0 = [n for n, _ in stages[0].named_buffers()]
-        bshapes0 = [b.shape for _, b in stages[0].named_buffers()]
+        def _structure(s):
+            # parameter/buffer structure AND module-tree type structure:
+            # stage 0's forward serves every stage, so [Conv2d] vs
+            # [Conv2d, ReLU] with identical params would silently drop the
+            # ReLU for all other stages — reject it here
+            return (
+                [(n, p.shape) for n, p in s.named_parameters()],
+                [(n, b.shape) for n, b in s.named_buffers()],
+                [(n, type(m).__name__) for n, m in s.named_modules()],
+            )
+
+        struct0 = _structure(stages[0])
         for s in stages[1:]:
-            names = [n for n, _ in s.named_parameters()]
-            shapes = [p.shape for _, p in s.named_parameters()]
-            bnames = [n for n, _ in s.named_buffers()]
-            bshapes = [b.shape for _, b in s.named_buffers()]
-            if names != names0 or shapes != shapes0 or bnames != bnames0 or bshapes != bshapes0:
+            if _structure(s) != struct0:
                 raise ValueError(
-                    "pipeline stages must be homogeneous (identical "
-                    f"parameter/buffer structure); got {list(zip(names, shapes))} vs "
-                    f"{list(zip(names0, shapes0))}"
+                    "pipeline stages must be homogeneous (identical module/"
+                    f"parameter/buffer structure — stage 0's forward runs "
+                    f"every stage); got {_structure(s)} vs {struct0}"
                 )
+        names0 = [n for n, _ in stages[0].named_parameters()]
+        bnames0 = [n for n, _ in stages[0].named_buffers()]
         self.n_stages = len(stages)
         # deliberately NOT a registered submodule: the template provides the
         # purified forward only; its own (stage-0) params must not appear in

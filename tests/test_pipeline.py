@@ -306,3 +306,75 @@ def test_bubble_ticks_do_not_poison_grads():
         assert np.isfinite(loss)
     for p in stack.parameters():
         assert np.all(np.isfinite(np.asarray(p.data.array))), "NaN params"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_random_stage_stacks_match_accum(seed):
+    """Property: ANY random homogeneous stage (conv/BN/ReLU mix, shape-
+    preserving) pipelined over dp x pipe equals CompiledTrainStep with
+    accum_steps=M on the same stages."""
+    rng = np.random.default_rng(200 + seed)
+    ch = int(rng.choice([2, 4, 8]))
+    img = int(rng.choice([4, 8]))
+    S = int(rng.choice([2, 4]))
+    use_bn = bool(rng.random() < 0.7)
+
+    # structure drawn ONCE for the whole stack: homogeneity requires every
+    # stage to share the template's forward, not just its param shapes
+    use_relu = bool(rng.random() < 0.5)
+
+    def make_stages(s=0):
+        df.manual_seed(s)
+        out = []
+        for _ in range(S):
+            mods = [nn.Conv2d(ch, ch, 3, padding=1, bias=not use_bn, device="tpu")]
+            if use_bn:
+                mods.append(nn.BatchNorm2d(ch, device="tpu"))
+            if use_relu:
+                mods.append(nn.ReLU())
+            out.append(nn.Sequential(*mods))
+        return out
+
+    stages = make_stages()
+    stages2 = make_stages()
+
+    ref_model = nn.Sequential(*stages)
+    M = int(rng.choice([2, 4]))
+    ref_opt = optim.Adam(ref_model.parameters(), lr=1e-3)
+    ref_step = CompiledTrainStep(ref_model, ref_opt, nn.MSELoss(), accum_steps=M)
+
+    stack = PipelineStack(stages2)
+    opt = optim.Adam(stack.parameters(), lr=1e-3)
+    mesh = make_mesh({"data": 8 // S, "pipe": S})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=M)
+
+    B = M * 4
+    for i in range(2):
+        r = np.random.default_rng(300 + i)
+        x = r.standard_normal((B, ch, img, img)).astype(np.float32)
+        y = r.standard_normal((B, ch, img, img)).astype(np.float32)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss)), (
+            f"seed {seed}: {ref_loss} vs {pp_loss}"
+        )
+    ref_params = [np.asarray(p.data.array) for p in ref_model.parameters()]
+    n_per = len(ref_params) // S
+    stacked = [np.asarray(p.data.array) for p in stack.parameters()]
+    for j in range(n_per):
+        for s in range(S):
+            np.testing.assert_allclose(
+                stacked[j][s], ref_params[s * n_per + j], rtol=1e-4, atol=1e-5
+            )
+
+
+def test_structurally_different_stages_rejected():
+    """Same params, different forward (one stage lacks the ReLU): must be
+    rejected — stage 0's forward would silently serve every stage."""
+    df.manual_seed(0)
+    stages = [
+        nn.Sequential(nn.Conv2d(2, 2, 3, padding=1, device="tpu")),
+        nn.Sequential(nn.Conv2d(2, 2, 3, padding=1, device="tpu"), nn.ReLU()),
+    ]
+    with pytest.raises(ValueError, match="homogeneous"):
+        PipelineStack(stages)
