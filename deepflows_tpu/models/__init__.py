@@ -12,8 +12,12 @@ from .resnet import (
     ResNet50,
 )
 from .vgg import VGG, VGG16
+from .vit import EncoderBlock, ViT_Tiny, VisionTransformer
 
 __all__ = [
+    "VisionTransformer",
+    "ViT_Tiny",
+    "EncoderBlock",
     "MLP",
     "MNIST_CNN",
     "CIFAR10_CNN",

@@ -17,6 +17,8 @@ from .flatten import Flatten
 from .linear import Linear
 from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
 from .module import Module
+from .attention import MultiheadAttention
+from .normalization import LayerNorm
 from .remat import Remat, remat_call
 from .pool import (
     AdaptiveAvgPool2d,
@@ -57,4 +59,6 @@ __all__ = [
     "CrossEntropyLoss",
     "Remat",
     "remat_call",
+    "LayerNorm",
+    "MultiheadAttention",
 ]

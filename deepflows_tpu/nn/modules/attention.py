@@ -1,0 +1,74 @@
+"""Multi-head attention (no reference analog — shipped for the transformer
+family and modern-recipe migration).  Pure tape ops end to end: the QKV/out
+projections are framework ``Linear``s ((in, out) convention), scores are one
+batched 4-D matmul on the MXU, softmax is the tape softmax — so the whole
+layer forwards AND backwards inside ``CompiledTrainStep`` like any other
+module.  torch-differential-tested (tests/test_nn_transformer.py maps
+``torch.nn.MultiheadAttention``'s packed ``in_proj_weight`` onto the three
+projections)."""
+
+from __future__ import annotations
+
+import math
+
+from .. import functional as F
+from .dropout import Dropout
+from .linear import Linear
+from .module import Module
+
+
+class MultiheadAttention(Module):
+    """Batch-first multi-head attention: inputs ``(B, L, E)``.
+
+    ``forward(query, key=None, value=None, need_weights=False)`` defaults to
+    self-attention (``key``/``value`` fall back to ``query``); returns the
+    output, or ``(output, attn_weights)`` with ``need_weights=True``
+    (weights averaged over heads, like torch's default).
+    """
+
+    def __init__(
+        self,
+        embed_dim: int,
+        num_heads: int,
+        dropout: float = 0.0,
+        bias: bool = True,
+        device=None,
+    ) -> None:
+        super().__init__()
+        if embed_dim % num_heads:
+            raise ValueError(
+                f"embed_dim {embed_dim} not divisible by num_heads {num_heads}"
+            )
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.q_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        self.k_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        self.v_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        self.out_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        self.attn_drop = Dropout(dropout) if dropout > 0 else None
+
+    def forward(self, query, key=None, value=None, need_weights: bool = False):
+        key = query if key is None else key
+        value = key if value is None else value
+        B, L, E = query.shape
+        Lk = key.shape[1]
+        H, D = self.num_heads, self.head_dim
+
+        def split(x, length):
+            # (B, L, E) -> (B, H, L, D)
+            return x.reshape(B, length, H, D).transpose(0, 2, 1, 3)
+
+        q = split(self.q_proj(query), L)
+        k = split(self.k_proj(key), Lk)
+        v = split(self.v_proj(value), Lk)
+        scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / math.sqrt(D))
+        attn = F.softmax(scores, 3)
+        if self.attn_drop is not None:
+            attn = self.attn_drop(attn)
+        out = attn @ v  # (B, H, L, D)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        out = self.out_proj(out)
+        if need_weights:
+            return out, attn.mean(1)
+        return out

@@ -1,0 +1,58 @@
+"""LayerNorm (torch semantics; no reference analog — the reference stops at
+BatchNorm, `DeepFlows/nn/modules/batchnorm.py`).  Composed entirely from
+traceable tape ops (mean/mul/sqrt), so forward AND backward compile into the
+whole-step program like every other layer; no running stats (eval == train).
+Shipped because the transformer family (`models.VisionTransformer`) and any
+user migrating modern recipes needs it."""
+
+from __future__ import annotations
+
+from ... import tensor
+from ...backend import Device, default_accelerator
+from ..parameter import Parameter
+from .module import Module
+
+
+class LayerNorm(Module):
+    def __init__(
+        self,
+        normalized_shape,
+        eps: float = 1e-5,
+        elementwise_affine: bool = True,
+        device=None,
+        dtype=None,
+    ) -> None:
+        super().__init__()
+        if isinstance(normalized_shape, int):
+            normalized_shape = (normalized_shape,)
+        self.normalized_shape = tuple(normalized_shape)
+        self.eps = float(eps)
+        self.elementwise_affine = elementwise_affine
+        self.device = Device(device) if device else default_accelerator()
+        if elementwise_affine:
+            self.weight = Parameter(
+                tensor.ones(self.normalized_shape, dtype=dtype, device=self.device)
+            )
+            self.bias = Parameter(
+                tensor.zeros(self.normalized_shape, dtype=dtype, device=self.device)
+            )
+        else:
+            self.weight = None
+            self.bias = None
+
+    def forward(self, x):
+        nd = len(self.normalized_shape)
+        axes = tuple(range(x.ndim - nd, x.ndim))
+        mu = x.mean(axes, True)
+        xc = x - mu
+        var = (xc * xc).mean(axes, True)  # biased, like torch
+        y = xc / (var + self.eps).sqrt()
+        if self.weight is not None:
+            y = y * self.weight + self.bias
+        return y
+
+    def extra_repr(self) -> str:
+        return (
+            f"{self.normalized_shape}, eps={self.eps}, "
+            f"elementwise_affine={self.elementwise_affine}"
+        )

@@ -1,0 +1,174 @@
+"""Transformer family: LayerNorm and MultiheadAttention torch-differential,
+ViT training through the compiled step, and encoder blocks as pipeline
+stages (the canonical homogeneous PipelineStack)."""
+
+import numpy as np
+import pytest
+import torch
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, models, nn, optim
+from deepflows_tpu.jit import CompiledTrainStep
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def test_layernorm_matches_torch():
+    df.manual_seed(0)
+    ln = nn.LayerNorm(16, device="tpu")
+    tln = torch.nn.LayerNorm(16)
+    with torch.no_grad():
+        tln.weight.copy_(torch.tensor(ln.weight.numpy()))
+        tln.bias.copy_(torch.tensor(ln.bias.numpy()))
+    x = np.random.default_rng(0).standard_normal((4, 7, 16)).astype(np.float32)
+
+    xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = ln(xt)
+    (out * out).sum().backward()
+
+    tx = torch.tensor(x, requires_grad=True)
+    tout = tln(tx)
+    (tout * tout).sum().backward()
+
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        ln.weight.grad.numpy(), tln.weight.grad.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        ln.bias.grad.numpy(), tln.bias.grad.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_multihead_attention_matches_torch():
+    E, H, B, L = 16, 4, 2, 5
+    df.manual_seed(0)
+    mha = nn.MultiheadAttention(E, H, device="tpu")
+    tmha = torch.nn.MultiheadAttention(E, H, batch_first=True)
+    # map our three projections onto torch's packed in_proj
+    with torch.no_grad():
+        qw = torch.tensor(mha.q_proj.weight.numpy().T)
+        kw = torch.tensor(mha.k_proj.weight.numpy().T)
+        vw = torch.tensor(mha.v_proj.weight.numpy().T)
+        tmha.in_proj_weight.copy_(torch.cat([qw, kw, vw], 0))
+        tmha.in_proj_bias.copy_(
+            torch.cat(
+                [
+                    torch.tensor(mha.q_proj.bias.numpy().ravel()),
+                    torch.tensor(mha.k_proj.bias.numpy().ravel()),
+                    torch.tensor(mha.v_proj.bias.numpy().ravel()),
+                ]
+            )
+        )
+        tmha.out_proj.weight.copy_(torch.tensor(mha.out_proj.weight.numpy().T))
+        tmha.out_proj.bias.copy_(
+            torch.tensor(mha.out_proj.bias.numpy().ravel())
+        )
+    x = np.random.default_rng(1).standard_normal((B, L, E)).astype(np.float32)
+
+    xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out, w = mha(xt, need_weights=True)
+    (out * out).sum().backward()
+
+    tx = torch.tensor(x, requires_grad=True)
+    tout, tw = tmha(tx, tx, tx, need_weights=True)
+    (tout * tout).sum().backward()
+
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(w.numpy(), tw.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        mha.out_proj.weight.grad.numpy().T,
+        tmha.out_proj.weight.grad.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        mha.q_proj.weight.grad.numpy().T,
+        tmha.in_proj_weight.grad.numpy()[:E],
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_vit_trains_compiled():
+    df.manual_seed(0)
+    model = models.VisionTransformer(
+        image_size=16, patch_size=4, num_classes=4,
+        dim=32, depth=2, num_heads=2, device="tpu",
+    )
+    opt = optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-2)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    r = np.random.default_rng(0)
+    x = r.standard_normal((16, 3, 16, 16)).astype(np.float32)
+    y = r.integers(0, 4, 16).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(8)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert step._jitted._cache_size() == 1
+
+
+def test_vit_blocks_pipeline():
+    """ViT encoder blocks ARE the canonical homogeneous pipeline stages:
+    buffer-free, shape-preserving.  Pipelined == sequential."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deepflows_tpu.parallel import (
+        PipelinedTrainStep,
+        PipelineStack,
+        make_mesh,
+    )
+
+    def make_blocks():
+        df.manual_seed(0)
+        return [
+            models.EncoderBlock(32, 2, device="tpu") for _ in range(4)
+        ]
+
+    blocks = make_blocks()
+    ref_model = nn.Sequential(*blocks)
+    ref_opt = optim.Adam(ref_model.parameters(), lr=1e-3)
+    ref_step = CompiledTrainStep(ref_model, ref_opt, nn.MSELoss())
+
+    stack = PipelineStack(make_blocks())
+    opt = optim.Adam(stack.parameters(), lr=1e-3)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+
+    r = np.random.default_rng(3)
+    for i in range(2):
+        x = r.standard_normal((8, 6, 32)).astype(np.float32)
+        y = r.standard_normal((8, 6, 32)).astype(np.float32)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss)), (
+            ref_loss, pp_loss,
+        )
+
+
+def test_vit_in_sharded_step():
+    """ViT data-parallel over the mesh, like the CNN zoo."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deepflows_tpu.parallel import ShardedTrainStep, make_mesh
+
+    df.manual_seed(0)
+    model = models.VisionTransformer(
+        image_size=16, patch_size=4, num_classes=4,
+        dim=32, depth=2, num_heads=2, device="tpu",
+    )
+    opt = optim.Adam(model.parameters(), lr=1e-3)
+    mesh = make_mesh({"data": 8})
+    step = ShardedTrainStep(model, opt, nn.CrossEntropyLoss(), mesh)
+    r = np.random.default_rng(0)
+    x = r.standard_normal((16, 3, 16, 16)).astype(np.float32)
+    y = r.integers(0, 4, 16).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(3)]
+    assert all(np.isfinite(losses))
