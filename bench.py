@@ -18,7 +18,7 @@ Methodology (addresses VERDICT r1 items 2+3):
   `DeepFlows/backend/backend_src/ndarray_backend_cuda.cu`), since the
   reference publishes no throughput numbers (BASELINE.md).
 
-Env knobs: BENCH_MODEL (cifar10_cnn|resnet18|resnet50), BENCH_BATCH,
+Env knobs: BENCH_MODEL (cifar10_cnn|resnet18|resnet50|vit_tiny), BENCH_BATCH,
 BENCH_STEPS, BENCH_REPEATS, BENCH_DTYPE=bf16, BENCH_IMAGE (input size),
 BENCH_EAGER=0 (skip eager baseline), BENCH_RAWJAX=0 (skip twin),
 BENCH_IMPL=rawjax (report the twin as the headline instead),
@@ -138,6 +138,13 @@ def main() -> None:
             return models.ResNet50(
                 num_classes=10, small_input=image_size <= 64, device="tpu",
                 remat=remat,
+            )
+        if model_name == "vit_tiny":
+            return models.ViT_Tiny(
+                image_size=image_size,
+                patch_size=4 if image_size <= 64 else 16,
+                num_classes=10,
+                device="tpu",
             )
         return models.CIFAR10_CNN(device="tpu")
 

@@ -190,11 +190,47 @@ class _Exporter:
                 raise ValueError(f"unsupported binary op: {type(node).__name__}")
             self._node(op, [self.name_of(node._x), self.name_of(node._y)], out)
             return
-        if isinstance(node, T.mean):
-            n = self._node("ReduceMean", [self.name_of(node._x)], out)
+        if isinstance(node, (T.mean, T.sum, T.max, T.min)):
+            op = {
+                T.mean: "ReduceMean", T.sum: "ReduceSum",
+                T.max: "ReduceMax", T.min: "ReduceMin",
+            }[type(node)]
+            n = self._node(op, [self.name_of(node._x)], out)
             if node.axis is not None:
                 _attr_ints(n, "axes", node.axis)
             _attr_int(n, "keepdims", 1 if node.keepdims else 0)
+            return
+        if isinstance(node, F.gelu):
+            # decompose (opset 13 has no Gelu): exact erf form or tanh approx
+            x = self.name_of(node._x)
+
+            def const(val, suffix):
+                name = f"{out}_{suffix}"
+                self.graph.initializer.append(
+                    _tensor_proto(name, np.asarray(val, np.float32))
+                )
+                return name
+
+            if node.approximate == "tanh":
+                c = float(np.sqrt(2.0 / np.pi))
+                self._node("Mul", [x, x], f"{out}_x2")
+                self._node("Mul", [f"{out}_x2", x], f"{out}_x3")
+                self._node(
+                    "Mul", [f"{out}_x3", const(0.044715, "k")], f"{out}_kx3"
+                )
+                self._node("Add", [x, f"{out}_kx3"], f"{out}_in")
+                self._node("Mul", [f"{out}_in", const(c, "c")], f"{out}_cin")
+                self._node("Tanh", [f"{out}_cin"], f"{out}_t")
+                self._node("Add", [f"{out}_t", const(1.0, "one")], f"{out}_1t")
+                self._node("Mul", [x, f"{out}_1t"], f"{out}_x1t")
+                self._node("Mul", [f"{out}_x1t", const(0.5, "half")], out)
+            else:
+                s2 = float(np.sqrt(2.0))
+                self._node("Div", [x, const(s2, "s2")], f"{out}_h")
+                self._node("Erf", [f"{out}_h"], f"{out}_e")
+                self._node("Add", [f"{out}_e", const(1.0, "one")], f"{out}_1e")
+                self._node("Mul", [x, f"{out}_1e"], f"{out}_x1e")
+                self._node("Mul", [f"{out}_x1e", const(0.5, "half")], out)
             return
         if isinstance(node, T.Reshape):
             shape = list(node.new_shape)

@@ -87,6 +87,7 @@ class OnnxModel:
         "Conv", "MaxPool", "AveragePool", "GlobalAveragePool", "MatMul",
         "Gemm", "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Relu", "Max",
         "Min", "Abs", "Exp", "Log", "Reshape", "Transpose", "ReduceMean",
+        "ReduceSum", "ReduceMax", "ReduceMin", "Erf", "Tanh",
         "Concat", "Flatten", "Softmax", "Identity", "Dropout",
         "BatchNormalization",
     }
@@ -212,10 +213,20 @@ class OnnxModel:
                 env[o] = ins[0].reshape(shape)
             elif t == "Transpose":
                 env[o] = jnp.transpose(ins[0], a.get("perm"))
-            elif t == "ReduceMean":
-                env[o] = jnp.mean(
+            elif t in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
+                fn = {
+                    "ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+                    "ReduceMax": jnp.max, "ReduceMin": jnp.min,
+                }[t]
+                env[o] = fn(
                     ins[0], axis=a.get("axes"), keepdims=bool(a.get("keepdims", 1))
                 )
+            elif t == "Erf":
+                from jax.scipy.special import erf as _jerf
+
+                env[o] = _jerf(ins[0])
+            elif t == "Tanh":
+                env[o] = jnp.tanh(ins[0])
             elif t == "Concat":
                 env[o] = jnp.concatenate(ins, axis=a["axis"])
             elif t == "Flatten":

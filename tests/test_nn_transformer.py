@@ -172,3 +172,28 @@ def test_vit_in_sharded_step():
     y = r.integers(0, 4, 16).astype(np.int32)
     losses = [float(step(x, y)) for _ in range(3)]
     assert all(np.isfinite(losses))
+
+
+def test_vit_onnx_roundtrip(tmp_path):
+    """ViT exports to ONNX (ReduceMax/Sum, Erf-GELU decomposition) and the
+    framework's own runtime reproduces inference exactly."""
+    from deepflows_tpu.jit import CompiledEvalStep
+    from deepflows_tpu.onnx import OnnxModel, check_onnx, export_onnx
+
+    df.manual_seed(0)
+    m = models.VisionTransformer(
+        image_size=16, patch_size=4, num_classes=4,
+        dim=32, depth=2, num_heads=2, device="tpu",
+    )
+    x = np.random.default_rng(0).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    p = export_onnx(m, x, str(tmp_path / "vit.onnx"))
+    info = check_onnx(p)
+    assert info["ops"].get("Erf") and info["ops"].get("ReduceMax")
+    om = OnnxModel(p)
+    got = om(x)
+    m.eval()
+    ref = np.asarray(CompiledEvalStep(m)(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # dynamic batch
+    x2 = np.random.default_rng(1).standard_normal((5, 3, 16, 16)).astype(np.float32)
+    assert om(x2).shape == (5, 4)
