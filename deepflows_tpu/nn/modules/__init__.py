@@ -18,6 +18,7 @@ from .linear import Linear
 from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
 from .module import Module
 from .attention import MultiheadAttention
+from .moe import MoE
 from .normalization import LayerNorm
 from .remat import Remat, remat_call
 from .pool import (
@@ -61,4 +62,5 @@ __all__ = [
     "remat_call",
     "LayerNorm",
     "MultiheadAttention",
+    "MoE",
 ]

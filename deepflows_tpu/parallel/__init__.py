@@ -4,7 +4,12 @@ reference has no distributed code — SURVEY §2.3)."""
 from .mesh import auto_mesh, batch_sharding, make_mesh, replicated
 from .pipeline import PipelinedTrainStep, PipelineStack, pipeline_apply
 from .sequence import ShardConstraint, sequence_sharding
-from .sharded import ShardedEvalStep, ShardedTrainStep, tensor_parallel_rules
+from .sharded import (
+    ShardedEvalStep,
+    ShardedTrainStep,
+    expert_parallel_rules,
+    tensor_parallel_rules,
+)
 
 __all__ = [
     "make_mesh",
@@ -19,4 +24,5 @@ __all__ = [
     "pipeline_apply",
     "ShardConstraint",
     "sequence_sharding",
+    "expert_parallel_rules",
 ]

@@ -24,6 +24,21 @@ from ..jit import CompiledEvalStep, CompiledTrainStep
 P = PartitionSpec
 
 
+def expert_parallel_rules(axis: str = "model", base: Optional[Callable] = None) -> Callable:
+    """EP rule: shard MoE stacked-expert tensors (``experts_*``, leading
+    expert dim) over ``axis``; everything else falls through to ``base``
+    (or replicated).  With this layout each rank computes only its experts
+    and the MoE combine's expert-axis sum lowers to a psum."""
+
+    def rule(name: str, shape) -> PartitionSpec:
+        leaf = name.rsplit(".", 1)[-1]
+        if leaf.startswith("experts_") and len(shape) == 3:
+            return P(axis, None, None)
+        return base(name, shape) if base is not None else P()
+
+    return rule
+
+
 def tensor_parallel_rules(axis: str = "model", shard_conv: bool = True) -> Callable:
     """Default TP rule: shard Linear weights/biases AND conv kernels on
     their out-features/out-channels dim over ``axis``; everything else
