@@ -22,7 +22,10 @@ from ..nn.parameter import Parameter
 class EncoderBlock(nn.Module):
     """Pre-norm transformer block: x + MHA(LN(x)); x + MLP(LN(x))."""
 
-    def __init__(self, dim, num_heads, mlp_ratio=4.0, dropout=0.0, device=None):
+    def __init__(
+        self, dim, num_heads, mlp_ratio=4.0, dropout=0.0, device=None,
+        remat=False,
+    ):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, device=device)
         self.attn = nn.MultiheadAttention(
@@ -36,8 +39,14 @@ class EncoderBlock(nn.Module):
             nn.Linear(hidden, dim, device=device),
         )
         self.drop = nn.Dropout(dropout) if dropout > 0 else None
+        self._remat = remat
 
     def forward(self, x):
+        if self._remat:
+            return nn.remat_call(self, x, self._forward_impl)
+        return self._forward_impl(x)
+
+    def _forward_impl(self, x):
         h = self.attn(self.norm1(x))
         if self.drop is not None:
             h = self.drop(h)
@@ -61,6 +70,7 @@ class VisionTransformer(nn.Module):
         mlp_ratio=4.0,
         dropout=0.0,
         device=None,
+        remat=False,
     ):
         super().__init__()
         if image_size % patch_size:
@@ -76,7 +86,10 @@ class VisionTransformer(nn.Module):
         )
         self.blocks = nn.Sequential(
             *[
-                EncoderBlock(dim, num_heads, mlp_ratio, dropout, device=device)
+                EncoderBlock(
+                    dim, num_heads, mlp_ratio, dropout, device=device,
+                    remat=remat,
+                )
                 for _ in range(depth)
             ]
         )

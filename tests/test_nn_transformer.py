@@ -276,3 +276,24 @@ def test_moe_trains_compiled_and_expert_parallel():
     # the stacked expert weights really are expert-sharded
     from jax.sharding import PartitionSpec as P_
     assert sh["0.experts_w1"] == P_("model", None, None), sh
+
+
+def test_vit_remat_matches_plain():
+    """ViT(remat=True) rematerialises each encoder block; training must
+    follow the plain trajectory (blocks are buffer-free, so this is the
+    cleanest remat case)."""
+
+    def run(remat):
+        df.manual_seed(0)
+        model = models.VisionTransformer(
+            image_size=16, patch_size=4, num_classes=4,
+            dim=32, depth=2, num_heads=2, device="tpu", remat=remat,
+        )
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+        r = np.random.default_rng(0)
+        x = r.standard_normal((8, 3, 16, 16)).astype(np.float32)
+        y = r.integers(0, 4, 8).astype(np.int32)
+        return [float(step(x, y)) for _ in range(3)]
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
