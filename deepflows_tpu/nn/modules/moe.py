@@ -33,13 +33,24 @@ class MoE(Module):
         hidden: int,
         n_experts: int,
         activation: str = "gelu",
+        top_k: int = 0,
         device=None,
     ) -> None:
+        """``top_k > 0`` enables top-k gating: the softmax gates are masked
+        to each token's k largest and renormalised (the standard sparse-MoE
+        semantics; the mask is a constant w.r.t. autodiff, so gradients
+        flow through the surviving gate values only).  Compute stays dense
+        — every expert runs every token on the MXU; capacity-based sparse
+        DISPATCH is the follow-up noted in docs/DESIGN.md.  ``top_k=0``
+        (default) is the dense softmax mixture."""
         super().__init__()
         import math
 
+        if top_k < 0 or top_k > n_experts:
+            raise ValueError(f"top_k={top_k} out of range for {n_experts} experts")
         self.dim, self.hidden, self.n_experts = dim, hidden, n_experts
         self.activation = activation
+        self.top_k = top_k
         dev = Device(device) if device else default_accelerator()
         self.router = Linear(dim, n_experts, device=device)
         self.experts_w1 = Parameter(
@@ -67,6 +78,8 @@ class MoE(Module):
             B, L, D = x.shape
             N = B * L
         gates = F.softmax(self.router(x), x.ndim - 1)  # (..., E)
+        if self.top_k and self.top_k < self.n_experts:
+            gates = self._topk_renorm(gates, x.ndim - 1)
         xf = x.reshape(1, N, D)
         h = xf @ self.experts_w1 + self.experts_b1  # (E, N, H)
         if self.activation == "gelu":
@@ -81,8 +94,25 @@ class MoE(Module):
         out = (out_e * g).sum(0)  # (N, D) — psum over 'expert' when sharded
         return out.reshape(B, D) if squeeze else out.reshape(B, L, D)
 
+    def _topk_renorm(self, gates, axis):
+        """Mask gates to the per-token top-k and renormalise.  Built from
+        iterative max + comparison masks (comparisons are no-grad consts in
+        the tape, so the selection is autodiff-constant, as it should be);
+        exact float ties — measure-zero for a softmax of a linear router —
+        may select an extra expert."""
+        remaining = gates
+        mask = None
+        for _ in range(self.top_k):
+            m = remaining.max(axis, True)
+            sel = remaining.eq(m) * 1.0  # const (no-grad) 0/1 float mask
+            mask = sel if mask is None else mask + sel - mask * sel
+            remaining = remaining * (1.0 - sel) - sel  # knock out selected
+        kept = gates * mask
+        return kept / kept.sum(axis, True)
+
     def extra_repr(self) -> str:
+        gate = f"top{self.top_k}" if self.top_k else "dense-softmax"
         return (
             f"dim={self.dim}, hidden={self.hidden}, "
-            f"n_experts={self.n_experts}, gating=dense-softmax"
+            f"n_experts={self.n_experts}, gating={gate}"
         )

@@ -297,3 +297,42 @@ def test_vit_remat_matches_plain():
         return [float(step(x, y)) for _ in range(3)]
 
     np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
+
+
+def test_moe_topk_gating():
+    """top-1 gating must route each token to exactly its argmax expert;
+    top-k trains through the compiled step."""
+    df.manual_seed(1)
+    moe = nn.MoE(8, 16, n_experts=4, top_k=1, device="tpu")
+    x_np = np.random.default_rng(2).standard_normal((3, 4, 8)).astype(np.float32)
+    out = moe(Tensor(x_np.copy(), device="tpu")).numpy()
+
+    import scipy.special as sp
+
+    logits = x_np @ moe.router.weight.numpy() + moe.router.bias.numpy().ravel()
+    choice = logits.argmax(-1)  # (3, 4)
+    w1, b1 = moe.experts_w1.numpy(), moe.experts_b1.numpy()
+    w2, b2 = moe.experts_w2.numpy(), moe.experts_b2.numpy()
+    ref = np.zeros_like(x_np)
+    for i in range(3):
+        for t in range(4):
+            e = choice[i, t]
+            h = x_np[i, t] @ w1[e] + b1[e][0]
+            h = 0.5 * h * (1.0 + sp.erf(h / np.sqrt(2.0)))
+            ref[i, t] = h @ w2[e] + b2[e][0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # top-2 end-to-end compiled training
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.MoE(8, 16, n_experts=4, top_k=2, device="tpu"),
+        nn.Flatten(),
+        nn.Linear(4 * 8, 3, device="tpu"),
+    )
+    opt = optim.Adam(model.parameters(), lr=1e-2)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    r = np.random.default_rng(0)
+    x = r.standard_normal((16, 4, 8)).astype(np.float32)
+    y = r.integers(0, 3, 16).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(8)]
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
