@@ -200,8 +200,12 @@ def main() -> None:
     rawjax_flops = None
     rawjax_samples = []
     # with remat on, the non-remat rawjax twin is not the same program —
-    # a vs_rawjax ratio would misread the remat trade as framework overhead
-    if remat and impl != "rawjax":
+    # a vs_rawjax ratio would misread the remat trade as framework overhead;
+    # vit_tiny has no twin at all
+    has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50")
+    if impl == "rawjax" and not has_twin:
+        raise SystemExit(f"no rawjax twin for BENCH_MODEL={model_name}")
+    if (remat or not has_twin) and impl != "rawjax":
         pass
     elif impl == "rawjax" or os.environ.get("BENCH_RAWJAX", "1") == "1":
         import rawjax_twin

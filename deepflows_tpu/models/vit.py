@@ -107,8 +107,12 @@ class VisionTransformer(nn.Module):
         return self.head(pooled)
 
 
-def ViT_Tiny(image_size=32, patch_size=4, num_classes=10, device=None, dropout=0.0):
+def ViT_Tiny(
+    image_size=32, patch_size=4, num_classes=10, device=None, dropout=0.0,
+    remat=False,
+):
     return VisionTransformer(
         image_size, patch_size, 3, num_classes,
         dim=192, depth=6, num_heads=3, device=device, dropout=dropout,
+        remat=remat,
     )

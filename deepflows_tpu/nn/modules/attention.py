@@ -64,11 +64,14 @@ class MultiheadAttention(Module):
         v = split(self.v_proj(value), Lk)
         scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / math.sqrt(D))
         attn = F.softmax(scores, 3)
+        # report PRE-dropout weights (torch semantics: rows sum to 1 even
+        # when attention dropout is active in training)
+        weights = attn.mean(1) if need_weights else None
         if self.attn_drop is not None:
             attn = self.attn_drop(attn)
         out = attn @ v  # (B, H, L, D)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
         out = self.out_proj(out)
         if need_weights:
-            return out, attn.mean(1)
+            return out, weights
         return out

@@ -100,11 +100,20 @@ class MoE(Module):
         the tape, so the selection is autodiff-constant, as it should be);
         exact float ties — measure-zero for a softmax of a linear router —
         may select an extra expert."""
+        from ...backend import BackendTensor
+        from ...tensor import Tensor
+
         remaining = gates
         mask = None
         for _ in range(self.top_k):
             m = remaining.max(axis, True)
-            sel = remaining.eq(m) * 1.0  # const (no-grad) 0/1 float mask
+            # const (no-grad) 0/1 mask built at the array level so its dtype
+            # MATCHES the gates (bf16 purity: a python-scalar cast would
+            # promote the whole downstream combine to f32)
+            sel_arr = (remaining.data.array == m.data.array).astype(
+                gates.data.array.dtype
+            )
+            sel = Tensor(BackendTensor._wrap(sel_arr, gates.device))
             mask = sel if mask is None else mask + sel - mask * sel
             remaining = remaining * (1.0 - sel) - sel  # knock out selected
         kept = gates * mask

@@ -195,8 +195,17 @@ class _Exporter:
                 T.mean: "ReduceMean", T.sum: "ReduceSum",
                 T.max: "ReduceMax", T.min: "ReduceMin",
             }[type(node)]
-            n = self._node(op, [self.name_of(node._x)], out)
-            if node.axis is not None:
+            inputs = [self.name_of(node._x)]
+            if op == "ReduceSum" and node.axis is not None:
+                # opset 13 moved ReduceSum's axes from attribute to INPUT
+                # (ReduceMean/Max/Min keep the attribute until opset 18)
+                ax_name = f"axes_{out}"
+                self.graph.initializer.append(
+                    _tensor_proto(ax_name, np.asarray(node.axis, np.int64))
+                )
+                inputs.append(ax_name)
+            n = self._node(op, inputs, out)
+            if op != "ReduceSum" and node.axis is not None:
                 _attr_ints(n, "axes", node.axis)
             _attr_int(n, "keepdims", 1 if node.keepdims else 0)
             return

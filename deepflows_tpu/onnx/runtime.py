@@ -218,8 +218,11 @@ class OnnxModel:
                     "ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
                     "ReduceMax": jnp.max, "ReduceMin": jnp.min,
                 }[t]
+                axes = a.get("axes")
+                if len(ins) > 1:  # opset-13 ReduceSum: axes as second input
+                    axes = tuple(int(d) for d in np.asarray(ins[1]))
                 env[o] = fn(
-                    ins[0], axis=a.get("axes"), keepdims=bool(a.get("keepdims", 1))
+                    ins[0], axis=axes, keepdims=bool(a.get("keepdims", 1))
                 )
             elif t == "Erf":
                 from jax.scipy.special import erf as _jerf

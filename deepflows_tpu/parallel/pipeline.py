@@ -23,9 +23,12 @@ parallelism" recipe — no hand-written send/recv):
 
 Because the pipelined program is differentiated by ``jax.grad`` at the
 array level (not by the tape's reverse walk), stage modules must be
-*deterministic and buffer-free*: Linear/Conv/activations/pools are fine,
-BatchNorm (running-stat buffers) and Dropout (per-step PRNG) are rejected /
-unsupported in stages.  The optimizer update reuses the exact same
+deterministic: Linear/Conv/activations/pools AND BatchNorm are supported —
+BN running stats stack ``(S, ...)`` on the pipe axis, thread through the
+tick scan, and EMA-update only on each stage's valid ticks (see
+``PipelineStack.buffered_stage_fn``); Dropout is not (no per-step trace
+key is plumbed; masks would be trace-constant).  The optimizer update
+reuses the exact same
 ``Optimizer.pure_update`` core as every other path, over the stacked
 parameters, with optimizer state sharded to match (``P('pipe', ...)``).
 
@@ -100,14 +103,17 @@ class PipelineStack(Module):
         if len(stages) < 1:
             raise ValueError("need at least one stage")
         def _structure(s):
-            # parameter/buffer structure AND module-tree type structure:
-            # stage 0's forward serves every stage, so [Conv2d] vs
-            # [Conv2d, ReLU] with identical params would silently drop the
-            # ReLU for all other stages — reject it here
+            # parameter/buffer structure AND the full module-tree repr
+            # (type + extra_repr config): stage 0's forward serves every
+            # stage, so [Conv2d] vs [Conv2d, ReLU] with identical params
+            # would silently drop the ReLU, and BatchNorm2d(momentum=0.01)
+            # vs (momentum=0.1) would silently train with stage 0's
+            # momentum — reject both here (repr carries config, not
+            # parameter values, so differently-initialised stages pass)
             return (
                 [(n, p.shape) for n, p in s.named_parameters()],
                 [(n, b.shape) for n, b in s.named_buffers()],
-                [(n, type(m).__name__) for n, m in s.named_modules()],
+                repr(s),
             )
 
         struct0 = _structure(stages[0])

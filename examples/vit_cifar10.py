@@ -33,11 +33,8 @@ def main(
     x_train, y_train, x_test, y_test = get_cifar10(data_dir, limit=limit)
     model = models.ViT_Tiny(
         image_size=32, patch_size=4, num_classes=10, device=device,
-        dropout=0.1,
+        dropout=0.1, remat=remat,
     )
-    if remat:
-        for blk in model.blocks._modules.values():
-            blk._remat = True
     optimizer = optim.AdamW(model.parameters(), lr=lr, weight_decay=5e-2)
     scheduler = optim.WarmupCosineLR(
         optimizer, warmup_epochs=2, T_max=max(3, epochs)

@@ -336,3 +336,35 @@ def test_moe_topk_gating():
     y = r.integers(0, 3, 16).astype(np.int32)
     losses = [float(step(x, y)) for _ in range(8)]
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_mha_weights_are_pre_dropout():
+    """need_weights returns PRE-dropout attention (rows sum to 1 even in
+    training with attention dropout) — torch semantics."""
+    df.manual_seed(0)
+    mha = nn.MultiheadAttention(8, 2, dropout=0.5, device="tpu")
+    mha.train()
+    x = Tensor(
+        np.random.default_rng(0).standard_normal((2, 4, 8)).astype(np.float32),
+        device="tpu",
+    )
+    _, w = mha(x, need_weights=True)
+    np.testing.assert_allclose(w.numpy().sum(-1), 1.0, rtol=1e-5)
+
+
+def test_moe_topk_bf16_purity():
+    """top-k masking must not promote a bf16 graph to f32."""
+    import jax.numpy as jnp
+
+    df.manual_seed(0)
+    moe = nn.MoE(8, 16, n_experts=4, top_k=2, device="tpu")
+    moe.to_dtype(jnp.bfloat16)
+    x = Tensor(
+        np.random.default_rng(0).standard_normal((2, 4, 8)).astype(np.float32),
+        device="tpu",
+    ).to("tpu")
+    import deepflows_tpu as _df
+
+    xb = Tensor(x.data.array.astype(jnp.bfloat16), device="tpu")
+    out = moe(xb)
+    assert out.data.array.dtype == jnp.bfloat16, out.data.array.dtype

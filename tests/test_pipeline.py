@@ -378,3 +378,17 @@ def test_structurally_different_stages_rejected():
     ]
     with pytest.raises(ValueError, match="homogeneous"):
         PipelineStack(stages)
+
+
+def test_config_differing_stages_rejected():
+    """Same types/shapes, different CONFIG (BN momentum): must be rejected
+    (stage 0's forward would silently run every stage with its momentum)."""
+    df.manual_seed(0)
+    stages = [
+        nn.Sequential(nn.Conv2d(2, 2, 3, padding=1, device="tpu"),
+                      nn.BatchNorm2d(2, momentum=0.1, device="tpu")),
+        nn.Sequential(nn.Conv2d(2, 2, 3, padding=1, device="tpu"),
+                      nn.BatchNorm2d(2, momentum=0.01, device="tpu")),
+    ]
+    with pytest.raises(ValueError, match="homogeneous"):
+        PipelineStack(stages)
