@@ -368,3 +368,99 @@ def test_moe_topk_bf16_purity():
     xb = Tensor(x.data.array.astype(jnp.bfloat16), device="tpu")
     out = moe(xb)
     assert out.data.array.dtype == jnp.bfloat16, out.data.array.dtype
+
+
+def test_vit_full_model_matches_torch():
+    """The COMPLETE ViT (patch conv + pos embed + pre-norm blocks + mean
+    pool + head) against a hand-built torch twin with identical weights:
+    forward and input gradients must agree."""
+    import torch.nn as tnn
+
+    dim, heads, depth = 16, 2, 2
+
+    class TorchBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(dim)
+            self.attn = tnn.MultiheadAttention(dim, heads, batch_first=True)
+            self.norm2 = tnn.LayerNorm(dim)
+            self.mlp = tnn.Sequential(
+                tnn.Linear(dim, dim * 4), tnn.GELU(), tnn.Linear(dim * 4, dim)
+            )
+
+        def forward(self, x):
+            h = self.norm1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            return x + self.mlp(self.norm2(x))
+
+    class TorchViT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch = tnn.Conv2d(3, dim, 4, stride=4)
+            self.pos = tnn.Parameter(torch.zeros(1, 16, dim))
+            self.blocks = tnn.Sequential(*[TorchBlock() for _ in range(depth)])
+            self.norm = tnn.LayerNorm(dim)
+            self.head = tnn.Linear(dim, 4)
+
+        def forward(self, x):
+            p = self.patch(x).flatten(2).transpose(1, 2) + self.pos
+            p = self.norm(self.blocks(p))
+            return self.head(p.mean(1))
+
+    df.manual_seed(0)
+    ours = models.VisionTransformer(
+        image_size=16, patch_size=4, num_classes=4,
+        dim=dim, depth=depth, num_heads=heads, device="tpu",
+    )
+    twin = TorchViT()
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        twin.patch.weight.copy_(t(ours.patch_embed.weight.numpy()))
+        twin.patch.bias.copy_(t(ours.patch_embed.bias.numpy().ravel()))
+        twin.pos.copy_(t(ours.pos_embed.numpy()))
+        twin.norm.weight.copy_(t(ours.norm.weight.numpy()))
+        twin.norm.bias.copy_(t(ours.norm.bias.numpy()))
+        twin.head.weight.copy_(t(ours.head.weight.numpy().T))
+        twin.head.bias.copy_(t(ours.head.bias.numpy().ravel()))
+        for tb, ob in zip(twin.blocks, ours.blocks._modules.values()):
+            tb.norm1.weight.copy_(t(ob.norm1.weight.numpy()))
+            tb.norm1.bias.copy_(t(ob.norm1.bias.numpy()))
+            tb.norm2.weight.copy_(t(ob.norm2.weight.numpy()))
+            tb.norm2.bias.copy_(t(ob.norm2.bias.numpy()))
+            qw = t(ob.attn.q_proj.weight.numpy().T)
+            kw = t(ob.attn.k_proj.weight.numpy().T)
+            vw = t(ob.attn.v_proj.weight.numpy().T)
+            tb.attn.in_proj_weight.copy_(torch.cat([qw, kw, vw], 0))
+            tb.attn.in_proj_bias.copy_(torch.cat([
+                t(ob.attn.q_proj.bias.numpy().ravel()),
+                t(ob.attn.k_proj.bias.numpy().ravel()),
+                t(ob.attn.v_proj.bias.numpy().ravel()),
+            ]))
+            tb.attn.out_proj.weight.copy_(t(ob.attn.out_proj.weight.numpy().T))
+            tb.attn.out_proj.bias.copy_(t(ob.attn.out_proj.bias.numpy().ravel()))
+            mods = list(ob.mlp._modules.values())
+            tb.mlp[0].weight.copy_(t(mods[0].weight.numpy().T))
+            tb.mlp[0].bias.copy_(t(mods[0].bias.numpy().ravel()))
+            tb.mlp[2].weight.copy_(t(mods[2].weight.numpy().T))
+            tb.mlp[2].bias.copy_(t(mods[2].bias.numpy().ravel()))
+
+    x = np.random.default_rng(0).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = ours(xt)
+    (out * out).sum().backward()
+    tx = torch.tensor(x, requires_grad=True)
+    tout = twin(tx)
+    (tout * tout).sum().backward()
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-3, atol=1e-4)
+    # spot-check a deep param grad (first block's q projection)
+    ob0 = list(ours.blocks._modules.values())[0]
+    tb0 = twin.blocks[0]
+    np.testing.assert_allclose(
+        ob0.attn.q_proj.weight.grad.numpy().T,
+        tb0.attn.in_proj_weight.grad.numpy()[:dim],
+        rtol=1e-3, atol=1e-4,
+    )
