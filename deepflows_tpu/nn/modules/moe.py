@@ -9,10 +9,10 @@ Shard the stacked weights ``P('expert')`` (see
 ``parallel.expert_parallel_rules``) and GSPMD turns the combine into a
 ``psum`` over the expert axis — each device computes only its experts.
 
-Gating is the dense softmax mixture (every expert sees every token,
-weighted by the router); top-k sparse dispatch is a compute optimisation,
-not a semantics change, and is deliberately left out of v1 — static-shape
-capacity dispatch is noted in docs/DESIGN.md as the follow-up.
+Three gating modes: dense softmax mixture (default), masked-renormalised
+top-k (``top_k=``), and Switch-style sparse top-1 dispatch with a static
+capacity (``capacity_factor=`` — true sparse compute via einsum dispatch,
+running as one ``nn.jax_function`` tape node).
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ class MoE(Module):
         n_experts: int,
         activation: str = "gelu",
         top_k: int = 0,
+        capacity_factor: float = 0.0,
         device=None,
     ) -> None:
         """``top_k > 0`` enables top-k gating: the softmax gates are masked
@@ -42,15 +43,28 @@ class MoE(Module):
         flow through the surviving gate values only).  Compute stays dense
         — every expert runs every token on the MXU; capacity-based sparse
         DISPATCH is the follow-up noted in docs/DESIGN.md.  ``top_k=0``
-        (default) is the dense softmax mixture."""
+        (default) is the dense softmax mixture.
+
+        ``capacity_factor > 0`` switches to SPARSE top-1 dispatch
+        (Switch-Transformer semantics, one ``jax_function`` tape node):
+        each token routes to its argmax expert weighted by the RAW top
+        gate (not renormalised), each expert processes at most
+        ``C = ceil(N/E * capacity_factor)`` tokens per batch (static
+        shape), and tokens over capacity are dropped (zero MoE output).
+        Compute per expert is ``(E, C, D)`` einsum-dispatched — the true
+        sparse-compute path; mutually exclusive with ``top_k``."""
         super().__init__()
         import math
 
         if top_k < 0 or top_k > n_experts:
             raise ValueError(f"top_k={top_k} out of range for {n_experts} experts")
+        if capacity_factor and top_k:
+            raise ValueError("capacity_factor and top_k are mutually exclusive")
         self.dim, self.hidden, self.n_experts = dim, hidden, n_experts
         self.activation = activation
         self.top_k = top_k
+        self.capacity_factor = float(capacity_factor)
+        self._sparse_fn = None
         dev = Device(device) if device else default_accelerator()
         self.router = Linear(dim, n_experts, device=device)
         self.experts_w1 = Parameter(
@@ -70,6 +84,8 @@ class MoE(Module):
 
     def forward(self, x):
         # x: (B, L, D) or (N, D)
+        if self.capacity_factor:
+            return self._sparse_forward(x)
         squeeze = x.ndim == 2
         if squeeze:
             B, D = x.shape
@@ -119,8 +135,61 @@ class MoE(Module):
         kept = gates * mask
         return kept / kept.sum(axis, True)
 
+    def _sparse_forward(self, x):
+        if self._sparse_fn is None:
+            import math
+
+            import jax
+            import jax.numpy as jnp
+
+            from ..jax_bridge import jax_function
+
+            E = self.n_experts
+            cf = self.capacity_factor
+            act = self.activation
+
+            def fn(xa, rw, rb, w1, b1, w2, b2):
+                shape = xa.shape
+                D = shape[-1]
+                xf = xa.reshape(-1, D)
+                N = xf.shape[0]
+                C = max(1, int(math.ceil(N / E * cf)))
+                gates = jax.nn.softmax(xf @ rw + rb.reshape(-1), -1)  # (N,E)
+                e_t = jnp.argmax(gates, -1)  # (N,) — routing is autodiff-const
+                g_t = jnp.take_along_axis(gates, e_t[:, None], -1)[:, 0]
+                onehot = jax.nn.one_hot(e_t, E, dtype=xf.dtype)  # (N,E)
+                # position of each token within its expert's queue
+                pos = (jnp.cumsum(onehot, 0) - 1.0) * onehot
+                keep = jnp.where(pos < C, onehot, 0.0)
+                posc = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
+                disp = keep[..., None] * jax.nn.one_hot(
+                    posc, C, dtype=xf.dtype
+                )  # (N,E,C)
+                xe = jnp.einsum("nec,nd->ecd", disp, xf)
+                h = jnp.einsum("ecd,edh->ech", xe, w1) + b1
+                h = jax.nn.gelu(h, approximate=False) if act == "gelu" else jax.nn.relu(h)
+                ye = jnp.einsum("ech,ehd->ecd", h, w2) + b2
+                y = jnp.einsum("nec,ecd->nd", disp, ye) * g_t[:, None]
+                return y.reshape(shape)
+
+            self._sparse_fn = jax_function(fn)
+        return self._sparse_fn(
+            x,
+            self.router.weight,
+            self.router.bias,
+            self.experts_w1,
+            self.experts_b1,
+            self.experts_w2,
+            self.experts_b2,
+        )
+
     def extra_repr(self) -> str:
-        gate = f"top{self.top_k}" if self.top_k else "dense-softmax"
+        if self.capacity_factor:
+            gate = f"switch-top1(capacity_factor={self.capacity_factor})"
+        elif self.top_k:
+            gate = f"top{self.top_k}"
+        else:
+            gate = "dense-softmax"
         return (
             f"dim={self.dim}, hidden={self.hidden}, "
             f"n_experts={self.n_experts}, gating={gate}"

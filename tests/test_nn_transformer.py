@@ -464,3 +464,60 @@ def test_vit_full_model_matches_torch():
         tb0.attn.in_proj_weight.grad.numpy()[:dim],
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_moe_sparse_dispatch_matches_loop():
+    """Switch-style sparse dispatch with ample capacity == explicit
+    per-token argmax-expert loop weighted by the raw top gate."""
+    import scipy.special as sp
+
+    df.manual_seed(4)
+    moe = nn.MoE(8, 16, n_experts=4, capacity_factor=4.0, device="tpu")
+    x_np = np.random.default_rng(5).standard_normal((3, 4, 8)).astype(np.float32)
+    out = moe(Tensor(x_np.copy(), device="tpu")).numpy()
+
+    gates = sp.softmax(
+        x_np @ moe.router.weight.numpy() + moe.router.bias.numpy().ravel(), -1
+    )
+    choice, gval = gates.argmax(-1), gates.max(-1)
+    w1, b1 = moe.experts_w1.numpy(), moe.experts_b1.numpy()
+    w2, b2 = moe.experts_w2.numpy(), moe.experts_b2.numpy()
+    ref = np.zeros_like(x_np)
+    for i in range(3):
+        for t in range(4):
+            e = choice[i, t]
+            h = x_np[i, t] @ w1[e] + b1[e][0]
+            h = 0.5 * h * (1.0 + sp.erf(h / np.sqrt(2.0)))
+            ref[i, t] = (h @ w2[e] + b2[e][0]) * gval[i, t]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_sparse_capacity_drops():
+    """Over-capacity tokens get a zero MoE output (Switch drop semantics)."""
+    df.manual_seed(0)
+    # capacity_factor tiny -> C = 1: at most one token per expert survives
+    moe = nn.MoE(8, 16, n_experts=2, capacity_factor=0.01, device="tpu")
+    x = Tensor(
+        np.random.default_rng(1).standard_normal((8, 8)).astype(np.float32),
+        device="tpu",
+    )
+    out = moe(x).numpy()
+    zero_rows = int((np.abs(out).max(-1) < 1e-12).sum())
+    assert zero_rows >= 8 - 2, zero_rows  # <= C per expert survive
+
+
+def test_moe_sparse_trains_compiled():
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.MoE(8, 16, n_experts=4, capacity_factor=2.0, device="tpu"),
+        nn.Flatten(),
+        nn.Linear(4 * 8, 3, device="tpu"),
+    )
+    opt = optim.Adam(model.parameters(), lr=1e-2)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    r = np.random.default_rng(0)
+    x = r.standard_normal((16, 4, 8)).astype(np.float32)
+    y = r.integers(0, 3, 16).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(10)]
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    assert step._jitted._cache_size() == 1
