@@ -41,9 +41,8 @@ class MoE(Module):
         to each token's k largest and renormalised (the standard sparse-MoE
         semantics; the mask is a constant w.r.t. autodiff, so gradients
         flow through the surviving gate values only).  Compute stays dense
-        — every expert runs every token on the MXU; capacity-based sparse
-        DISPATCH is the follow-up noted in docs/DESIGN.md.  ``top_k=0``
-        (default) is the dense softmax mixture.
+        — every expert runs every token on the MXU.  ``top_k=0`` (default)
+        is the dense softmax mixture.
 
         ``capacity_factor > 0`` switches to SPARSE top-1 dispatch
         (Switch-Transformer semantics, one ``jax_function`` tape node):
