@@ -105,6 +105,25 @@ class _Exporter:
             return [node._x, node._y]
         if isinstance(node, UnaryOperator):
             return [node._x]
+        from ..parallel.sequence import _ShardConstraintOp
+
+        if isinstance(node, _ShardConstraintOp):
+            return [node._x]  # identity (sharding is a run-time layout hint)
+        from ..nn.jax_bridge import _JaxFnOp
+
+        if isinstance(node, _JaxFnOp):
+            # opaque JAX bridge node: surface its real operands so the
+            # dependency walk sees them — without this the node would be
+            # treated as a LEAF and silently constant-folded into the file
+            return list(node._args)
+        if type(node) is not Tensor and not isinstance(node, F._BatchNormOp):
+            from ..nn.parameter import Parameter
+
+            if not isinstance(node, Parameter):
+                raise ValueError(
+                    f"op {type(node).__name__} is not exportable to ONNX "
+                    "(unknown tape node class; refusing to constant-fold it)"
+                )
         return []  # leaf: parameter / constant / input
 
     def depends_on_input(self, node: Tensor) -> bool:
@@ -262,6 +281,11 @@ class _Exporter:
             n = self._node("Transpose", [self.name_of(node._x)], out)
             if node.axes is not None:
                 _attr_ints(n, "perm", node.axes)
+            return
+        from ..parallel.sequence import _ShardConstraintOp
+
+        if isinstance(node, _ShardConstraintOp):
+            self._node("Identity", [self.name_of(node._x)], out)
             return
         if isinstance(node, T.exp):
             self._node("Exp", [self.name_of(node._x)], out)

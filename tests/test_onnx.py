@@ -222,3 +222,48 @@ def test_foreign_graph_ops_execute(tmp_path):
     bn = bn * scale.reshape(1, C, 1, 1) + bias.reshape(1, C, 1, 1)
     want = bn.mean((2, 3)) @ W.T + b
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_jax_bridge_node_refuses_constant_fold(tmp_path):
+    """Models containing an opaque jax_function node must FAIL export with a
+    clear error — never silently bake the output as a constant."""
+    import deepflows_tpu as df
+    from deepflows_tpu import nn
+    from deepflows_tpu.onnx import export_onnx
+
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.MoE(8, 16, n_experts=2, capacity_factor=2.0, device="tpu"),
+        nn.Flatten(),
+        nn.Linear(2 * 8, 3, device="tpu"),
+    )
+    x = np.random.default_rng(0).standard_normal((2, 2, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="no ONNX mapping|not exportable"):
+        export_onnx(model, x, str(tmp_path / "moe.onnx"))
+
+
+def test_shard_constraint_exports_as_identity(tmp_path):
+    """SP-annotated models export (the constraint is a run-time layout hint,
+    emitted as Identity) and reproduce the unannotated model's outputs."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import deepflows_tpu as df
+    from deepflows_tpu import nn
+    from deepflows_tpu.onnx import OnnxModel, export_onnx
+    from deepflows_tpu.parallel import make_mesh, sequence_sharding
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sp = sequence_sharding(mesh, axis="model", dim=1)
+    df.manual_seed(0)
+    model = nn.Sequential(
+        sp, nn.Linear(8, 8, device="tpu"), nn.ReLU(), sp,
+        nn.Linear(8, 4, device="tpu"),
+    )
+    x = np.random.default_rng(0).standard_normal((2, 3, 8)).astype(np.float32)
+    p = export_onnx(model, x, str(tmp_path / "sp.onnx"))
+    om = OnnxModel(p)
+    got = om(x)
+    ref = model(df.Tensor(x, device="tpu")).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
