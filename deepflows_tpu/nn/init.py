@@ -16,6 +16,11 @@ from ..tensor import Tensor
 
 
 def _set(tensor: Tensor, array) -> Tensor:
+    # device factories (device.randn) return WRAPPED BackendTensors while
+    # kernel-protocol calls return raw arrays — unwrap so _wrap never
+    # double-wraps (array-of-BackendTensor poisons every downstream op)
+    if isinstance(array, BackendTensor):
+        array = array.array
     tensor.data = BackendTensor._wrap(array, tensor.device)
     return tensor
 
@@ -29,7 +34,9 @@ def uniform_(tensor: Tensor, low: float = 0.0, high: float = 1.0) -> Tensor:
 
 @no_grad()
 def normal_(tensor: Tensor, mean: float = 0.0, std: float = 1.0) -> Tensor:
-    draw = tensor.device.randn(tensor.shape, dtype=tensor.dtype)
+    # randn takes *shape (latent bug: passing the tuple positionally made
+    # the shape ((d0, d1),) — caught by the Embedding init)
+    draw = tensor.device.randn(*tensor.shape, dtype=tensor.dtype)
     return _set(tensor, draw * std + mean)
 
 

@@ -18,8 +18,9 @@ from .linear import Linear
 from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
 from .module import Module
 from .attention import MultiheadAttention
+from .embedding import Embedding
 from .moe import MoE
-from .normalization import LayerNorm
+from .normalization import GroupNorm, LayerNorm
 from .remat import Remat, remat_call
 from .pool import (
     AdaptiveAvgPool2d,
@@ -61,6 +62,8 @@ __all__ = [
     "Remat",
     "remat_call",
     "LayerNorm",
+    "GroupNorm",
+    "Embedding",
     "MultiheadAttention",
     "MoE",
 ]

@@ -56,3 +56,62 @@ class LayerNorm(Module):
             f"{self.normalized_shape}, eps={self.eps}, "
             f"elementwise_affine={self.elementwise_affine}"
         )
+
+
+class GroupNorm(Module):
+    """GroupNorm (torch semantics): normalise (N, C, *spatial) over each
+    group of ``C/num_groups`` channels together with all spatial dims.
+    Buffer-free (eval == train) — the norm of choice for pipeline stages
+    and batch-size-independent training; composed from traceable tape ops
+    like LayerNorm."""
+
+    def __init__(
+        self,
+        num_groups: int,
+        num_channels: int,
+        eps: float = 1e-5,
+        affine: bool = True,
+        device=None,
+        dtype=None,
+    ) -> None:
+        super().__init__()
+        if num_channels % num_groups:
+            raise ValueError(
+                f"num_channels {num_channels} not divisible by "
+                f"num_groups {num_groups}"
+            )
+        self.num_groups = num_groups
+        self.num_channels = num_channels
+        self.eps = float(eps)
+        self.affine = affine
+        self.device = Device(device) if device else default_accelerator()
+        if affine:
+            self.weight = Parameter(
+                tensor.ones((num_channels,), dtype=dtype, device=self.device)
+            )
+            self.bias = Parameter(
+                tensor.zeros((num_channels,), dtype=dtype, device=self.device)
+            )
+        else:
+            self.weight = None
+            self.bias = None
+
+    def forward(self, x):
+        N, C = x.shape[0], x.shape[1]
+        spatial = x.shape[2:]
+        G = self.num_groups
+        xg = x.reshape(N, G, -1)  # (N, G, C/G * prod(spatial))
+        mu = xg.mean((2,), True)
+        xc = xg - mu
+        var = (xc * xc).mean((2,), True)
+        y = (xc / (var + self.eps).sqrt()).reshape(x.shape)
+        if self.weight is not None:
+            shape = (1, C) + (1,) * len(spatial)
+            y = y * self.weight.reshape(shape) + self.bias.reshape(shape)
+        return y
+
+    def extra_repr(self) -> str:
+        return (
+            f"{self.num_groups}, {self.num_channels}, eps={self.eps}, "
+            f"affine={self.affine}"
+        )

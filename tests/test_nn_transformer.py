@@ -521,3 +521,104 @@ def test_moe_sparse_trains_compiled():
     losses = [float(step(x, y)) for _ in range(10)]
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
     assert step._jitted._cache_size() == 1
+
+
+def test_groupnorm_matches_torch():
+    df.manual_seed(0)
+    gn = nn.GroupNorm(4, 8, device="tpu")
+    tgn = torch.nn.GroupNorm(4, 8)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.tensor(gn.weight.numpy()))
+        tgn.bias.copy_(torch.tensor(gn.bias.numpy()))
+    x = np.random.default_rng(0).standard_normal((2, 8, 5, 5)).astype(np.float32)
+
+    xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = gn(xt)
+    (out * out).sum().backward()
+    tx = torch.tensor(x, requires_grad=True)
+    tout = tgn(tx)
+    (tout * tout).sum().backward()
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        gn.weight.grad.numpy(), tgn.weight.grad.numpy(), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_groupnorm_in_pipeline_stage():
+    """GroupNorm is the advertised buffer-free pipeline norm: a GN stage
+    pipelines through the buffer-free path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deepflows_tpu.parallel import (
+        PipelinedTrainStep,
+        PipelineStack,
+        make_mesh,
+    )
+
+    def make():
+        df.manual_seed(0)
+        return [
+            nn.Sequential(
+                nn.Conv2d(4, 4, 3, padding=1, device="tpu"),
+                nn.GroupNorm(2, 4, device="tpu"),
+                nn.ReLU(),
+            )
+            for _ in range(4)
+        ]
+
+    ref = nn.Sequential(*make())
+    ref_opt = optim.Adam(ref.parameters(), lr=1e-3)
+    ref_step = CompiledTrainStep(ref, ref_opt, nn.MSELoss())
+    stack = PipelineStack(make())
+    opt = optim.Adam(stack.parameters(), lr=1e-3)
+    step = PipelinedTrainStep(
+        stack, opt, nn.MSELoss(), make_mesh({"data": 2, "pipe": 4}), n_micro=4
+    )
+    r = np.random.default_rng(0)
+    for _ in range(2):
+        x = r.standard_normal((8, 4, 8, 8)).astype(np.float32)
+        y = r.standard_normal((8, 4, 8, 8)).astype(np.float32)
+        assert abs(float(ref_step(x, y)) - float(step(x, y))) < 1e-5
+
+
+def test_embedding_matches_torch():
+    df.manual_seed(0)
+    emb = nn.Embedding(10, 6, device="tpu")
+    temb = torch.nn.Embedding(10, 6)
+    with torch.no_grad():
+        temb.weight.copy_(torch.tensor(emb.weight.numpy()))
+    idx = np.array([[1, 3, 3], [0, 9, 1]], np.int32)
+
+    out = emb(idx)
+    (out * out).sum().backward()
+    tout = temb(torch.tensor(idx, dtype=torch.long))
+    (tout * tout).sum().backward()
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        emb.weight.grad.numpy(), temb.weight.grad.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_embedding_trains_compiled():
+    class TinyLM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(16, 8, device="tpu")
+            self.head = nn.Linear(8, 16, device="tpu")
+
+        def forward(self, idx):
+            return self.head(self.emb(idx).mean(1))
+
+    df.manual_seed(0)
+    model = TinyLM()
+    opt = optim.Adam(model.parameters(), lr=1e-2)
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    r = np.random.default_rng(0)
+    x = r.integers(0, 16, (32, 5)).astype(np.int32)
+    y = r.integers(0, 16, 32).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(10)]
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    assert step._jitted._cache_size() == 1
