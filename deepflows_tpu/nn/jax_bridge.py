@@ -36,6 +36,8 @@ class _JaxFnOp(Tensor):
     stored jax.vjp, evaluated once per cotangent and cached."""
 
     def __init__(self, fn: Callable, args):
+        from ..tensor import Reshape
+
         tensors = []
         for a in args:
             if not isinstance(a, Tensor):
@@ -43,6 +45,11 @@ class _JaxFnOp(Tensor):
                     "jax_function arguments must be Tensors; close over "
                     "python constants instead"
                 )
+            # grad routing is by parent identity (CLAUDE.md invariant):
+            # alias repeated operands through an identity node so f(t, t)
+            # accumulates BOTH slots' cotangents instead of slot 0 twice
+            if any(a is t for t in tensors):
+                a = Reshape(a, a.shape)
             tensors.append(a)
         dev = tensors[0].device
         if not getattr(dev, "is_jax", False):
@@ -50,9 +57,15 @@ class _JaxFnOp(Tensor):
                 "jax_function requires the jax ('tpu') device"
             )
         arrays = [t.data.array for t in tensors]
-        y, vjp = jax.vjp(fn, *arrays)
-        self._vjp = vjp
         rg = is_grad_enable() and any(t.requires_grad for t in tensors)
+        if rg:
+            y, vjp = jax.vjp(fn, *arrays)
+            self._vjp = vjp
+        else:
+            # eval / no_grad: skip linearization (vjp residuals would pin
+            # extra HBM for the output's lifetime)
+            y = fn(*arrays)
+            self._vjp = None
         super().__init__(
             BackendTensor._wrap(y, dev), device=dev, requires_grad=rg
         )

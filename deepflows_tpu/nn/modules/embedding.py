@@ -7,7 +7,7 @@ like every other parameter."""
 from __future__ import annotations
 
 from ... import tensor
-from ...backend import BackendTensor, Device, default_accelerator
+from ...backend import Device, default_accelerator
 from ...tensor import Tensor
 from .. import init
 from ..parameter import Parameter

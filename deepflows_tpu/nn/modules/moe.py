@@ -57,6 +57,8 @@ class MoE(Module):
 
         if top_k < 0 or top_k > n_experts:
             raise ValueError(f"top_k={top_k} out of range for {n_experts} experts")
+        if capacity_factor < 0:
+            raise ValueError(f"capacity_factor must be >= 0, got {capacity_factor}")
         if capacity_factor and top_k:
             raise ValueError("capacity_factor and top_k are mutually exclusive")
         self.dim, self.hidden, self.n_experts = dim, hidden, n_experts
@@ -156,14 +158,16 @@ class MoE(Module):
                 gates = jax.nn.softmax(xf @ rw + rb.reshape(-1), -1)  # (N,E)
                 e_t = jnp.argmax(gates, -1)  # (N,) — routing is autodiff-const
                 g_t = jnp.take_along_axis(gates, e_t[:, None], -1)[:, 0]
-                onehot = jax.nn.one_hot(e_t, E, dtype=xf.dtype)  # (N,E)
-                # position of each token within its expert's queue
+                # routing bookkeeping in f32 regardless of activation dtype:
+                # a bf16 cumsum is inexact past 256 tokens (positions would
+                # collide in capacity slots, silently merging tokens)
+                onehot = jax.nn.one_hot(e_t, E, dtype=jnp.float32)  # (N,E)
                 pos = (jnp.cumsum(onehot, 0) - 1.0) * onehot
                 keep = jnp.where(pos < C, onehot, 0.0)
                 posc = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
-                disp = keep[..., None] * jax.nn.one_hot(
-                    posc, C, dtype=xf.dtype
-                )  # (N,E,C)
+                disp = (
+                    keep[..., None] * jax.nn.one_hot(posc, C, dtype=jnp.float32)
+                ).astype(xf.dtype)  # (N,E,C)
                 xe = jnp.einsum("nec,nd->ecd", disp, xf)
                 h = jnp.einsum("ecd,edh->ech", xe, w1) + b1
                 h = jax.nn.gelu(h, approximate=False) if act == "gelu" else jax.nn.relu(h)

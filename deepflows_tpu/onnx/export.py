@@ -116,7 +116,7 @@ class _Exporter:
             # dependency walk sees them — without this the node would be
             # treated as a LEAF and silently constant-folded into the file
             return list(node._args)
-        if type(node) is not Tensor and not isinstance(node, F._BatchNormOp):
+        if type(node) is not Tensor:
             from ..nn.parameter import Parameter
 
             if not isinstance(node, Parameter):

@@ -83,3 +83,22 @@ def test_non_tensor_arg_rejected():
     f = jax_function(lambda x: x * 2)
     with pytest.raises(TypeError, match="must be Tensors"):
         f(np.ones(3))
+
+
+def test_same_tensor_twice_accumulates_both_cotangents():
+    """Regression (review finding): f(t, t) must sum both argument slots'
+    cotangents — d(a*b^2)/dt at a=b=t is 3t^2."""
+    g = jax_function(lambda a, b: a * b**2)
+    t = Tensor(np.full((3,), 2.0, np.float32), device="tpu", requires_grad=True)
+    y = g(t, t)
+    y.sum().backward()
+    np.testing.assert_allclose(t.grad.numpy(), 3 * 2.0**2, rtol=1e-6)
+
+
+def test_no_grad_skips_vjp():
+    with df.no_grad():
+        f = jax_function(lambda x: x * 2.0)
+        t = Tensor(np.ones((2,), np.float32), device="tpu", requires_grad=True)
+        out = f(t)
+    assert out._vjp is None
+    assert not out.requires_grad

@@ -622,3 +622,31 @@ def test_embedding_trains_compiled():
     losses = [float(step(x, y)) for _ in range(10)]
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
     assert step._jitted._cache_size() == 1
+
+
+def test_moe_sparse_large_token_count_positions_exact():
+    """Regression (review finding): routing bookkeeping stays f32 — with
+    >256 tokens the capacity positions must not collide (a bf16 cumsum
+    would merge tokens into one slot)."""
+    import jax.numpy as jnp
+
+    df.manual_seed(0)
+    moe = nn.MoE(8, 16, n_experts=2, capacity_factor=2.0, device="tpu")
+    moe.to_dtype(jnp.bfloat16)
+    x = Tensor(
+        np.random.default_rng(0)
+        .standard_normal((600, 8))
+        .astype(np.float32),
+        device="tpu",
+    )
+    xb = Tensor(x.data.array.astype(jnp.bfloat16), device="tpu")
+    out = moe(xb)
+    assert out.data.array.dtype == jnp.bfloat16
+    # ample capacity -> NO dropped tokens even at position > 256
+    dropped = int((np.abs(np.asarray(out.data.array, np.float32)).max(-1) < 1e-8).sum())
+    assert dropped == 0, f"{dropped} tokens wrongly dropped/merged"
+
+
+def test_moe_negative_capacity_rejected():
+    with pytest.raises(ValueError, match="capacity_factor"):
+        nn.MoE(8, 16, n_experts=4, capacity_factor=-2.0, device="tpu")
