@@ -11,6 +11,7 @@ from .resnet import (
     ResNet34,
     ResNet50,
 )
+from .transformer_lm import TransformerLM
 from .vgg import VGG, VGG16
 from .vit import EncoderBlock, ViT_Tiny, VisionTransformer
 
@@ -18,6 +19,7 @@ __all__ = [
     "VisionTransformer",
     "ViT_Tiny",
     "EncoderBlock",
+    "TransformerLM",
     "MLP",
     "MNIST_CNN",
     "CIFAR10_CNN",

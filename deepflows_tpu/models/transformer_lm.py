@@ -1,0 +1,56 @@
+"""Decoder-only transformer language model (no reference analog — the
+reference zoo is CNN-only; this completes the sequence-model story the
+round-2 layers enable: Embedding lookup, causal MultiheadAttention,
+LayerNorm, GELU MLP — all tape ops, so the LM trains through
+``CompiledTrainStep``/``ShardedTrainStep`` like the rest of the zoo, and
+its blocks pipeline (buffer-free, shape-preserving)."""
+
+from __future__ import annotations
+
+from .. import nn, tensor
+from ..backend import Device, default_accelerator
+from ..nn.parameter import Parameter
+from .vit import EncoderBlock
+
+
+class TransformerLM(nn.Module):
+    def __init__(
+        self,
+        vocab_size: int,
+        max_len: int = 128,
+        dim: int = 128,
+        depth: int = 4,
+        num_heads: int = 4,
+        mlp_ratio: float = 4.0,
+        dropout: float = 0.0,
+        device=None,
+        remat: bool = False,
+    ):
+        super().__init__()
+        dev = Device(device) if device else default_accelerator()
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self.tok_embed = nn.Embedding(vocab_size, dim, device=device)
+        self.pos_embed = Parameter(tensor.zeros((1, max_len, dim), device=dev))
+        self.blocks = nn.Sequential(
+            *[
+                EncoderBlock(
+                    dim, num_heads, mlp_ratio, dropout, device=device,
+                    remat=remat, causal=True,
+                )
+                for _ in range(depth)
+            ]
+        )
+        self.norm = nn.LayerNorm(dim, device=device)
+        self.head = nn.Linear(dim, vocab_size, device=device)
+
+    def forward(self, idx):
+        # idx: (B, L) int tokens -> (B, L, vocab) logits
+        x = self.tok_embed(idx)
+        L = x.shape[1]
+        if L > self.max_len:
+            raise ValueError(f"sequence length {L} > max_len {self.max_len}")
+        x = x + self.pos_embed[:, :L]
+        x = self.blocks(x)
+        x = self.norm(x)
+        return self.head(x)

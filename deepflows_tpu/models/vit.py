@@ -24,12 +24,12 @@ class EncoderBlock(nn.Module):
 
     def __init__(
         self, dim, num_heads, mlp_ratio=4.0, dropout=0.0, device=None,
-        remat=False,
+        remat=False, causal=False,
     ):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, device=device)
         self.attn = nn.MultiheadAttention(
-            dim, num_heads, dropout=dropout, device=device
+            dim, num_heads, dropout=dropout, causal=causal, device=device
         )
         self.norm2 = nn.LayerNorm(dim, device=device)
         hidden = int(dim * mlp_ratio)

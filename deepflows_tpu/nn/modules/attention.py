@@ -32,8 +32,11 @@ class MultiheadAttention(Module):
         num_heads: int,
         dropout: float = 0.0,
         bias: bool = True,
+        causal: bool = False,
         device=None,
     ) -> None:
+        """``causal=True`` applies the autoregressive mask (position i may
+        attend to j <= i) — the decoder/LM attention variant."""
         super().__init__()
         if embed_dim % num_heads:
             raise ValueError(
@@ -47,6 +50,7 @@ class MultiheadAttention(Module):
         self.v_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
+        self.causal = causal
 
     def forward(self, query, key=None, value=None, need_weights: bool = False):
         key = query if key is None else key
@@ -63,6 +67,22 @@ class MultiheadAttention(Module):
         k = split(self.k_proj(key), Lk)
         v = split(self.v_proj(value), Lk)
         scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / math.sqrt(D))
+        if self.causal:
+            import numpy as np
+
+            from ...backend import BackendTensor
+            from ...tensor import Tensor
+
+            # additive -inf above the diagonal; a no-grad const, built in
+            # the scores dtype (bf16 purity)
+            arr = scores.data.array
+            xp = scores.device.xp
+            neg = xp.triu(
+                xp.full((L, Lk), np.float32(-1e9)), k=1
+            ).astype(arr.dtype)
+            scores = scores + Tensor(
+                BackendTensor._wrap(neg, scores.device)
+            )
         attn = F.softmax(scores, 3)
         # report PRE-dropout weights (torch semantics: rows sum to 1 even
         # when attention dropout is active in training)
