@@ -727,3 +727,37 @@ def test_transformer_lm_trains_next_token():
     uniform = np.log(V)
     assert losses[-1] < 0.35 * uniform, (losses[0], losses[-1], uniform)
     assert step._jitted._cache_size() == 1
+
+
+def test_transformer_lm_generate():
+    """After learning the successor function, greedy generation continues
+    the sequence correctly (causal right-padding keeps one compiled shape)."""
+    V = 16
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=V, max_len=8, dim=64, depth=2,
+                              num_heads=2, device="tpu")
+    opt = optim.AdamW(lm.parameters(), lr=3e-3, weight_decay=1e-2)
+
+    class FlatCE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ce = nn.CrossEntropyLoss()
+
+        def forward(self, logits, targets):
+            B, L, Vv = logits.shape
+            return self.ce(logits.reshape(B * L, Vv), targets.reshape(B * L))
+
+    step = CompiledTrainStep(lm, opt, FlatCE())
+    r = np.random.default_rng(0)
+    for _ in range(80):
+        x0 = r.integers(0, V, (32, 1))
+        seq = [x0]
+        for _ in range(8):
+            seq.append((seq[-1] * 5 + 3) % V)
+        s = np.concatenate(seq, 1).astype(np.int32)
+        step(s[:, :8], s[:, 1:9])
+
+    prompt = np.array([[2, 13, 4]], np.int32)  # 2 -> 13 -> 4 under x*5+3 mod 16
+    out = lm.generate(prompt, 3)
+    want = [2, 13, 4, 7, 6, 1]  # successors: 4*5+3=23%16=7, 7*5+3=38%16=6, 6*5+3=33%16=1
+    assert out.tolist() == [want], out.tolist()
