@@ -18,7 +18,8 @@ Methodology (addresses VERDICT r1 items 2+3):
   `DeepFlows/backend/backend_src/ndarray_backend_cuda.cu`), since the
   reference publishes no throughput numbers (BASELINE.md).
 
-Env knobs: BENCH_MODEL (cifar10_cnn|resnet18|resnet50|vit_tiny), BENCH_BATCH,
+Env knobs: BENCH_MODEL (cifar10_cnn|resnet18|resnet50|vit_tiny|transformer_lm),
+BENCH_BATCH, BENCH_SEQLEN (LM sequence length),
 BENCH_STEPS, BENCH_REPEATS, BENCH_DTYPE=bf16, BENCH_IMAGE (input size),
 BENCH_EAGER=0 (skip eager baseline), BENCH_RAWJAX=0 (skip twin),
 BENCH_IMPL=rawjax (report the twin as the headline instead),
@@ -110,12 +111,19 @@ def main() -> None:
         model_name, 32
     )
     image_size = int(os.environ.get("BENCH_IMAGE", str(default_img)))
+    seq_len = int(os.environ.get("BENCH_SEQLEN", "128"))
+    vocab = 256
 
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((batch_size, 3, image_size, image_size)).astype(
-        np.float32
-    )
-    y = rng.integers(0, 10, batch_size).astype(np.int32)
+    if model_name == "transformer_lm":
+        # token sequences; "images/sec" is sequences/sec for the LM
+        x = rng.integers(0, vocab, (batch_size, seq_len)).astype(np.int32)
+        y = rng.integers(0, vocab, (batch_size, seq_len)).astype(np.int32)
+    else:
+        x = rng.standard_normal((batch_size, 3, image_size, image_size)).astype(
+            np.float32
+        )
+        y = rng.integers(0, 10, batch_size).astype(np.int32)
     # stage the batch on device once: the bench measures chip throughput, not
     # host->device tunnel bandwidth (12.6 MB/step at bs=256 otherwise)
     import jax
@@ -139,6 +147,11 @@ def main() -> None:
                 num_classes=10, small_input=image_size <= 64, device="tpu",
                 remat=remat,
             )
+        if model_name == "transformer_lm":
+            return models.TransformerLM(
+                vocab_size=vocab, max_len=seq_len, dim=512, depth=6,
+                num_heads=8, device="tpu",
+            )
         if model_name == "vit_tiny":
             return models.ViT_Tiny(
                 image_size=image_size,
@@ -155,8 +168,24 @@ def main() -> None:
     if impl != "rawjax":
         model = build_model()
         opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
+        if model_name == "transformer_lm":
+
+            class _FlatCE(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.ce = nn.CrossEntropyLoss()
+
+                def forward(self, logits, targets):
+                    B, L, V = logits.shape
+                    return self.ce(
+                        logits.reshape(B * L, V), targets.reshape(B * L)
+                    )
+
+            criterion = _FlatCE()
+        else:
+            criterion = nn.CrossEntropyLoss()
         step = CompiledTrainStep(
-            model, opt, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
+            model, opt, criterion, compute_dtype=compute_dtype
         )
 
         for _ in range(warmup):
@@ -202,7 +231,7 @@ def main() -> None:
     # with remat on, the non-remat rawjax twin is not the same program —
     # a vs_rawjax ratio would misread the remat trade as framework overhead;
     # vit_tiny has no twin at all
-    has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50")
+    has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50")  # no vit/lm twin
     if impl == "rawjax" and not has_twin:
         raise SystemExit(f"no rawjax twin for BENCH_MODEL={model_name}")
     if (remat or not has_twin) and impl != "rawjax":
