@@ -168,24 +168,9 @@ def main() -> None:
     if impl != "rawjax":
         model = build_model()
         opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
-        if model_name == "transformer_lm":
-
-            class _FlatCE(nn.Module):
-                def __init__(self):
-                    super().__init__()
-                    self.ce = nn.CrossEntropyLoss()
-
-                def forward(self, logits, targets):
-                    B, L, V = logits.shape
-                    return self.ce(
-                        logits.reshape(B * L, V), targets.reshape(B * L)
-                    )
-
-            criterion = _FlatCE()
-        else:
-            criterion = nn.CrossEntropyLoss()
+        # CrossEntropyLoss accepts (B, L, V) sequence logits directly
         step = CompiledTrainStep(
-            model, opt, criterion, compute_dtype=compute_dtype
+            model, opt, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
         )
 
         for _ in range(warmup):

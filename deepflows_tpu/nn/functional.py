@@ -274,7 +274,32 @@ def cross_entropy(
     input: Tensor, target: Tensor, reduction: str = "mean", dim: int = 1
 ) -> Tensor:
     """Stable log-softmax cross-entropy vs one-hot (or integer) target;
-    'mean' divides by the batch size (reference `functional.py:104-115`)."""
+    'mean' divides by the batch size (reference `functional.py:104-115`).
+
+    Sequence extension (beyond the reference): class-LAST logits of any
+    rank — ``(B, L, V)`` logits with ``(B, L)`` integer targets flatten to
+    ``(B*L, V)`` internally (the LM loss shape), when ``dim`` is the last
+    axis."""
+    if input.ndim > 2:
+        t_shape = (
+            tuple(target.shape)
+            if isinstance(target, Tensor)
+            else tuple(np.asarray(target).shape)
+        )
+        if t_shape == tuple(input.shape[:-1]):
+            # class-last sequence logits (B, ..., V) with integer targets
+            # (B, ...): flatten to the (N, V) fast path
+            V = input.shape[-1]
+            n = 1
+            for d in input.shape[:-1]:
+                n *= d
+            input = input.reshape(n, V)
+            target = (
+                target.reshape(n)
+                if isinstance(target, Tensor)
+                else np.asarray(target).reshape(n)
+            )
+            dim = 1
     target = _maybe_one_hot(target, input)
     if (
         input.ndim == 2

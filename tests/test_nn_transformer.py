@@ -761,3 +761,25 @@ def test_transformer_lm_generate():
     out = lm.generate(prompt, 3)
     want = [2, 13, 4, 7, 6, 1]  # successors: 4*5+3=23%16=7, 7*5+3=38%16=6, 6*5+3=33%16=1
     assert out.tolist() == [want], out.tolist()
+
+
+def test_cross_entropy_sequence_logits():
+    """(B, L, V) logits + (B, L) int targets == flattened CE (torch-checked),
+    through both the functional and the Module."""
+    r = np.random.default_rng(0)
+    logits = r.standard_normal((4, 6, 10)).astype(np.float32)
+    targets = r.integers(0, 10, (4, 6)).astype(np.int32)
+
+    lt = Tensor(logits.copy(), device="tpu", requires_grad=True)
+    loss = nn.CrossEntropyLoss()(lt, Tensor(targets, device="tpu"))
+    loss.backward()
+
+    tl = torch.tensor(logits.reshape(24, 10), requires_grad=True)
+    tloss = torch.nn.functional.cross_entropy(
+        tl, torch.tensor(targets.reshape(24), dtype=torch.long)
+    )
+    tloss.backward()
+    np.testing.assert_allclose(float(loss.numpy()), float(tloss.detach()), rtol=1e-5)
+    np.testing.assert_allclose(
+        lt.grad.numpy().reshape(24, 10), tl.grad.numpy(), rtol=1e-4, atol=1e-6
+    )
