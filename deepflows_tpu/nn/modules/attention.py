@@ -51,6 +51,7 @@ class MultiheadAttention(Module):
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
         self.causal = causal
+        self._mask_cache = {}  # (L, Lk, dtype) -> const mask Tensor
 
     def forward(self, query, key=None, value=None, need_weights: bool = False):
         key = query if key is None else key
@@ -68,21 +69,7 @@ class MultiheadAttention(Module):
         v = split(self.v_proj(value), Lk)
         scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / math.sqrt(D))
         if self.causal:
-            import numpy as np
-
-            from ...backend import BackendTensor
-            from ...tensor import Tensor
-
-            # additive -inf above the diagonal; a no-grad const, built in
-            # the scores dtype (bf16 purity)
-            arr = scores.data.array
-            xp = scores.device.xp
-            neg = xp.triu(
-                xp.full((L, Lk), np.float32(-1e9)), k=1
-            ).astype(arr.dtype)
-            scores = scores + Tensor(
-                BackendTensor._wrap(neg, scores.device)
-            )
+            scores = scores + self._causal_mask(L, Lk, scores)
         attn = F.softmax(scores, 3)
         # report PRE-dropout weights (torch semantics: rows sum to 1 even
         # when attention dropout is active in training)
@@ -95,3 +82,27 @@ class MultiheadAttention(Module):
         if need_weights:
             return out, weights
         return out
+
+    def _causal_mask(self, L, Lk, scores):
+        """Additive -inf above the diagonal; a no-grad const built in the
+        scores dtype (bf16 purity), cached per (L, Lk, dtype) so eager
+        calls don't rebuild it every step."""
+        import numpy as np
+
+        from ...backend import BackendTensor
+        from ...tensor import Tensor
+
+        key = (L, Lk, str(scores.dtype))
+        arr = self._mask_cache.get(key)
+        if arr is None:
+            # build with NUMPY: jnp ops inside a jit trace are staged
+            # (omnistaging) and a cached tracer would leak across traces
+            arr = np.triu(np.full((L, Lk), -1e9, np.float32), k=1)
+            if "bfloat16" in str(scores.dtype):
+                import jax.numpy as jnp
+
+                arr = np.asarray(arr, dtype=jnp.bfloat16)
+            self._mask_cache[key] = arr
+        # wrap fresh each call: a cached Tensor would accumulate tape
+        # children it is never in the Graph to have cleared
+        return Tensor(BackendTensor._wrap(arr, scores.device))

@@ -49,5 +49,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def optimizer_state_shardings(state, slot_sharding, rep):
+    """Shardings pytree for an Optimizer state dict: per-parameter list
+    entries get ``slot_sharding(i, value)``, scalar entries (step counters)
+    are replicated.  Shared by the sharded and pipelined train steps."""
+    out = {}
+    for k, v in state.items():
+        if isinstance(v, list):
+            out[k] = [
+                None if x is None else slot_sharding(i, x)
+                for i, x in enumerate(v)
+            ]
+        else:
+            out[k] = rep
+    return out
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))

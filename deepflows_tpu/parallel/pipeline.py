@@ -136,12 +136,12 @@ class PipelineStack(Module):
         import jax.numpy as jnp
 
         dev = tpu()
+        # traverse each stage's params/buffers ONCE (not once per slot)
+        per_stage_params = [[p for _, p in s.named_parameters()] for s in stages]
+        per_stage_bufs = [[b for _, b in s.named_buffers()] for s in stages]
         for i, name in enumerate(names0):
             stacked = jnp.stack(
-                [
-                    [p for _, p in s.named_parameters()][i].data.array
-                    for s in stages
-                ]
+                [params[i].data.array for params in per_stage_params]
             )
             # the index prefix keeps mangled names collision-free (e.g.
             # 'conv_1.weight' and 'conv.1.weight' both flatten to the same
@@ -157,10 +157,7 @@ class PipelineStack(Module):
         # the EMA)
         for i, name in enumerate(bnames0):
             stacked = jnp.stack(
-                [
-                    [b for _, b in s.named_buffers()][i].data.array
-                    for s in stages
-                ]
+                [bufs[i].data.array for bufs in per_stage_bufs]
             )
             self.register_buffer(
                 f"stacked_{i}_{name.replace('.', '_')}",
@@ -389,18 +386,11 @@ class PipelinedTrainStep:
             for b in self._buffers
         ]
 
-        def _state_shardings(state):
-            out = {}
-            for k, v in state.items():
-                if isinstance(v, list):
-                    out[k] = [
-                        None if x is None else pspec[i] for i, x in enumerate(v)
-                    ]
-                else:
-                    out[k] = rep
-            return out
+        from .mesh import optimizer_state_shardings
 
-        opt_sh = _state_shardings(optimizer._state)
+        opt_sh = optimizer_state_shardings(
+            optimizer._state, lambda i, x: pspec[i], rep
+        )
         # pre-place params + buffers + optimizer state on the mesh (first
         # call sees the committed layout; avoids a second trace)
         dev = tpu()

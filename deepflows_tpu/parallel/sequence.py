@@ -23,6 +23,8 @@ arrays, cpu device) it is the identity.
 
 from __future__ import annotations
 
+import jax as _jax
+from jax import core as _jcore
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..autograd import is_grad_enable
@@ -49,11 +51,8 @@ class _ShardConstraintOp(Tensor):
             x.build_edge(self)
 
     def _apply(self, arr):
-        import jax
-        from jax import core as jcore
-
-        if isinstance(arr, jcore.Tracer):
-            return jax.lax.with_sharding_constraint(arr, self._sharding)
+        if isinstance(arr, _jcore.Tracer):
+            return _jax.lax.with_sharding_constraint(arr, self._sharding)
         return arr  # eager / concrete: identity
 
     def grad_fn(self, node, grad):

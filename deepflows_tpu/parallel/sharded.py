@@ -129,19 +129,11 @@ class ShardedTrainStep(CompiledTrainStep):
                 )
             return base
 
-        def _state_shardings(state):
-            out = {}
-            for k, v in state.items():
-                if isinstance(v, list):
-                    out[k] = [
-                        None if x is None else _slot_sharding(i, x)
-                        for i, x in enumerate(v)
-                    ]
-                else:
-                    out[k] = rep
-            return out
+        from .mesh import optimizer_state_shardings
 
-        opt_state_shardings = _state_shardings(optimizer._state)
+        opt_state_shardings = optimizer_state_shardings(
+            optimizer._state, _slot_sharding, rep
+        )
 
         # pre-place params/buffers/optimizer state onto the mesh so the first
         # call sees the same (committed, sharded) input layout as every later

@@ -700,16 +700,8 @@ def test_transformer_lm_trains_next_token():
                               num_heads=2, device="tpu")
     opt = optim.AdamW(lm.parameters(), lr=3e-3, weight_decay=1e-2)
 
-    class FlatCE(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ce = nn.CrossEntropyLoss()
-
-        def forward(self, logits, targets):
-            B, L, Vv = logits.shape
-            return self.ce(logits.reshape(B * L, Vv), targets.reshape(B * L))
-
-    step = CompiledTrainStep(lm, opt, FlatCE())
+    # CrossEntropyLoss handles (B, L, V) sequence logits natively
+    step = CompiledTrainStep(lm, opt, nn.CrossEntropyLoss())
     r = np.random.default_rng(0)
 
     def batch():
@@ -738,16 +730,8 @@ def test_transformer_lm_generate():
                               num_heads=2, device="tpu")
     opt = optim.AdamW(lm.parameters(), lr=3e-3, weight_decay=1e-2)
 
-    class FlatCE(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ce = nn.CrossEntropyLoss()
-
-        def forward(self, logits, targets):
-            B, L, Vv = logits.shape
-            return self.ce(logits.reshape(B * L, Vv), targets.reshape(B * L))
-
-    step = CompiledTrainStep(lm, opt, FlatCE())
+    # CrossEntropyLoss handles (B, L, V) sequence logits natively
+    step = CompiledTrainStep(lm, opt, nn.CrossEntropyLoss())
     r = np.random.default_rng(0)
     for _ in range(80):
         x0 = r.integers(0, V, (32, 1))
