@@ -346,7 +346,12 @@ class PipelinedTrainStep:
         pipe_axis: str = "pipe",
         donate: bool = True,
         grad_transform: Optional[Callable] = None,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs the pipelined forward +
+        backward in bf16 (stacked master weights, gradients as seen by the
+        optimizer, and optimizer state stay f32) — the same mixed-precision
+        contract as ``CompiledTrainStep``."""
         if pipe_axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {pipe_axis!r}")
         if mesh.shape[pipe_axis] != stack.n_stages:
@@ -361,6 +366,7 @@ class PipelinedTrainStep:
         self.data_axis = data_axis
         self.pipe_axis = pipe_axis
         self.grad_transform = grad_transform
+        self.compute_dtype = compute_dtype
         self._params = [p for _, p in stack.named_parameters()]
         self._buffers = [b for _, b in stack.named_buffers()]
         if [id(p) for p in optimizer.params] != [id(p) for p in self._params]:
@@ -438,11 +444,30 @@ class PipelinedTrainStep:
         return outs.reshape((B,) + outs.shape[2:]), new_bufs
 
     def _pure_step(self, param_arrays, buffer_arrays, opt_state, lr, x, y):
+        import jax.numpy as jnp
+
+        cd = self.compute_dtype
+        x_in = (
+            x.astype(cd)
+            if cd is not None and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else x
+        )
+
         def loss_fn(params):
+            # mixed precision: differentiate w.r.t. the f32 masters but run
+            # the pipeline on low-precision COPIES (grads arrive f32 via
+            # the cast's transpose)
+            run = [p.astype(cd) for p in params] if cd is not None else params
             logits, new_bufs = self._forward(
-                params, buffer_arrays, x, self._stage_fn
+                run, buffer_arrays, x_in, self._stage_fn
             )
-            return self._criterion(logits, y), new_bufs
+            loss = self._criterion(logits, y)
+            if cd is not None:
+                loss = loss.astype(jnp.float32)
+                new_bufs = [
+                    nb.astype(b.dtype) for nb, b in zip(new_bufs, buffer_arrays)
+                ]
+            return loss, new_bufs
 
         (loss, new_bufs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             param_arrays

@@ -393,3 +393,31 @@ def test_config_differing_stages_rejected():
     ]
     with pytest.raises(ValueError, match="homogeneous"):
         PipelineStack(stages)
+
+
+def test_pipelined_bf16_mixed_precision():
+    """compute_dtype=bf16: the pipeline runs in bf16 (loss returns f32,
+    masters stay f32) and converges like the f32 pipeline."""
+    import jax.numpy as jnp
+
+    def run(cd):
+        stages = make_stages(4, width=32)
+        stack = PipelineStack(stages)
+        opt = optim.Adam(stack.parameters(), lr=1e-2)
+        mesh = make_mesh({"data": 2, "pipe": 4})
+        step = PipelinedTrainStep(
+            stack, opt, nn.MSELoss(), mesh, n_micro=4, compute_dtype=cd
+        )
+        r = np.random.default_rng(0)
+        W = r.standard_normal((32, 32)).astype(np.float32) * 0.3
+        x = r.standard_normal((32, 32)).astype(np.float32)
+        y = np.maximum(x @ W, 0)
+        losses = [float(step(x, y)) for _ in range(30)]
+        # masters stayed f32
+        assert all(p.data.array.dtype == jnp.float32 for p in stack.parameters())
+        return losses
+
+    f32 = run(None)
+    bf16 = run(jnp.bfloat16)
+    assert bf16[-1] < 0.6 * bf16[0]  # converges
+    assert abs(bf16[-1] - f32[-1]) < 0.15 * max(f32[0], 1e-3)  # tracks f32
