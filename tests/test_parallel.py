@@ -264,3 +264,29 @@ def test_sequence_parallel_constraints_match_unconstrained():
     plain, _ = run(False)
     sp_losses, sp_step = run(True)
     np.testing.assert_allclose(plain, sp_losses, rtol=1e-5)
+
+
+def test_remat_inside_sharded_step():
+    """remat blocks compose with mesh sharding: a remat'd ResNet trains
+    data-parallel and matches its non-remat twin."""
+    from deepflows_tpu import models
+
+    def run(remat):
+        df.manual_seed(0)
+        model = models.ResNet18(
+            num_classes=4, small_input=True, device="tpu", remat=remat
+        )
+        opt = optim.SGD(model.parameters(), lr=0.05, momentum=0.9)
+        mesh = make_mesh({"data": 8})
+        step = ShardedTrainStep(model, opt, nn.CrossEntropyLoss(), mesh)
+        r = np.random.default_rng(0)
+        losses = []
+        for _ in range(2):
+            x = r.standard_normal((16, 3, 16, 16)).astype(np.float32)
+            yb = r.integers(0, 4, 16).astype(np.int32)
+            losses.append(float(step(x, yb)))
+        return losses
+
+    plain = run(False)
+    rem = run(True)
+    np.testing.assert_allclose(plain, rem, rtol=1e-4)
