@@ -1,7 +1,7 @@
 """Model zoo: the reference's workload models (SURVEY §2.8) as a library."""
 
 from .cnn import CIFAR10_CNN, MLP, MNIST_CNN, DishesCNN
-from .mobilenet import MobileNetV1, make_divisible
+from .mobilenet import InvertedResidual, MobileNetV1, MobileNetV2, make_divisible
 from .resnet import (
     BasicBlock,
     Bottleneck,
@@ -32,6 +32,8 @@ __all__ = [
     "Bottleneck",
     "ResidualBlock",
     "MobileNetV1",
+    "MobileNetV2",
+    "InvertedResidual",
     "make_divisible",
     "VGG",
     "VGG16",

@@ -63,3 +63,79 @@ class MobileNetV1(nn.Module):
         x = self.avgpool(x)
         x = x.reshape(x.shape[0], -1)
         return self.fc(x)
+
+
+# ---------------------------------------------------------------- V2
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (expand 1x1 -> depthwise 3x3 ->
+    project 1x1, residual when stride 1 and shapes match).  No reference
+    analog (the reference stops at V1); torchvision-compatible layout."""
+
+    def __init__(self, inp, oup, stride, expand_ratio, device=None):
+        super().__init__()
+        hidden = int(round(inp * expand_ratio))
+        self.use_res = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers.append(ConvBNReLU(inp, hidden, 1, device=device))
+        layers.append(
+            ConvBNReLU(hidden, hidden, 3, stride, groups=hidden, device=device)
+        )
+        # linear projection (no activation)
+        layers.append(
+            nn.Conv2d(hidden, oup, 1, 1, 0, bias=False, device=device)
+        )
+        layers.append(nn.BatchNorm2d(oup, device=device))
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        out = self.conv(x)
+        return x + out if self.use_res else out
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 (torchvision-compatible inverted-residual settings)."""
+
+    _SETTINGS = [
+        # t, c, n, s
+        (1, 16, 1, 1),
+        (6, 24, 2, 2),
+        (6, 32, 3, 2),
+        (6, 64, 4, 2),
+        (6, 96, 3, 1),
+        (6, 160, 3, 2),
+        (6, 320, 1, 1),
+    ]
+
+    def __init__(
+        self, num_classes=1000, width_multiplier=1.0, in_channels=3,
+        small_input=False, device=None,
+    ):
+        super().__init__()
+        wm = width_multiplier
+        c = make_divisible(32 * wm)
+        stem_stride = 1 if small_input else 2
+        features = [ConvBNReLU(in_channels, c, 3, stem_stride, device=device)]
+        for t, ch, n, s in self._SETTINGS:
+            out_c = make_divisible(ch * wm)
+            for i in range(n):
+                features.append(
+                    InvertedResidual(
+                        c, out_c, s if i == 0 else 1, t, device=device
+                    )
+                )
+                c = out_c
+        last = make_divisible(1280 * max(1.0, wm))
+        features.append(ConvBNReLU(c, last, 1, device=device))
+        self.features = nn.Sequential(*features)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2),
+            nn.Linear(last, num_classes, device=device),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = self.avgpool(x)
+        x = x.reshape(x.shape[0], -1)
+        return self.classifier(x)

@@ -20,6 +20,7 @@ def main(device="tpu"):
         ("ResNet18", models.ResNet18(num_classes=10, small_input=True, device=device), (2, 3, 32, 32)),
         ("ResNet50", models.ResNet50(num_classes=10, small_input=True, device=device), (1, 3, 32, 32)),
         ("MobileNetV1", models.MobileNetV1(num_classes=10, device=device), (1, 3, 64, 64)),
+        ("MobileNetV2", models.MobileNetV2(num_classes=10, device=device), (1, 3, 64, 64)),
         ("VGG16", models.VGG16(num_classes=10, batch_norm=True, img_size=32, device=device), (1, 3, 32, 32)),
     ]
     print(f"{'model':>12} {'params':>12} {'out shape':>12}")

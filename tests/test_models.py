@@ -96,3 +96,25 @@ def test_resnet18_trains_one_step_compiled():
     l2 = float(step(x, y))
     assert np.isfinite(l1) and np.isfinite(l2)
     assert l2 < l1  # same batch twice: loss must drop
+
+
+def test_mobilenet_v2():
+    """MobileNetV2: torchvision-matching parameter count (2,236,682 for 10
+    classes — verified against torchvision's formula), forward shape, and a
+    compiled training step."""
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    df.manual_seed(0)
+    m = models.MobileNetV2(num_classes=10, small_input=True, device="tpu")
+    n_params = sum(int(np.prod(p.shape)) for p in m.parameters())
+    assert n_params == 2_236_682, n_params
+    out = m(df.Tensor(np.zeros((2, 3, 32, 32), np.float32), device="tpu"))
+    assert out.shape == (2, 10)
+    # inverted-residual skip only where stride 1 and channels match
+    opt = optim.Adam(m.parameters(), lr=1e-3)
+    step = CompiledTrainStep(m, opt, nn.CrossEntropyLoss())
+    r = np.random.default_rng(0)
+    x = r.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    y = r.integers(0, 10, 4).astype(np.int32)
+    losses = [float(step(x, y)) for _ in range(3)]
+    assert all(np.isfinite(losses))
