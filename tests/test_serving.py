@@ -40,3 +40,45 @@ def test_grpc_predict_roundtrip():
         client.close()
     finally:
         server.stop()
+
+
+def test_grpc_concurrent_predicts():
+    """Production robustness: 8 concurrent clients × distinct inputs all get
+    the right answers (thread-pooled server, jitted inference under load)."""
+    import threading
+
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.Linear(8, 16, device="tpu"), nn.ReLU(), nn.Linear(16, 3, device="tpu")
+    )
+    server = MyDLPWServicer("localhost:50913", model=model)
+    server.serve(wait=False)
+    try:
+        model.eval()
+        rng = np.random.default_rng(1)
+        inputs = [rng.standard_normal((4, 8)).astype(np.float32) for _ in range(8)]
+        wants = [model(Tensor(x, device="tpu")).numpy() for x in inputs]
+        model.train()
+        results = [None] * 8
+        errors = []
+
+        def worker(i):
+            try:
+                c = PredictClient("localhost:50913")
+                for _ in range(5):
+                    (out,) = c.predict(inputs[i])
+                results[i] = out
+                c.close()
+            except Exception as e:  # pragma: no cover
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        for out, want in zip(results, wants):
+            np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+    finally:
+        server.stop()
