@@ -19,7 +19,10 @@ def make_divisible(v, divisor=8, min_value=None):
 
 
 class ConvBNReLU(nn.Module):
-    def __init__(self, inp, oup, kernel_size=3, stride=1, groups=1, device=None):
+    def __init__(
+        self, inp, oup, kernel_size=3, stride=1, groups=1, device=None,
+        act="relu",
+    ):
         super().__init__()
         padding = (kernel_size - 1) // 2
         self.conv = nn.Conv2d(
@@ -27,7 +30,7 @@ class ConvBNReLU(nn.Module):
             device=device,
         )
         self.bn = nn.BatchNorm2d(oup, device=device)
-        self.relu = nn.ReLU()
+        self.relu = nn.ReLU6() if act == "relu6" else nn.ReLU()
 
     def forward(self, x):
         return self.relu(self.bn(self.conv(x)))
@@ -77,9 +80,12 @@ class InvertedResidual(nn.Module):
         self.use_res = stride == 1 and inp == oup
         layers = []
         if expand_ratio != 1:
-            layers.append(ConvBNReLU(inp, hidden, 1, device=device))
+            layers.append(ConvBNReLU(inp, hidden, 1, device=device, act="relu6"))
         layers.append(
-            ConvBNReLU(hidden, hidden, 3, stride, groups=hidden, device=device)
+            ConvBNReLU(
+                hidden, hidden, 3, stride, groups=hidden, device=device,
+                act="relu6",
+            )
         )
         # linear projection (no activation)
         layers.append(
@@ -115,7 +121,9 @@ class MobileNetV2(nn.Module):
         wm = width_multiplier
         c = make_divisible(32 * wm)
         stem_stride = 1 if small_input else 2
-        features = [ConvBNReLU(in_channels, c, 3, stem_stride, device=device)]
+        features = [
+            ConvBNReLU(in_channels, c, 3, stem_stride, device=device, act="relu6")
+        ]
         for t, ch, n, s in self._SETTINGS:
             out_c = make_divisible(ch * wm)
             for i in range(n):
@@ -126,7 +134,7 @@ class MobileNetV2(nn.Module):
                 )
                 c = out_c
         last = make_divisible(1280 * max(1.0, wm))
-        features.append(ConvBNReLU(c, last, 1, device=device))
+        features.append(ConvBNReLU(c, last, 1, device=device, act="relu6"))
         self.features = nn.Sequential(*features)
         self.avgpool = nn.AdaptiveAvgPool2d(1)
         self.classifier = nn.Sequential(

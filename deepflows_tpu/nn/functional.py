@@ -101,6 +101,11 @@ def relu(input: Tensor) -> Tensor:
     return tensor.maximum(input, 0.0)
 
 
+def relu6(input: Tensor) -> Tensor:
+    """min(max(x, 0), 6) — the MobileNet activation (no reference analog)."""
+    return tensor.minimum(tensor.maximum(input, 0.0), 6.0)
+
+
 class sigmoid(UnaryOperator):
     """Numerically-split sigmoid (reference `functional.py:19-27`)."""
 

@@ -2,6 +2,7 @@
 
 from .activation import (
     GELU,
+    ReLU6,
     LeakyReLU,
     LogSoftmax,
     ReLU,
@@ -48,6 +49,7 @@ __all__ = [
     "ModuleList",
     "ModuleDict",
     "ReLU",
+    "ReLU6",
     "Sigmoid",
     "Tanh",
     "GELU",

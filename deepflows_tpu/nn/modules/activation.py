@@ -14,6 +14,11 @@ class ReLU(Module):
         return F.relu(input)
 
 
+class ReLU6(Module):
+    def forward(self, input: Tensor) -> Tensor:
+        return F.relu6(input)
+
+
 class Sigmoid(Module):
     def forward(self, input: Tensor) -> Tensor:
         return F.sigmoid(input)

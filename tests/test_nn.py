@@ -468,3 +468,19 @@ def test_fused_cross_entropy_grads_match_torch(device):
             np.testing.assert_allclose(
                 t.grad.numpy(), lt.grad.numpy(), rtol=1e-4, atol=1e-6
             )
+
+
+def test_relu6_matches_torch():
+    import torch
+
+    # avoid the exact kinks (0, 6): our min/max splits tie-gradients while
+    # torch returns 0 there — both valid subgradients
+    x = (np.linspace(-3, 9, 25) + 0.01).astype(np.float32)
+    xt = df.Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = nn.functional.relu6(xt)
+    out.sum().backward()
+    tx = torch.tensor(x, requires_grad=True)
+    tout = torch.nn.functional.relu6(tx)
+    tout.sum().backward()
+    np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-6)
+    np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-6)
