@@ -267,3 +267,22 @@ def test_shard_constraint_exports_as_identity(tmp_path):
     got = om(x)
     ref = model(df.Tensor(x, device="tpu")).numpy()
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mobilenet_v2_roundtrip(tmp_path):
+    """MobileNetV2 (inverted residuals, depthwise groups, ReLU6 -> Min op)
+    exports and the own runtime reproduces inference."""
+    import deepflows_tpu as df
+    from deepflows_tpu import models
+    from deepflows_tpu.jit import CompiledEvalStep
+    from deepflows_tpu.onnx import OnnxModel, export_onnx
+
+    df.manual_seed(0)
+    m = models.MobileNetV2(num_classes=4, small_input=True, device="tpu")
+    x = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    p = export_onnx(m, x, str(tmp_path / "mb2.onnx"))
+    om = OnnxModel(p)
+    got = om(x)
+    m.eval()
+    ref = np.asarray(CompiledEvalStep(m)(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
