@@ -201,6 +201,13 @@ class Tensor:
     def numpy(self) -> np.ndarray:
         return self.data.numpy()
 
+    def __array__(self, dtype=None, copy=None):
+        # numpy protocol: without this, np.asarray(tensor) falls back to the
+        # SEQUENCE protocol — one get_slice tape node per row, silently
+        # pathological on large tensors
+        arr = self.data.numpy()
+        return arr.astype(dtype) if dtype is not None else arr
+
     def item(self):
         return self.data.item()
 

@@ -36,6 +36,42 @@ def build_mapping(model) -> dict:
     return mapping
 
 
+def build_mobilenet_v2_mapping(model) -> dict:
+    """torchvision-name -> deepflows-name mapping for MobileNetV2.
+
+    torchvision's ConvBNActivation is an anonymous Sequential (conv at index
+    0, bn at index 1); ours names the attributes ``conv``/``bn``.  Everything
+    else (inverted-residual projection conv/bn indices, classifier) aligns
+    one-to-one, so the transform is purely within ConvBNReLU scopes.  (The
+    reference's own pretrained pipeline downloaded mobilenet V2 while
+    labeling it V1 — `convert_pretrained.py:139-143`; this mapping makes V2
+    conversion real.)"""
+    from deepflows_tpu.models.mobilenet import ConvBNReLU
+
+    cbr_paths = {
+        path for path, m in model.named_modules() if isinstance(m, ConvBNReLU)
+    }
+
+    def to_torch(name: str) -> str:
+        for p in cbr_paths:
+            if name.startswith(p + "."):
+                rest = name[len(p) + 1 :]
+                if rest.startswith("conv."):
+                    return f"{p}.0.{rest[len('conv.'):]}"
+                if rest.startswith("bn."):
+                    return f"{p}.1.{rest[len('bn.'):]}"
+        return name
+
+    mapping = {}
+    for name in _names(model):
+        tname = to_torch(name)
+        mapping[tname] = name
+        if name.endswith("running_var"):
+            nb = to_torch(name.rsplit(".", 1)[0] + ".num_batches_tracked")
+            mapping[nb] = name.rsplit(".", 1)[0] + ".num_batches_tracked"
+    return mapping
+
+
 def main() -> None:
     import jax
 
@@ -57,6 +93,11 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(build_mapping(model), f, indent=2, sort_keys=True)
         print(f"wrote {path}")
+    v2 = models.MobileNetV2(device="cpu")
+    path = os.path.join(here, "mobilenet_v2_complete_mapping.json")
+    with open(path, "w") as f:
+        json.dump(build_mobilenet_v2_mapping(v2), f, indent=2, sort_keys=True)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

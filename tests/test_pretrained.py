@@ -221,3 +221,43 @@ def test_real_torchvision_checkpoint_end_to_end(tmp_path):
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
     assert os.path.exists(out_pkl)
     df.set_grad_enabled(True)
+
+
+def test_mobilenet_v2_mapping_roundtrip():
+    """The shipped V2 mapping covers the model bijectively, and a simulated
+    torchvision-layout state dict (transposed Linear, raveled BN vectors,
+    num_batches_tracked extras) converts back to the exact weights."""
+    from deepflows_tpu import models
+    from deepflows_tpu.utils.pretrained_models import (
+        convert_torch_state_dict,
+        load_model_param_mapping,
+    )
+
+    df.manual_seed(0)
+    m = models.MobileNetV2(num_classes=10, device="tpu")
+    mapping = load_model_param_mapping("mobilenet_v2")
+    assert mapping is not None
+    own = m.params_and_buffers_saved()
+    # bijective over our names (+ the torch-only num_batches_tracked rows)
+    targets = [v for v in mapping.values() if not v.endswith("num_batches_tracked")]
+    assert sorted(targets) == sorted(own.keys())
+    assert len(set(mapping.keys())) == len(mapping)
+
+    # simulate the torchvision checkpoint: inverse-transform our arrays
+    fake = {}
+    for tname, name in mapping.items():
+        if name.endswith("num_batches_tracked"):
+            fake[tname] = np.asarray(0, np.int64)
+            continue
+        # NOTE: .numpy(), never np.asarray(Tensor) — the latter falls back
+        # to the sequence protocol (one tape node per row)
+        arr = own[name].numpy()
+        if arr.ndim == 2 and name.endswith("weight"):
+            arr = arr.T  # torch Linear layout
+        elif arr.ndim == 4 and arr.shape[0] == 1 and arr.shape[2] == 1:
+            arr = arr.reshape(-1)  # BN (1,C,1,1) -> torch (C,)
+        fake[tname] = arr
+    converted = convert_torch_state_dict(m, fake, mapping=mapping)
+    assert sorted(converted.keys()) == sorted(own.keys())
+    for name, want in own.items():
+        np.testing.assert_allclose(converted[name], want.numpy(), rtol=1e-6)

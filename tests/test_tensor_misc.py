@@ -103,3 +103,19 @@ def test_imatmul_on_constants(device):
     g = Tensor(A, device=device, requires_grad=True)
     with pytest.raises(AssertionError):
         g @= Tensor(A, device=device)
+
+
+def test_np_asarray_uses_array_protocol():
+    """np.asarray(Tensor) must be ONE conversion (the __array__ protocol),
+    not the per-row sequence fallback that builds a tape node per index."""
+    import time
+
+    t = df.Tensor(np.random.default_rng(0).standard_normal((512, 512)).astype(np.float32), device="tpu")
+    n0 = len(Graph.node_list)
+    t0 = time.time()
+    a = np.asarray(t)
+    dt = time.time() - t0
+    assert a.shape == (512, 512)
+    assert len(Graph.node_list) == n0  # no tape nodes created
+    assert dt < 2.0, dt
+    np.testing.assert_array_equal(a, t.numpy())
