@@ -35,7 +35,7 @@ DEFAULT_PRETRAINED_DIR = os.path.join(
     os.path.expanduser("~"), ".deepflows_tpu", "pretrained"
 )
 
-SUPPORTED_MODELS = ["resnet18", "resnet50", "mobilenet_v1", "vgg16"]
+SUPPORTED_MODELS = ["resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2", "vgg16"]
 
 _MAPPING_DIR = os.path.join(os.path.dirname(__file__), "model_param_mappings")
 
@@ -206,6 +206,7 @@ def download_pretrained_model(
         # (`convert_pretrained.py:139-143`); we keep v2 as the torch source
         # and document that v1 has no torchvision weights
         "mobilenet_v1": lambda: tvm.mobilenet_v2(weights="IMAGENET1K_V1"),
+        "mobilenet_v2": lambda: tvm.mobilenet_v2(weights="IMAGENET1K_V1"),
         "vgg16": lambda: tvm.vgg16(weights="IMAGENET1K_V1"),
     }[model_name]
     tm = factory()
@@ -221,6 +222,9 @@ def _build_model(model_name: str, num_classes: int = 1000, device=None):
         "resnet18": lambda: models.ResNet18(num_classes=num_classes, device=device),
         "resnet50": lambda: models.ResNet50(num_classes=num_classes, device=device),
         "mobilenet_v1": lambda: models.MobileNetV1(
+            num_classes=num_classes, device=device
+        ),
+        "mobilenet_v2": lambda: models.MobileNetV2(
             num_classes=num_classes, device=device
         ),
         "vgg16": lambda: models.VGG16(num_classes=num_classes, device=device),
