@@ -150,7 +150,7 @@ def main() -> None:
         if model_name == "transformer_lm":
             return models.TransformerLM(
                 vocab_size=vocab, max_len=seq_len, dim=512, depth=6,
-                num_heads=8, device="tpu",
+                num_heads=8, device="tpu", remat=remat,
             )
         if model_name == "vit_tiny":
             return models.ViT_Tiny(
@@ -158,6 +158,7 @@ def main() -> None:
                 patch_size=4 if image_size <= 64 else 16,
                 num_classes=10,
                 device="tpu",
+                remat=remat,
             )
         return models.CIFAR10_CNN(device="tpu")
 
@@ -317,7 +318,8 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
         "impl": impl,
-        "remat": remat,  # resnet models only; ignored for cifar10_cnn
+        "remat": remat,  # resnet/vit/lm models; ignored for cifar10_cnn
+        "seq_len": seq_len if model_name == "transformer_lm" else None,
         "batch_size": batch_size,
         "steps": steps,
         "repeats": repeats,

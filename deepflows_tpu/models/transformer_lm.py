@@ -80,7 +80,7 @@ class TransformerLM(nn.Module):
                     ctx = np.concatenate([idx, pad], 1)
                     pos = L - 1
                 with no_grad():
-                    logits = self(Tensor(ctx, device="tpu"))
+                    logits = self(Tensor(ctx, device=self.tok_embed.device))
                 nxt = np.asarray(logits.data.array)[:, pos].argmax(-1)
                 idx = np.concatenate([idx, nxt[:, None].astype(idx.dtype)], 1)
             return idx

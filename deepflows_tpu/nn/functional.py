@@ -276,35 +276,46 @@ class _SoftmaxXentOp(Tensor):
 
 
 def cross_entropy(
-    input: Tensor, target: Tensor, reduction: str = "mean", dim: int = 1
+    input: Tensor, target: Tensor, reduction: str = "mean", dim=None
 ) -> Tensor:
     """Stable log-softmax cross-entropy vs one-hot (or integer) target;
     'mean' divides by the batch size (reference `functional.py:104-115`).
 
     Sequence extension (beyond the reference): class-LAST logits of any
-    rank — ``(B, L, V)`` logits with ``(B, L)`` integer targets flatten to
-    ``(B*L, V)`` internally (the LM loss shape), when ``dim`` is the last
-    axis."""
-    if input.ndim > 2:
+    rank — ``(B, L, V)`` logits with ``(B, L)`` integer or ``(B, L, V)``
+    one-hot targets flatten to the ``(N, V)`` fast path (the LM loss
+    shape); ``reduction='none'`` then returns the per-token ``(B, L)``
+    loss.  The flatten applies only when ``dim`` is unset or names the
+    LAST axis — an explicit ``dim=1`` on >2-D input keeps the reference's
+    torch-layout semantics untouched."""
+    seq_shape = None
+    if input.ndim > 2 and dim in (None, -1, input.ndim - 1):
         t_shape = (
             tuple(target.shape)
             if isinstance(target, Tensor)
             else tuple(np.asarray(target).shape)
         )
-        if t_shape == tuple(input.shape[:-1]):
-            # class-last sequence logits (B, ..., V) with integer targets
-            # (B, ...): flatten to the (N, V) fast path
+        flat_int = t_shape == tuple(input.shape[:-1])  # integer tokens
+        flat_oh = t_shape == tuple(input.shape)  # one-hot / smoothed
+        if flat_int or flat_oh:
+            seq_shape = tuple(input.shape[:-1])
             V = input.shape[-1]
             n = 1
-            for d in input.shape[:-1]:
+            for d in seq_shape:
                 n *= d
             input = input.reshape(n, V)
-            target = (
-                target.reshape(n)
-                if isinstance(target, Tensor)
-                else np.asarray(target).reshape(n)
-            )
+            if isinstance(target, Tensor):
+                target = target.reshape((n, V) if flat_oh else (n,))
+            else:
+                target = np.asarray(target).reshape(
+                    (n, V) if flat_oh else (n,)
+                )
             dim = 1
+    if dim is None:
+        dim = 1
+    if seq_shape is not None and reduction == "none":
+        flat = cross_entropy(input, target, "none", dim)
+        return flat.reshape(seq_shape)
     target = _maybe_one_hot(target, input)
     if (
         input.ndim == 2

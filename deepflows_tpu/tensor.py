@@ -205,6 +205,10 @@ class Tensor:
         # numpy protocol: without this, np.asarray(tensor) falls back to the
         # SEQUENCE protocol — one get_slice tape node per row, silently
         # pathological on large tensors
+        if copy is False:
+            raise ValueError(
+                "np.asarray(tensor, copy=False) cannot alias device memory"
+            )
         arr = self.data.numpy()
         return arr.astype(dtype) if dtype is not None else arr
 

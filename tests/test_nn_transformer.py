@@ -767,3 +767,67 @@ def test_cross_entropy_sequence_logits():
     np.testing.assert_allclose(
         lt.grad.numpy().reshape(24, 10), tl.grad.numpy(), rtol=1e-4, atol=1e-6
     )
+
+
+def test_cross_entropy_sequence_edge_cases():
+    """Review regressions: (a) one-hot (B,L,V) sequence targets flatten too;
+    (b) explicit dim=1 on torch-layout 3-D input is NOT hijacked even when
+    C == L; (c) reduction='none' returns the per-token (B, L) shape."""
+    import torch
+
+    r = np.random.default_rng(0)
+    logits = r.standard_normal((2, 3, 5)).astype(np.float32)
+    targets = r.integers(0, 5, (2, 3))
+    onehot = np.eye(5, dtype=np.float32)[targets]
+
+    # (a) one-hot sequence target == integer sequence target
+    li = nn.functional.cross_entropy(
+        Tensor(logits.copy(), device="tpu"), Tensor(targets.astype(np.int32), device="tpu")
+    )
+    lo = nn.functional.cross_entropy(
+        Tensor(logits.copy(), device="tpu"), Tensor(onehot, device="tpu")
+    )
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(logits.reshape(6, 5)), torch.tensor(targets.reshape(6))
+    )
+    np.testing.assert_allclose(float(li.numpy()), float(want), rtol=1e-5)
+    np.testing.assert_allclose(float(lo.numpy()), float(want), rtol=1e-5)
+
+    # (b) explicit dim=1 (torch layout, C == L coincidence) is untouched:
+    # one-hot target over axis 1 gives the composed-path value
+    sq = r.standard_normal((2, 4, 4)).astype(np.float32)
+    oh1 = np.zeros((2, 4, 4), np.float32)
+    cls = r.integers(0, 4, (2, 4))
+    for b in range(2):
+        for l in range(4):
+            oh1[b, cls[b, l], l] = 1.0
+    got = nn.functional.cross_entropy(
+        Tensor(sq.copy(), device="tpu"), Tensor(oh1, device="tpu"), dim=1
+    )
+    want1 = torch.nn.functional.cross_entropy(
+        torch.tensor(sq), torch.tensor(cls, dtype=torch.long), reduction="sum"
+    ) / 2.0  # our 'mean' divides by batch for torch-layout one-hot
+    np.testing.assert_allclose(float(got.numpy()), float(want1), rtol=1e-4)
+
+    # (c) reduction='none' keeps (B, L)
+    ln = nn.functional.cross_entropy(
+        Tensor(logits.copy(), device="tpu"),
+        Tensor(targets.astype(np.int32), device="tpu"),
+        reduction="none",
+    )
+    assert ln.shape == (2, 3), ln.shape
+    wantn = torch.nn.functional.cross_entropy(
+        torch.tensor(logits.reshape(6, 5)), torch.tensor(targets.reshape(6)),
+        reduction="none",
+    ).reshape(2, 3)
+    np.testing.assert_allclose(ln.numpy(), wantn.numpy(), rtol=1e-5)
+
+
+def test_generate_on_cpu_device_model():
+    """generate must run on the model's own device (review regression:
+    hardcoded 'tpu' crashed cpu-device models)."""
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=8, max_len=4, dim=16, depth=1,
+                              num_heads=2, device="cpu")
+    out = lm.generate(np.array([[1, 2]], np.int32), 2)
+    assert out.shape == (1, 4)
