@@ -318,8 +318,14 @@ class CompiledTrainStep:
     # ------------------------------------------------------------------
     def __call__(self, x, y):
         dev = self._device
-        param_arrays = [p.data.array for p in self._params]
-        buffer_arrays = [b.data.array for b in self._buffers]
+        # gather under the trace lock: a concurrent trace (another thread's
+        # first call) temporarily binds TRACERS into the shared params, and
+        # reading p.data.array mid-trace would pass a tracer as a jit
+        # argument (UnexpectedTracerError — caught by the serving
+        # concurrency test)
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self._params]
+            buffer_arrays = [b.data.array for b in self._buffers]
         opt_state = self.optimizer._state
         lr = np.float32(self.optimizer.lr)
         step_idx = np.int32(self._call_count)
@@ -386,8 +392,11 @@ class CompiledEvalStep:
             set_grad_enabled(saved_grad_flag)
 
     def __call__(self, x):
-        param_arrays = [p.data.array for p in self._params]
-        buffer_arrays = [b.data.array for b in self._buffers]
+        # gather under the trace lock (see CompiledTrainStep.__call__): a
+        # concurrent thread's trace binds tracers into the shared params
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self._params]
+            buffer_arrays = [b.data.array for b in self._buffers]
         # keep on-device inputs on device (np.asarray would force D2H)
         if not hasattr(x, "dtype"):
             x = np.asarray(x)

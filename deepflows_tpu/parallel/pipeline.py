@@ -487,9 +487,14 @@ class PipelinedTrainStep:
 
     # ------------------------------------------------------------------
     def __call__(self, x, y):
+        from ..jit import _TRACE_LOCK
+
         dev = tpu()
-        param_arrays = [p.data.array for p in self._params]
-        buffer_arrays = [b.data.array for b in self._buffers]
+        # gather under the trace lock (a concurrent trace binds tracers
+        # into the shared template params — see CompiledTrainStep.__call__)
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self._params]
+            buffer_arrays = [b.data.array for b in self._buffers]
         lr = np.float32(self.optimizer.lr)
         self._call_count += 1
         loss, new_params, new_bufs, new_state = self._jitted(
@@ -505,8 +510,9 @@ class PipelinedTrainStep:
     def eval_logits(self, x):
         """Jitted pipelined inference over the same mesh layout (eval-mode
         stages: BN running stats, no EMA update)."""
-        return self._eval_jitted(
-            [p.data.array for p in self._params],
-            [b.data.array for b in self._buffers],
-            x,
-        )
+        from ..jit import _TRACE_LOCK
+
+        with _TRACE_LOCK:
+            pa = [p.data.array for p in self._params]
+            ba = [b.data.array for b in self._buffers]
+        return self._eval_jitted(pa, ba, x)
