@@ -149,8 +149,13 @@ def main() -> None:
             )
         if model_name == "transformer_lm":
             return models.TransformerLM(
-                vocab_size=vocab, max_len=seq_len, dim=512, depth=6,
-                num_heads=8, device="tpu", remat=remat,
+                vocab_size=vocab,
+                max_len=seq_len,
+                dim=int(os.environ.get("BENCH_LM_DIM", "512")),
+                depth=int(os.environ.get("BENCH_LM_DEPTH", "6")),
+                num_heads=int(os.environ.get("BENCH_LM_HEADS", "8")),
+                device="tpu",
+                remat=remat,
             )
         if model_name == "vit_tiny":
             return models.ViT_Tiny(
