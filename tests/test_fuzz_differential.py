@@ -165,8 +165,11 @@ def test_random_architecture_remat_matches_torch(seed):
     """Same property with the WHOLE stack rematerialised (nn.Remat): the
     jax.vjp-based checkpointed backward must agree with torch across random
     conv/BN/pool/linear compositions — including the functional threading of
-    BN running stats through the remat node.  (An extended 25-seed offline
-    run of this property, seeds 16-40, passed during round 2.)"""
+    BN running stats through the remat node.  (Extended offline runs of
+    this property — seeds 16-80, 65 seeds — passed during round 2; the one
+    soak failure, seed 73, was a noise-vs-noise tolerance edge on a
+    mathematically-zero bias-before-BN gradient, fixed by the atol note
+    below.)"""
     rng = np.random.default_rng(seed)
     img = int(rng.choice([8, 16]))
     spec = random_cnn_spec(rng, 3, img)
@@ -203,8 +206,12 @@ def test_random_architecture_remat_matches_torch(seed):
             got = got.T
         else:
             want = want.reshape(got.shape)
+        # atol 2e-3: a conv bias immediately followed by BN has a
+        # mathematically ZERO gradient (the bias cancels in the mean), so
+        # both frameworks emit pure cancellation noise ~1e-3 there — the
+        # comparison must tolerate noise-vs-noise (soak seed 73)
         np.testing.assert_allclose(
-            got, want, rtol=1e-2, atol=1e-3,
+            got, want, rtol=1e-2, atol=2e-3,
             err_msg=f"remat grad mismatch {name} for spec {spec}",
         )
     # BN running stats must ALSO match torch's after the train-mode forward
