@@ -243,3 +243,24 @@ def test_reference_resnet_script_byte_for_byte(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "训练完成" in proc.stdout, proc.stdout[-2000:]
+
+
+def test_pipeline_train_script():
+    out = run_example(
+        "pipeline_train.py", "--devices", "8", "--stages", "4",
+        "--micro", "8", "--epochs", "1", "--batch-size", "128",
+    )
+    assert "pipeline" in out and "loss=" in out
+
+
+def test_vit_cifar10_script():
+    out = run_example(
+        "vit_cifar10.py", "--epochs", "1", "--limit", "256",
+        "--batch-size", "64",
+    )
+    assert "loss=" in out
+
+
+def test_transformer_lm_script():
+    out = run_example("transformer_lm_train.py", "--epochs", "6")
+    assert "loss=" in out and "|" in out  # generation demo printed
