@@ -318,28 +318,36 @@ class CompiledTrainStep:
     # ------------------------------------------------------------------
     def __call__(self, x, y):
         dev = self._device
-        # gather under the trace lock: a concurrent trace (another thread's
-        # first call) temporarily binds TRACERS into the shared params, and
-        # reading p.data.array mid-trace would pass a tracer as a jit
-        # argument (UnexpectedTracerError — caught by the serving
-        # concurrency test)
-        with _TRACE_LOCK:
-            param_arrays = [p.data.array for p in self._params]
-            buffer_arrays = [b.data.array for b in self._buffers]
-        opt_state = self.optimizer._state
         lr = np.float32(self.optimizer.lr)
         step_idx = np.int32(self._call_count)
         self._call_count += 1
-        # pass x/y through as-is: jit transfers numpy hosts arrays itself, and
-        # np.asarray on an already-on-device jax array would force a D2H copy
-        loss, new_params, new_buffers, new_opt_state, metrics = self._jitted(
-            param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y
-        )
-        for p, arr in zip(self._params, new_params):
-            p.data = BackendTensor._wrap(arr, dev)
-        for b, arr in zip(self._buffers, new_buffers):
-            b.data = BackendTensor._wrap(arr, dev)
-        self.optimizer._state = new_opt_state
+        # the WHOLE gather -> dispatch -> write-back sequence runs under the
+        # trace lock, making the parameter mutation atomic w.r.t. concurrent
+        # traces and gatherers (the serving-while-training scenario):
+        # - gathering mid-trace would read TRACERS a trace temporarily binds
+        #   into the shared params (UnexpectedTracerError — caught by the
+        #   serving concurrency test);
+        # - writing back mid-trace would clobber a trace's bindings AND let
+        #   its finally-restore discard this step's update;
+        # - between dispatch and write-back the old arrays are DONATED
+        #   (dead) — a concurrent eval gather in that window would read
+        #   deleted buffers.
+        # jax dispatch is async, so holding the lock here does not serialize
+        # device execution.
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self._params]
+            buffer_arrays = [b.data.array for b in self._buffers]
+            opt_state = self.optimizer._state
+            # pass x/y through as-is: jit transfers numpy host arrays itself,
+            # and np.asarray on an on-device jax array would force a D2H copy
+            loss, new_params, new_buffers, new_opt_state, metrics = self._jitted(
+                param_arrays, buffer_arrays, opt_state, lr, step_idx, x, y
+            )
+            for p, arr in zip(self._params, new_params):
+                p.data = BackendTensor._wrap(arr, dev)
+            for b, arr in zip(self._buffers, new_buffers):
+                b.data = BackendTensor._wrap(arr, dev)
+            self.optimizer._state = new_opt_state
         self._last_metrics = metrics
         return loss
 

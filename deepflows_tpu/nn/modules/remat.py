@@ -55,8 +55,11 @@ class _RematOp(Tensor):
                 dev, block_key=block_key,
             )
 
-        param_arrays = [p.data.array for p in params]
-        buffer_arrays = [b.data.array for b in buffers]
+        from ...jit import _TRACE_LOCK
+
+        with _TRACE_LOCK:  # a concurrent trace binds tracers into params
+            param_arrays = [p.data.array for p in params]
+            buffer_arrays = [b.data.array for b in buffers]
         ckpt = jax.checkpoint(
             lambda pa, xa: block_fn(pa, buffer_arrays, xa)
         )

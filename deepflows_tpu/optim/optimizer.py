@@ -43,25 +43,31 @@ class Optimizer:
             self._state = self.init_state()
 
     def step(self):
+        from ..jit import _TRACE_LOCK
+
         self._ensure_state()
-        param_arrays = [p.data.array for p in self.params]
-        grad_arrays = []
-        for p in self.params:
-            g = p.grad
-            if g is None:
-                grad_arrays.append(None)
-            elif isinstance(g, BackendTensor):
-                grad_arrays.append(g.array)
-            else:  # a Tensor leaked in as grad
-                grad_arrays.append(g.data.array)
-        new_params, self._state = self._dispatch_update(
-            param_arrays, grad_arrays, self._state, self.lr
-        )
-        for p, arr in zip(self.params, new_params):
-            p.data = BackendTensor._wrap(arr, p.device)
-            # tape hygiene, as the reference's Adam does (`adam.py:61-62`)
-            p.children.clear()
-            p.parents.clear()
+        # gather + write back under the trace lock: a concurrent thread's
+        # trace (e.g. a serving/viz eval step) temporarily binds tracers
+        # into the shared params (see CompiledTrainStep.__call__)
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self.params]
+            grad_arrays = []
+            for p in self.params:
+                g = p.grad
+                if g is None:
+                    grad_arrays.append(None)
+                elif isinstance(g, BackendTensor):
+                    grad_arrays.append(g.array)
+                else:  # a Tensor leaked in as grad
+                    grad_arrays.append(g.data.array)
+            new_params, self._state = self._dispatch_update(
+                param_arrays, grad_arrays, self._state, self.lr
+            )
+            for p, arr in zip(self.params, new_params):
+                p.data = BackendTensor._wrap(arr, p.device)
+                # tape hygiene, as the reference's Adam does (`adam.py:61-62`)
+                p.children.clear()
+                p.parents.clear()
 
     def _dispatch_update(self, param_arrays, grad_arrays, state, lr):
         """Eager fast path: when every array lives on the JAX device, run the

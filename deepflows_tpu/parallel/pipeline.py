@@ -490,21 +490,23 @@ class PipelinedTrainStep:
         from ..jit import _TRACE_LOCK
 
         dev = tpu()
-        # gather under the trace lock (a concurrent trace binds tracers
-        # into the shared template params — see CompiledTrainStep.__call__)
+        lr = np.float32(self.optimizer.lr)
+        self._call_count += 1
+        # whole gather -> dispatch -> write-back under the trace lock: see
+        # CompiledTrainStep.__call__ (tracer gathers, mid-trace clobbers,
+        # and the donated-buffer window; dispatch is async so this does not
+        # serialize device execution)
         with _TRACE_LOCK:
             param_arrays = [p.data.array for p in self._params]
             buffer_arrays = [b.data.array for b in self._buffers]
-        lr = np.float32(self.optimizer.lr)
-        self._call_count += 1
-        loss, new_params, new_bufs, new_state = self._jitted(
-            param_arrays, buffer_arrays, self.optimizer._state, lr, x, y
-        )
-        for p, arr in zip(self._params, new_params):
-            p.data = BackendTensor._wrap(arr, dev)
-        for b, arr in zip(self._buffers, new_bufs):
-            b.data = BackendTensor._wrap(arr, dev)
-        self.optimizer._state = new_state
+            loss, new_params, new_bufs, new_state = self._jitted(
+                param_arrays, buffer_arrays, self.optimizer._state, lr, x, y
+            )
+            for p, arr in zip(self._params, new_params):
+                p.data = BackendTensor._wrap(arr, dev)
+            for b, arr in zip(self._buffers, new_bufs):
+                b.data = BackendTensor._wrap(arr, dev)
+            self.optimizer._state = new_state
         return loss
 
     def eval_logits(self, x):

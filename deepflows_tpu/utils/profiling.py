@@ -99,8 +99,11 @@ def step_report(step, *example_args) -> dict:
     import jax
     import numpy as np
 
-    param_arrays = [p.data.array for p in step._params]
-    buffer_arrays = [b.data.array for b in step._buffers]
+    from ..jit import _TRACE_LOCK
+
+    with _TRACE_LOCK:  # a concurrent trace binds tracers into the params
+        param_arrays = [p.data.array for p in step._params]
+        buffer_arrays = [b.data.array for b in step._buffers]
     if hasattr(step, "optimizer"):  # train step
         args = (
             param_arrays,

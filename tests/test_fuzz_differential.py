@@ -198,6 +198,17 @@ def test_random_architecture_remat_matches_torch(seed):
         tx.grad.numpy(), xt.grad.numpy(), rtol=1e-2, atol=1e-3,
         err_msg=f"remat input grad mismatch for spec {spec}",
     )
+    # conv biases immediately followed by BN have a mathematically ZERO
+    # gradient (the bias cancels in the mean): both frameworks emit pure
+    # cancellation noise ~1e-3 there, so ONLY those params get the wider
+    # atol (soak seed 73); everything else keeps the strict tolerance
+    zero_grad_bias = set()
+    idx = 0
+    for j, s_ in enumerate(spec):
+        if s_[0] in ("conv", "bn", "relu", "pool", "flatten", "linear"):
+            if s_[0] == "conv" and j + 1 < len(spec) and spec[j + 1][0] == "bn":
+                zero_grad_bias.add(f"{idx}.bias")
+            idx += 1
     ours_params = dict(ours.named_parameters())
     for name, pt in twin.named_parameters():
         got = ours_params[name].grad.numpy()
@@ -206,12 +217,9 @@ def test_random_architecture_remat_matches_torch(seed):
             got = got.T
         else:
             want = want.reshape(got.shape)
-        # atol 2e-3: a conv bias immediately followed by BN has a
-        # mathematically ZERO gradient (the bias cancels in the mean), so
-        # both frameworks emit pure cancellation noise ~1e-3 there — the
-        # comparison must tolerate noise-vs-noise (soak seed 73)
+        atol = 2e-3 if name in zero_grad_bias else 1e-3
         np.testing.assert_allclose(
-            got, want, rtol=1e-2, atol=2e-3,
+            got, want, rtol=1e-2, atol=atol,
             err_msg=f"remat grad mismatch {name} for spec {spec}",
         )
     # BN running stats must ALSO match torch's after the train-mode forward
