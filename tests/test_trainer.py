@@ -94,3 +94,61 @@ def test_trainer_with_sharded_steps():
     hist = trainer.fit(x[:192], y[:192], x[192:], y[192:], epochs=4, batch_size=64)
     assert hist["loss"][-1] < hist["loss"][0]
     assert len(hist["test_acc"]) == 4
+
+
+def test_trainer_with_pipelined_step():
+    """The Trainer also drives GPipe pipeline training (step=PipelinedTrainStep,
+    eval_step=step.eval_logits)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from deepflows_tpu.parallel import (
+        PipelinedTrainStep,
+        PipelineStack,
+        make_mesh,
+    )
+
+    df.manual_seed(0)
+    stack = PipelineStack(
+        [
+            nn.Sequential(nn.Linear(16, 16, device="tpu"), nn.ReLU())
+            for _ in range(4)
+        ]
+    )
+    head_w = np.random.default_rng(0).standard_normal((16, 4)).astype(np.float32)
+
+    class PipeWithHead:
+        """step adapter: pipeline stages then a fixed linear readout for CE."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.mesh = inner.mesh
+
+        def __call__(self, x, y):
+            # train the stack against a regression target derived from y
+            target = np.eye(16, dtype=np.float32)[y % 16]
+            return self.inner(x, target)
+
+    opt = optim.Adam(stack.parameters(), lr=1e-3)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    inner = PipelinedTrainStep(stack, opt, nn.MSELoss(), mesh, n_micro=4)
+    r = np.random.default_rng(0)
+    x = r.standard_normal((128, 16)).astype(np.float32)
+    y = (x @ np.arange(16 * 4).reshape(16, 4)).argmax(1).astype(np.int32)
+
+    def eval_step(xb):
+        return step_eval(xb)
+
+    def step_eval(xb):
+        return np.asarray(inner.eval_logits(xb)) @ head_w
+
+    trainer = Trainer(
+        None, opt, None, step=PipeWithHead(inner), eval_step=eval_step,
+        log_fn=lambda s: None,
+    )
+    hist = trainer.fit(x[:96], y[:96], x[96:], y[96:], epochs=2, batch_size=32)
+    assert len(hist["loss"]) == 2
+    assert all(np.isfinite(hist["loss"]))
