@@ -347,11 +347,20 @@ class PipelinedTrainStep:
         donate: bool = True,
         grad_transform: Optional[Callable] = None,
         compute_dtype=None,
+        param_rules: Optional[Callable] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the pipelined forward +
         backward in bf16 (stacked master weights, gradients as seen by the
         optimizer, and optimizer state stay f32) — the same mixed-precision
-        contract as ``CompiledTrainStep``."""
+        contract as ``CompiledTrainStep``.
+
+        ``param_rules(name, per_stage_shape) -> PartitionSpec`` adds
+        TENSOR parallelism INSIDE each stage (3-D parallelism: dp×pp×tp on
+        one mesh): the returned spec applies to the per-stage trailing dims
+        and is prefixed with the ``pipe`` axis on the stacked leading dim —
+        e.g. a Linear rule ``P(None, 'model')`` shards each stage's
+        out-features over ``model`` while stages stay split over ``pipe``.
+        ``name`` is the template-stage parameter name."""
         if pipe_axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {pipe_axis!r}")
         if mesh.shape[pipe_axis] != stack.n_stages:
@@ -382,10 +391,18 @@ class PipelinedTrainStep:
         self._call_count = 0
 
         rep = NamedSharding(mesh, P())
-        pspec = [
-            NamedSharding(mesh, P(pipe_axis, *([None] * (len(p.shape) - 1))))
-            for p in self._params
-        ]
+        if param_rules is not None:
+            stage_names = stack._param_names
+            pspec = []
+            for name, p in zip(stage_names, self._params):
+                inner = tuple(param_rules(name, p.shape[1:]))
+                inner = inner + (None,) * (len(p.shape) - 1 - len(inner))
+                pspec.append(NamedSharding(mesh, P(pipe_axis, *inner)))
+        else:
+            pspec = [
+                NamedSharding(mesh, P(pipe_axis, *([None] * (len(p.shape) - 1))))
+                for p in self._params
+            ]
         self._param_shardings = pspec
         bspec = [
             NamedSharding(mesh, P(pipe_axis, *([None] * (len(b.shape) - 1))))

@@ -421,3 +421,48 @@ def test_pipelined_bf16_mixed_precision():
     bf16 = run(jnp.bfloat16)
     assert bf16[-1] < 0.6 * bf16[0]  # converges
     assert abs(bf16[-1] - f32[-1]) < 0.15 * max(f32[0], 1e-3)  # tracks f32
+
+
+def test_3d_parallelism_dp_pp_tp():
+    """3-D parallelism on ONE mesh: batch over 'data', stages over 'pipe',
+    each stage's Linear out-features over 'model' — training still equals
+    the single-device step."""
+    from jax.sharding import PartitionSpec as P_
+
+    def rule(name, stage_shape):
+        if len(stage_shape) == 2:  # Linear weight/bias (in,out)/(1,out)
+            return P_(None, "model")
+        return P_()
+
+    stages = make_stages(2, width=32)
+    ref_model = nn.Sequential(*stages)
+    ref_opt = optim.SGD(ref_model.parameters(), lr=0.1, momentum=0.9)
+    ref_step = CompiledTrainStep(ref_model, ref_opt, nn.MSELoss())
+
+    stack = PipelineStack(make_stages(2, width=32))
+    opt = optim.SGD(stack.parameters(), lr=0.1, momentum=0.9)
+    mesh = make_mesh({"data": 2, "pipe": 2, "model": 2})
+    step = PipelinedTrainStep(
+        stack, opt, nn.MSELoss(), mesh, n_micro=4, param_rules=rule
+    )
+    # the stacked weights really are pipe+model sharded
+    w0 = [p for p in stack.parameters()][0].data.array
+    assert w0.sharding.spec == P_("pipe", None, "model"), w0.sharding.spec
+
+    for i in range(3):
+        x, y = batch(16, width=32, seed=40 + i)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-5 * max(1.0, abs(ref_loss)), (
+            ref_loss, pp_loss,
+        )
+    ref_params = [p.data.array for p in ref_model.parameters()]
+    n_per = len(ref_params) // 2
+    stacked = [p.data.array for p in stack.parameters()]
+    for j in range(n_per):
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(stacked[j][s]),
+                np.asarray(ref_params[s * n_per + j]),
+                rtol=1e-5, atol=1e-6,
+            )
