@@ -831,3 +831,48 @@ def test_generate_on_cpu_device_model():
                               num_heads=2, device="cpu")
     out = lm.generate(np.array([[1, 2]], np.int32), 2)
     assert out.shape == (1, 4)
+
+
+def test_vit_blocks_3d_parallelism():
+    """Megatron-style 3-D parallelism for transformers: encoder-block
+    stages over 'pipe', every Linear's out-features (q/k/v/out projections,
+    MLP) over 'model', batch over 'data' — equals single-device training."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import PartitionSpec as P_
+
+    from deepflows_tpu.jit import CompiledTrainStep as CTS
+    from deepflows_tpu.parallel import (
+        PipelinedTrainStep,
+        PipelineStack,
+        make_mesh,
+    )
+
+    def make_blocks():
+        df.manual_seed(0)
+        return [models.EncoderBlock(32, 2, device="tpu") for _ in range(2)]
+
+    def rule(name, stage_shape):
+        return P_(None, "model") if len(stage_shape) == 2 else P_()
+
+    ref_model = nn.Sequential(*make_blocks())
+    ref_opt = optim.Adam(ref_model.parameters(), lr=1e-3)
+    ref_step = CTS(ref_model, ref_opt, nn.MSELoss())
+
+    stack = PipelineStack(make_blocks())
+    opt = optim.Adam(stack.parameters(), lr=1e-3)
+    mesh = make_mesh({"data": 2, "pipe": 2, "model": 2})
+    step = PipelinedTrainStep(
+        stack, opt, nn.MSELoss(), mesh, n_micro=4, param_rules=rule
+    )
+    r = np.random.default_rng(7)
+    for _ in range(2):
+        x = r.standard_normal((8, 6, 32)).astype(np.float32)
+        y = r.standard_normal((8, 6, 32)).astype(np.float32)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss)), (
+            ref_loss, pp_loss,
+        )
