@@ -92,7 +92,9 @@ class ConnectionManager:
 
 def build_dynamic_model(layers, device=None):
     """JSON layer list → model (reference `server.py:191-238`); supported
-    types: Conv2d, ReLU, MaxPool2d, Flatten, Linear, Dropout, BatchNorm2d."""
+    types: Conv2d, ReLU, ReLU6, GELU, MaxPool2d, AvgPool2d, Flatten, Linear,
+    Dropout, BatchNorm2d, LayerNorm, GroupNorm, MultiheadAttention (the
+    full nn library, superset of the reference's seven)."""
     from .. import nn
 
     mods = []
@@ -123,6 +125,29 @@ def build_dynamic_model(layers, device=None):
             mods.append(nn.Dropout(spec.get("p", 0.5)))
         elif t == "BatchNorm2d":
             mods.append(nn.BatchNorm2d(spec["num_features"], device=device))
+        elif t == "ReLU6":
+            mods.append(nn.ReLU6())
+        elif t == "GELU":
+            mods.append(nn.GELU())
+        elif t == "AvgPool2d":
+            mods.append(nn.AvgPool2d(spec.get("kernel_size", 2), spec.get("stride", 2)))
+        elif t == "LayerNorm":
+            mods.append(nn.LayerNorm(spec["normalized_shape"], device=device))
+        elif t == "GroupNorm":
+            mods.append(
+                nn.GroupNorm(
+                    spec["num_groups"], spec["num_channels"], device=device
+                )
+            )
+        elif t == "MultiheadAttention":
+            mods.append(
+                nn.MultiheadAttention(
+                    spec["embed_dim"],
+                    spec["num_heads"],
+                    causal=spec.get("causal", False),
+                    device=device,
+                )
+            )
         else:
             raise ValueError(f"unsupported layer type {t}")
     return nn.Sequential(*mods)

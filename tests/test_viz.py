@@ -200,3 +200,37 @@ def test_history_and_epoch_message(server):
     assert runs and runs[-1]["outcome"] in ("finished", "stopped")
     assert runs[-1]["test_acc"] is not None
     sock.close()
+
+
+def test_dynamic_model_transformer_layers():
+    """The builder covers the round-2 nn surface (LayerNorm/GroupNorm/MHA/
+    ReLU6/GELU/AvgPool2d)."""
+    import numpy as np
+
+    from deepflows_tpu import Tensor
+    from deepflows_tpu.viz.server import build_dynamic_model
+
+    m = build_dynamic_model(
+        [
+            {"type": "Linear", "in_features": 16, "out_features": 32},
+            {"type": "LayerNorm", "normalized_shape": 32},
+            {"type": "GELU"},
+            {"type": "MultiheadAttention", "embed_dim": 32, "num_heads": 2},
+            {"type": "Linear", "in_features": 32, "out_features": 4},
+        ],
+        device="tpu",
+    )
+    out = m(Tensor(np.zeros((2, 5, 16), np.float32), device="tpu"))
+    assert out.shape == (2, 5, 4)
+
+    m2 = build_dynamic_model(
+        [
+            {"type": "Conv2d", "in_channels": 3, "out_channels": 4, "padding": 1},
+            {"type": "GroupNorm", "num_groups": 2, "num_channels": 4},
+            {"type": "ReLU6"},
+            {"type": "AvgPool2d"},
+        ],
+        device="tpu",
+    )
+    out2 = m2(Tensor(np.zeros((2, 3, 8, 8), np.float32), device="tpu"))
+    assert out2.shape == (2, 4, 4, 4)
