@@ -280,11 +280,17 @@ window.addEventListener('resize',redraw);
 const LAYER_DEFS={
  Conv2d:{in_channels:1,out_channels:32,kernel_size:3,stride:1,padding:0},
  BatchNorm2d:{num_features:32},
+ GroupNorm:{num_groups:4,num_channels:32},
+ LayerNorm:{normalized_shape:32},
  ReLU:{},
+ ReLU6:{},
+ GELU:{},
  MaxPool2d:{kernel_size:2,stride:2},
+ AvgPool2d:{kernel_size:2,stride:2},
  Flatten:{},
  Linear:{in_features:128,out_features:10},
  Dropout:{p:0.5},
+ MultiheadAttention:{embed_dim:32,num_heads:2},
 };
 const TEMPLATES={
  mnist_cnn:[
