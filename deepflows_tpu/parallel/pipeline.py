@@ -396,6 +396,13 @@ class PipelinedTrainStep:
             pspec = []
             for name, p in zip(stage_names, self._params):
                 inner = tuple(param_rules(name, p.shape[1:]))
+                if len(inner) > len(p.shape) - 1:
+                    raise ValueError(
+                        f"param_rules returned a rank-{len(inner)} spec for "
+                        f"{name!r} — rules receive the PER-STAGE shape "
+                        f"{p.shape[1:]} (the stacked leading 'pipe' dim is "
+                        "added automatically)"
+                    )
                 inner = inner + (None,) * (len(p.shape) - 1 - len(inner))
                 pspec.append(NamedSharding(mesh, P(pipe_axis, *inner)))
         else:

@@ -288,6 +288,7 @@ const LAYER_DEFS={
  MaxPool2d:{kernel_size:2,stride:2},
  AvgPool2d:{kernel_size:2,stride:2},
  Flatten:{},
+ Reshape:{shape:[7,16]},
  Linear:{in_features:128,out_features:10},
  Dropout:{p:0.5},
  MultiheadAttention:{embed_dim:32,num_heads:2},

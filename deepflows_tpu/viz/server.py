@@ -92,9 +92,10 @@ class ConnectionManager:
 
 def build_dynamic_model(layers, device=None):
     """JSON layer list → model (reference `server.py:191-238`); supported
-    types: Conv2d, ReLU, ReLU6, GELU, MaxPool2d, AvgPool2d, Flatten, Linear,
-    Dropout, BatchNorm2d, LayerNorm, GroupNorm, MultiheadAttention (the
-    full nn library, superset of the reference's seven)."""
+    types: Conv2d, ReLU, ReLU6, GELU, MaxPool2d, AvgPool2d, Flatten,
+    Reshape, Linear, Dropout, BatchNorm2d, LayerNorm, GroupNorm,
+    MultiheadAttention — a superset of the reference's seven (Reshape
+    makes rank-3 token sequences buildable for MHA)."""
     from .. import nn
 
     mods = []
@@ -148,6 +149,14 @@ def build_dynamic_model(layers, device=None):
                     device=device,
                 )
             )
+        elif t == "Reshape":
+            shape = tuple(spec["shape"])
+
+            class _Reshape(nn.Module):
+                def forward(self, x, _shape=shape):
+                    return x.reshape((x.shape[0],) + _shape)
+
+            mods.append(_Reshape())
         else:
             raise ValueError(f"unsupported layer type {t}")
     return nn.Sequential(*mods)

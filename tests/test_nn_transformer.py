@@ -841,21 +841,17 @@ def test_vit_blocks_3d_parallelism():
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    from jax.sharding import PartitionSpec as P_
-
     from deepflows_tpu.jit import CompiledTrainStep as CTS
     from deepflows_tpu.parallel import (
         PipelinedTrainStep,
         PipelineStack,
         make_mesh,
+        tensor_parallel_rules,
     )
 
     def make_blocks():
         df.manual_seed(0)
         return [models.EncoderBlock(32, 2, device="tpu") for _ in range(2)]
-
-    def rule(name, stage_shape):
-        return P_(None, "model") if len(stage_shape) == 2 else P_()
 
     ref_model = nn.Sequential(*make_blocks())
     ref_opt = optim.Adam(ref_model.parameters(), lr=1e-3)
@@ -865,7 +861,8 @@ def test_vit_blocks_3d_parallelism():
     opt = optim.Adam(stack.parameters(), lr=1e-3)
     mesh = make_mesh({"data": 2, "pipe": 2, "model": 2})
     step = PipelinedTrainStep(
-        stack, opt, nn.MSELoss(), mesh, n_micro=4, param_rules=rule
+        stack, opt, nn.MSELoss(), mesh, n_micro=4,
+        param_rules=tensor_parallel_rules("model"),
     )
     r = np.random.default_rng(7)
     for _ in range(2):

@@ -429,10 +429,7 @@ def test_3d_parallelism_dp_pp_tp():
     the single-device step."""
     from jax.sharding import PartitionSpec as P_
 
-    def rule(name, stage_shape):
-        if len(stage_shape) == 2:  # Linear weight/bias (in,out)/(1,out)
-            return P_(None, "model")
-        return P_()
+    from deepflows_tpu.parallel import tensor_parallel_rules
 
     stages = make_stages(2, width=32)
     ref_model = nn.Sequential(*stages)
@@ -443,7 +440,8 @@ def test_3d_parallelism_dp_pp_tp():
     opt = optim.SGD(stack.parameters(), lr=0.1, momentum=0.9)
     mesh = make_mesh({"data": 2, "pipe": 2, "model": 2})
     step = PipelinedTrainStep(
-        stack, opt, nn.MSELoss(), mesh, n_micro=4, param_rules=rule
+        stack, opt, nn.MSELoss(), mesh, n_micro=4,
+        param_rules=tensor_parallel_rules("model"),
     )
     # the stacked weights really are pipe+model sharded
     w0 = [p for p in stack.parameters()][0].data.array

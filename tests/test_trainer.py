@@ -140,9 +140,6 @@ def test_trainer_with_pipelined_step():
     y = (x @ np.arange(16 * 4).reshape(16, 4)).argmax(1).astype(np.int32)
 
     def eval_step(xb):
-        return step_eval(xb)
-
-    def step_eval(xb):
         return np.asarray(inner.eval_logits(xb)) @ head_w
 
     trainer = Trainer(
