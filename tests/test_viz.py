@@ -223,6 +223,23 @@ def test_dynamic_model_transformer_layers():
     out = m(Tensor(np.zeros((2, 5, 16), np.float32), device="tpu"))
     assert out.shape == (2, 5, 4)
 
+    # the image->tokens path the dashboard can now build: Flatten ->
+    # Linear -> Reshape (B, L, E) -> causal MHA
+    m3 = build_dynamic_model(
+        [
+            {"type": "Flatten"},
+            {"type": "Linear", "in_features": 64, "out_features": 96},
+            {"type": "Reshape", "shape": [3, 32]},
+            {"type": "MultiheadAttention", "embed_dim": 32, "num_heads": 2,
+             "causal": True},
+            {"type": "Flatten"},
+            {"type": "Linear", "in_features": 96, "out_features": 10},
+        ],
+        device="tpu",
+    )
+    out3 = m3(Tensor(np.zeros((2, 1, 8, 8), np.float32), device="tpu"))
+    assert out3.shape == (2, 10)
+
     m2 = build_dynamic_model(
         [
             {"type": "Conv2d", "in_channels": 3, "out_channels": 4, "padding": 1},
