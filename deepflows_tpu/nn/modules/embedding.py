@@ -36,9 +36,10 @@ class Embedding(Module):
         init.normal_(self.weight, 0.0, 1.0)  # torch's N(0, 1) default
 
     def forward(self, idx):
-        if isinstance(idx, Tensor):
-            idx = idx.data.array
-        idx = np.asarray(idx) if not hasattr(idx, "dtype") else idx
+        # pass a Tensor key through UNWRAPPED-less: get_slice keeps its
+        # identity so ONNX export can emit a Gather fed by the graph input
+        if not isinstance(idx, Tensor) and not hasattr(idx, "dtype"):
+            idx = np.asarray(idx)
         return self.weight[idx]
 
     def extra_repr(self) -> str:

@@ -47,11 +47,13 @@ def _tensor_proto(name: str, arr: np.ndarray) -> pb.TensorProto:
     return tp
 
 
-def _value_info(name: str, shape, batch_dynamic=False) -> pb.ValueInfoProto:
+def _value_info(
+    name: str, shape, batch_dynamic=False, elem_type=None
+) -> pb.ValueInfoProto:
     vi = pb.ValueInfoProto()
     vi.name = name
     tt = vi.type.tensor_type
-    tt.elem_type = pb.TensorProto.FLOAT
+    tt.elem_type = elem_type or pb.TensorProto.FLOAT
     for i, d in enumerate(shape):
         dim = tt.shape.dim.add()
         if i == 0 and batch_dynamic:
@@ -101,6 +103,11 @@ class _Exporter:
             )
         if isinstance(node, T.concat):
             return list(node._inputs)
+        if isinstance(node, T.get_slice):
+            ops = [node._x]
+            if node._key_tensor is not None:
+                ops.append(node._key_tensor)  # gather indices may be the INPUT
+            return ops
         if isinstance(node, BinaryOperator):
             return [node._x, node._y]
         if isinstance(node, UnaryOperator):
@@ -287,6 +294,56 @@ class _Exporter:
         if isinstance(node, _ShardConstraintOp):
             self._node("Identity", [self.name_of(node._x)], out)
             return
+        if isinstance(node, T.get_slice):
+            key = node.key
+            if hasattr(key, "dtype") and np.issubdtype(
+                np.asarray(key).dtype, np.integer
+            ):
+                # integer-array index -> Gather along axis 0 (the Embedding
+                # lookup); indices flow from the graph when the key was a
+                # Tensor, else they are baked as a constant
+                if node._key_tensor is not None:
+                    idx_name = self.name_of(node._key_tensor)
+                else:
+                    idx_name = f"gather_idx_{out}"
+                    self.graph.initializer.append(
+                        _tensor_proto(
+                            idx_name, np.asarray(key, np.int64)
+                        )
+                    )
+                n = self._node("Gather", [self.name_of(node._x), idx_name], out)
+                _attr_int(n, "axis", 0)
+                return
+            if isinstance(key, tuple) and all(
+                isinstance(k, slice) for k in key
+            ):
+                # static basic slicing (e.g. pos_embed[:, :L]) -> Slice
+                starts, ends, axes = [], [], []
+                for ax, sl in enumerate(key):
+                    if sl == slice(None):
+                        continue
+                    starts.append(0 if sl.start is None else int(sl.start))
+                    ends.append(
+                        np.iinfo(np.int64).max
+                        if sl.stop is None
+                        else int(sl.stop)
+                    )
+                    axes.append(ax)
+                names = []
+                for tag, vals in (
+                    ("starts", starts), ("ends", ends), ("axes", axes)
+                ):
+                    nm = f"slice_{tag}_{out}"
+                    self.graph.initializer.append(
+                        _tensor_proto(nm, np.asarray(vals, np.int64))
+                    )
+                    names.append(nm)
+                self._node("Slice", [self.name_of(node._x)] + names, out)
+                return
+            raise ValueError(
+                f"get_slice key {key!r} has no ONNX mapping (integer-array "
+                "gather and static slice tuples are supported)"
+            )
         if isinstance(node, T.exp):
             self._node("Exp", [self.name_of(node._x)], out)
             return
@@ -312,11 +369,16 @@ def trace(model, sample_input: np.ndarray):
     """Eval-mode forward with the tape recording (grads on, input grad on)."""
     was_training = model.training
     model.eval()
+    arr = np.asarray(sample_input)
+    if not np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.float32)  # integer inputs (token ids) keep dtype
+    else:
+        arr = arr.astype(np.int32)
     with enable_grad():
         x = Tensor(
-            np.asarray(sample_input, np.float32),
+            arr,
             device=getattr(model, "device", None) or "cpu",
-            requires_grad=True,
+            requires_grad=not np.issubdtype(arr.dtype, np.integer),
         )
         out = model(x)
     if was_training:
@@ -332,7 +394,14 @@ def export_onnx(model, sample_input, path: str, batch_dynamic: bool = True) -> s
     x, out = trace(model, sample_input)
     ex = _Exporter(x, batch_dynamic)
     out_name = ex.name_of(out)
-    ex.graph.input.append(_value_info("input", x.shape, batch_dynamic))
+    in_type = (
+        pb.TensorProto.INT32
+        if np.issubdtype(np.asarray(x.numpy()).dtype, np.integer)
+        else pb.TensorProto.FLOAT
+    )
+    ex.graph.input.append(
+        _value_info("input", x.shape, batch_dynamic, elem_type=in_type)
+    )
     ex.graph.output.append(_value_info(out_name, out.shape, batch_dynamic))
 
     m = pb.ModelProto()

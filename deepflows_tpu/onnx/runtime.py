@@ -88,6 +88,7 @@ class OnnxModel:
         "Gemm", "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Relu", "Max",
         "Min", "Abs", "Exp", "Log", "Reshape", "Transpose", "ReduceMean",
         "ReduceSum", "ReduceMax", "ReduceMin", "Erf", "Tanh",
+        "Gather", "Slice",
         "Concat", "Flatten", "Softmax", "Identity", "Dropout",
         "BatchNormalization",
     }
@@ -224,6 +225,22 @@ class OnnxModel:
                 env[o] = fn(
                     ins[0], axis=axes, keepdims=bool(a.get("keepdims", 1))
                 )
+            elif t == "Gather":
+                env[o] = jnp.take(
+                    ins[0], ins[1].astype(jnp.int32), axis=a.get("axis", 0)
+                )
+            elif t == "Slice":
+                starts = [int(d) for d in np.asarray(ins[1])]
+                ends = [int(d) for d in np.asarray(ins[2])]
+                axes = (
+                    [int(d) for d in np.asarray(ins[3])]
+                    if len(ins) > 3
+                    else list(range(len(starts)))
+                )
+                sl = [slice(None)] * ins[0].ndim
+                for st, en, ax in zip(starts, ends, axes):
+                    sl[ax] = slice(st, None if en >= 2**62 else en)
+                env[o] = ins[0][tuple(sl)]
             elif t == "Erf":
                 from jax.scipy.special import erf as _jerf
 
@@ -265,7 +282,12 @@ class OnnxModel:
                 f"graph takes {len(self.input_names)} inputs "
                 f"{self.input_names}, got {len(xs)}"
             )
-        xs = tuple(np.asarray(x, np.float32) for x in xs)
+        xs = tuple(
+            np.asarray(x)
+            if np.issubdtype(np.asarray(x).dtype, np.integer)
+            else np.asarray(x, np.float32)
+            for x in xs
+        )
         key = tuple(x.shape for x in xs)
         if key not in self._jitted:
             if self._consts is None:  # one device copy, shared by all shapes

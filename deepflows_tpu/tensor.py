@@ -838,6 +838,10 @@ class concat(Tensor):
 
 class get_slice(UnaryOperator):
     def __init__(self, x, key):
+        # keep the Tensor identity of array keys: the ONNX exporter needs to
+        # know when gather indices flow from a graph INPUT (an Embedding
+        # lookup) rather than being trace-time constants
+        self._key_tensor = key if isinstance(key, Tensor) else None
         if isinstance(key, Tensor):
             key = key.data
         if isinstance(key, BackendTensor):

@@ -286,3 +286,52 @@ def test_mobilenet_v2_roundtrip(tmp_path):
     m.eval()
     ref = np.asarray(CompiledEvalStep(m)(x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_lm_roundtrip(tmp_path):
+    """The decoder LM exports (integer graph input -> Gather embedding
+    lookup; pos embeddings and causal mask constant-folded) and the own
+    runtime reproduces logits exactly, incl. dynamic batch."""
+    import deepflows_tpu as df
+    from deepflows_tpu import models
+    from deepflows_tpu.jit import CompiledEvalStep
+    from deepflows_tpu.onnx import OnnxModel, check_onnx, export_onnx
+
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=16, max_len=8, dim=32, depth=2,
+                              num_heads=2, device="tpu")
+    idx = np.random.default_rng(0).integers(0, 16, (2, 8)).astype(np.int32)
+    p = export_onnx(lm, idx, str(tmp_path / "lm.onnx"))
+    assert check_onnx(p)["ops"].get("Gather") == 1
+    om = OnnxModel(p)
+    got = om(idx)
+    lm.eval()
+    ref = np.asarray(CompiledEvalStep(lm)(idx))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    idx2 = np.random.default_rng(1).integers(0, 16, (5, 8)).astype(np.int32)
+    assert om(idx2).shape == (5, 8, 16)
+
+
+def test_input_slice_exports(tmp_path):
+    """Static slicing of an input-DEPENDENT tensor lowers to ONNX Slice."""
+    import deepflows_tpu as df
+    from deepflows_tpu import nn
+    from deepflows_tpu.onnx import OnnxModel, check_onnx, export_onnx
+
+    class Headless(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(8, 8, device="tpu")
+
+        def forward(self, x):
+            return self.lin(x)[:, :3]
+
+    df.manual_seed(0)
+    m = Headless()
+    x = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+    p = export_onnx(m, x, str(tmp_path / "slice.onnx"))
+    assert check_onnx(p)["ops"].get("Slice") == 1
+    got = OnnxModel(p)(x)
+    m.eval()
+    ref = m(df.Tensor(x, device="tpu")).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
