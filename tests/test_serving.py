@@ -82,3 +82,32 @@ def test_grpc_concurrent_predicts():
             np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
     finally:
         server.stop()
+
+
+def test_serve_exported_lm_from_disk(tmp_path):
+    """The reference's deployment shape for the LM: export to .onnx, serve
+    THAT file, predict over gRPC (token ids ride the float matrix wire and
+    Gather casts them back)."""
+    from deepflows_tpu import models
+    from deepflows_tpu.jit import CompiledEvalStep
+    from deepflows_tpu.onnx import export_onnx
+
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=16, max_len=8, dim=32, depth=2,
+                              num_heads=2, device="tpu")
+    idx = np.random.default_rng(0).integers(0, 16, (2, 8)).astype(np.int32)
+    export_onnx(lm, idx, str(tmp_path / "lm.onnx"))
+
+    server = MyDLPWServicer(
+        "localhost:50917", root_dir=str(tmp_path), model_file="lm.onnx"
+    )
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50917")
+        (out,) = client.predict(idx.astype(np.float32))
+        lm.eval()
+        want = np.asarray(CompiledEvalStep(lm)(idx)).reshape(out.shape)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+        client.close()
+    finally:
+        server.stop()
