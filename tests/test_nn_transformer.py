@@ -873,3 +873,99 @@ def test_vit_blocks_3d_parallelism():
         assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss)), (
             ref_loss, pp_loss,
         )
+
+
+def test_transformer_lm_trajectory_matches_torch():
+    """FULL LM training trajectory vs a hand-built torch twin: identical
+    weights and batches, Adam(1e-3), 10 steps — per-step losses must track
+    (the transformer-family analogue of the CNN trajectory A/B)."""
+    import torch.nn as tnn
+
+    V, D, H, depth, L = 16, 32, 2, 2, 8
+
+    class TorchBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(D)
+            self.attn = tnn.MultiheadAttention(D, H, batch_first=True)
+            self.norm2 = tnn.LayerNorm(D)
+            self.mlp = tnn.Sequential(
+                tnn.Linear(D, D * 4), tnn.GELU(), tnn.Linear(D * 4, D)
+            )
+            mask = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+            self.register_buffer("mask", mask)
+
+        def forward(self, x):
+            h = self.norm1(x)
+            x = x + self.attn(h, h, h, attn_mask=self.mask, need_weights=False)[0]
+            return x + self.mlp(self.norm2(x))
+
+    class TorchLM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = tnn.Embedding(V, D)
+            self.pos = tnn.Parameter(torch.zeros(1, L, D))
+            self.blocks = tnn.Sequential(*[TorchBlock() for _ in range(depth)])
+            self.norm = tnn.LayerNorm(D)
+            self.head = tnn.Linear(D, V)
+
+        def forward(self, idx):
+            x = self.emb(idx) + self.pos
+            return self.head(self.norm(self.blocks(x)))
+
+    df.manual_seed(0)
+    ours = models.TransformerLM(vocab_size=V, max_len=L, dim=D, depth=depth,
+                                num_heads=H, device="tpu")
+    twin = TorchLM()
+
+    def t(a):
+        return torch.tensor(np.asarray(a))
+
+    with torch.no_grad():
+        twin.emb.weight.copy_(t(ours.tok_embed.weight.numpy()))
+        twin.pos.copy_(t(ours.pos_embed.numpy()))
+        twin.norm.weight.copy_(t(ours.norm.weight.numpy()))
+        twin.norm.bias.copy_(t(ours.norm.bias.numpy()))
+        twin.head.weight.copy_(t(ours.head.weight.numpy().T))
+        twin.head.bias.copy_(t(ours.head.bias.numpy().ravel()))
+        for tb, ob in zip(twin.blocks, ours.blocks._modules.values()):
+            tb.norm1.weight.copy_(t(ob.norm1.weight.numpy()))
+            tb.norm1.bias.copy_(t(ob.norm1.bias.numpy()))
+            tb.norm2.weight.copy_(t(ob.norm2.weight.numpy()))
+            tb.norm2.bias.copy_(t(ob.norm2.bias.numpy()))
+            tb.attn.in_proj_weight.copy_(torch.cat([
+                t(ob.attn.q_proj.weight.numpy().T),
+                t(ob.attn.k_proj.weight.numpy().T),
+                t(ob.attn.v_proj.weight.numpy().T),
+            ], 0))
+            tb.attn.in_proj_bias.copy_(torch.cat([
+                t(ob.attn.q_proj.bias.numpy().ravel()),
+                t(ob.attn.k_proj.bias.numpy().ravel()),
+                t(ob.attn.v_proj.bias.numpy().ravel()),
+            ]))
+            tb.attn.out_proj.weight.copy_(t(ob.attn.out_proj.weight.numpy().T))
+            tb.attn.out_proj.bias.copy_(t(ob.attn.out_proj.bias.numpy().ravel()))
+            mods = list(ob.mlp._modules.values())
+            tb.mlp[0].weight.copy_(t(mods[0].weight.numpy().T))
+            tb.mlp[0].bias.copy_(t(mods[0].bias.numpy().ravel()))
+            tb.mlp[2].weight.copy_(t(mods[2].weight.numpy().T))
+            tb.mlp[2].bias.copy_(t(mods[2].bias.numpy().ravel()))
+
+    opt = optim.Adam(ours.parameters(), lr=1e-3)
+    step = CompiledTrainStep(ours, opt, nn.CrossEntropyLoss())
+    topt = torch.optim.Adam(twin.parameters(), lr=1e-3)
+    tce = torch.nn.CrossEntropyLoss()
+
+    r = np.random.default_rng(0)
+    ours_losses, twin_losses = [], []
+    for _ in range(10):
+        x = r.integers(0, V, (16, L)).astype(np.int32)
+        y = r.integers(0, V, (16, L)).astype(np.int32)
+        ours_losses.append(float(step(x, y)))
+        topt.zero_grad()
+        logits = twin(torch.tensor(x, dtype=torch.long))
+        tl = tce(logits.reshape(-1, V), torch.tensor(y.reshape(-1), dtype=torch.long))
+        tl.backward()
+        topt.step()
+        twin_losses.append(float(tl.detach()))
+    np.testing.assert_allclose(ours_losses, twin_losses, rtol=2e-3)
