@@ -400,12 +400,16 @@ class CompiledEvalStep:
             set_grad_enabled(saved_grad_flag)
 
     def __call__(self, x):
-        # gather under the trace lock (see CompiledTrainStep.__call__): a
-        # concurrent thread's trace binds tracers into the shared params
-        with _TRACE_LOCK:
-            param_arrays = [p.data.array for p in self._params]
-            buffer_arrays = [b.data.array for b in self._buffers]
         # keep on-device inputs on device (np.asarray would force D2H)
         if not hasattr(x, "dtype"):
             x = np.asarray(x)
-        return self._jitted(param_arrays, buffer_arrays, x)
+        # gather AND dispatch under the trace lock (see
+        # CompiledTrainStep.__call__): a concurrent CompiledTrainStep with
+        # donate=True deletes the gathered arrays inside its own locked
+        # window — dispatching outside the lock would then read donated
+        # (dead) buffers.  Dispatch is async, so this does not serialize
+        # device execution.
+        with _TRACE_LOCK:
+            param_arrays = [p.data.array for p in self._params]
+            buffer_arrays = [b.data.array for b in self._buffers]
+            return self._jitted(param_arrays, buffer_arrays, x)

@@ -233,18 +233,25 @@ def binary_cross_entropy(
     return _reduce(loss, reduction)
 
 
-def _maybe_one_hot(target: Tensor, input: Tensor) -> Tensor:
+def _maybe_one_hot(target: Tensor, input: Tensor, dim: int = 1) -> Tensor:
     """Accept integer class-index targets by one-hotting them on device (the
-    reference required pre-one-hot float targets)."""
+    reference required pre-one-hot float targets).  The class axis of the
+    one-hot is placed at ``dim`` to match the logits layout (torch-layout
+    ``(B, C, H, W)`` targets ``(B, H, W)`` included)."""
     if not isinstance(target, Tensor):
         target = Tensor(target, device=input.device)
     if target.ndim == input.ndim and target.shape == input.shape:
         return target
     with no_grad():
-        num_classes = input.shape[1] if input.ndim > 1 else input.shape[-1]
+        num_classes = input.shape[dim] if input.ndim > 1 else input.shape[-1]
         oh = input.device.mod.one_hot(
             target.data.array, num_classes, dtype=input.dtype
         )
+        if input.ndim > 1 and dim != input.ndim - 1:
+            # one_hot appends the class axis LAST; move it to ``dim``
+            perm = list(range(input.ndim - 1))
+            perm.insert(dim, input.ndim - 1)
+            oh = oh.transpose(perm)
         return Tensor(BackendTensor._wrap(oh, input.device))
 
 
@@ -287,9 +294,15 @@ def cross_entropy(
     shape); ``reduction='none'`` then returns the per-token ``(B, L)``
     loss.  The flatten applies only when ``dim`` is unset or names the
     LAST axis — an explicit ``dim=1`` on >2-D input keeps the reference's
-    torch-layout semantics untouched."""
+    torch-layout semantics untouched.  With ``dim=None`` the auto-flatten
+    is limited to ndim==3 (the LM shape): a >3-D torch-layout input with
+    coinciding dims (e.g. ``(B, 32, 32, 32)`` segmentation logits with 32
+    classes) would otherwise silently softmax over the LAST axis instead
+    of the class axis — rank >3 class-last inputs must opt in with an
+    explicit ``dim=-1`` (ADVICE r2)."""
     seq_shape = None
-    if input.ndim > 2 and dim in (None, -1, input.ndim - 1):
+    auto_ok = input.ndim == 3 if dim is None else dim in (-1, input.ndim - 1)
+    if input.ndim > 2 and auto_ok:
         t_shape = (
             tuple(target.shape)
             if isinstance(target, Tensor)
@@ -316,7 +329,8 @@ def cross_entropy(
     if seq_shape is not None and reduction == "none":
         flat = cross_entropy(input, target, "none", dim)
         return flat.reshape(seq_shape)
-    target = _maybe_one_hot(target, input)
+    dim = dim % input.ndim if input.ndim else 0
+    target = _maybe_one_hot(target, input, dim)
     if (
         input.ndim == 2
         and dim == 1
@@ -329,7 +343,14 @@ def cross_entropy(
     log_sum_exp = tensor.log(tensor.sum(tensor.exp(shifted), dim, True))
     nll = -(shifted - log_sum_exp) * target
     if reduction == "mean":
-        return tensor.sum(nll) * (1.0 / input.shape[0])
+        # divide by the number of POSITIONS (all non-class axes): for 2-D
+        # this is the batch size (reference `functional.py:113`); for
+        # torch-layout rank>2 it matches torch's per-position mean
+        n = 1
+        for a, d in enumerate(input.shape):
+            if a != dim:
+                n *= d
+        return tensor.sum(nll) * (1.0 / n)
     if reduction == "sum":
         return tensor.sum(nll)
     if reduction == "none":

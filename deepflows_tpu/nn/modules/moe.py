@@ -80,8 +80,15 @@ class MoE(Module):
         self.experts_b2 = Parameter(
             tensor.zeros((n_experts, 1, dim), device=dev)
         )
-        init.kaiming_uniform_(self.experts_w1, a=math.sqrt(5))
-        init.kaiming_uniform_(self.experts_w2, a=math.sqrt(5))
+        # kaiming-uniform(a=sqrt(5)) with the PER-EXPERT 2-D fan: calling
+        # kaiming_uniform_ on the (E, D, H) stack would treat dims>2 as a
+        # conv receptive field (fan_in = D*H) and shrink the bound by
+        # sqrt(H) vs the per-expert Linear equivalent (ADVICE r2).  For
+        # a=sqrt(5), bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in).
+        init.uniform_(self.experts_w1, -1.0 / math.sqrt(dim), 1.0 / math.sqrt(dim))
+        init.uniform_(
+            self.experts_w2, -1.0 / math.sqrt(hidden), 1.0 / math.sqrt(hidden)
+        )
 
     def forward(self, x):
         # x: (B, L, D) or (N, D)

@@ -538,7 +538,10 @@ class PipelinedTrainStep:
         stages: BN running stats, no EMA update)."""
         from ..jit import _TRACE_LOCK
 
+        # gather AND dispatch under the lock: a concurrent donate=True train
+        # step deletes the gathered arrays inside its own locked window
+        # (dispatch is async, so device execution is not serialized)
         with _TRACE_LOCK:
             pa = [p.data.array for p in self._params]
             ba = [b.data.array for b in self._buffers]
-        return self._eval_jitted(pa, ba, x)
+            return self._eval_jitted(pa, ba, x)

@@ -114,7 +114,37 @@ def load_checkpoint(
             if attr in opt_state and hasattr(optimizer, attr):
                 setattr(optimizer, attr, opt_state[attr])
         full = opt_state.get("full_state")
-        if full is not None:
+        if full is None and "v" in opt_state and "s" in opt_state:
+            # REFERENCE-layout checkpoint (no full_state): Adam v/s as lists
+            # ordered like optimizer.params, t starting at 1
+            # (`/root/reference/DeepFlows/utils/model_utils.py:140-173`; the
+            # committed artifacts under `/root/reference/test/checkpoints-*`
+            # have exactly this shape)
+            vs, ss = opt_state["v"], opt_state["s"]
+            if strict and (
+                len(vs) != len(optimizer.params) or len(ss) != len(optimizer.params)
+            ):
+                raise ValueError(
+                    f"checkpoint Adam state holds {len(vs)} slots for "
+                    f"{len(optimizer.params)} optimizer params"
+                )
+
+            def _slot(x, p):
+                arr = np.asarray(x, dtype=np.float32)
+                if strict and tuple(arr.shape) != tuple(p.shape):
+                    raise ValueError(
+                        f"Adam state shape {arr.shape} != param shape {p.shape}"
+                    )
+                return p.device.device_put(arr)
+
+            optimizer._state = {
+                "v": [_slot(x, p) for x, p in zip(vs, optimizer.params)],
+                "s": [_slot(x, p) for x, p in zip(ss, optimizer.params)],
+                # our t is 0-based pre-increment; reference persists t
+                # starting at 1 (`model_utils.py:70`)
+                "t": np.asarray(int(opt_state.get("t", 1)) - 1, dtype=np.int32),
+            }
+        elif full is not None:
             def _to_dev(v, slots):
                 if v is None:
                     return None

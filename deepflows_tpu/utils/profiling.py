@@ -101,21 +101,24 @@ def step_report(step, *example_args) -> dict:
 
     from ..jit import _TRACE_LOCK
 
+    # gather AND lower under the lock: a concurrent donate=True train step
+    # deletes the gathered arrays inside its own locked window; lowering
+    # re-enters the RLock from this thread, which is fine
     with _TRACE_LOCK:  # a concurrent trace binds tracers into the params
         param_arrays = [p.data.array for p in step._params]
         buffer_arrays = [b.data.array for b in step._buffers]
-    if hasattr(step, "optimizer"):  # train step
-        args = (
-            param_arrays,
-            buffer_arrays,
-            step.optimizer._state,
-            np.float32(step.optimizer.lr),
-            np.int32(0),
-            *example_args,
-        )
-    else:  # eval step
-        args = (param_arrays, buffer_arrays, *example_args)
-    lowered = step._jitted.lower(*args)
+        if hasattr(step, "optimizer"):  # train step
+            args = (
+                param_arrays,
+                buffer_arrays,
+                step.optimizer._state,
+                np.float32(step.optimizer.lr),
+                np.int32(0),
+                *example_args,
+            )
+        else:  # eval step
+            args = (param_arrays, buffer_arrays, *example_args)
+        lowered = step._jitted.lower(*args)
     ca = None
     for stage in (lambda: lowered.cost_analysis(),
                   lambda: lowered.compile().cost_analysis()):

@@ -1,0 +1,139 @@
+"""Interop with the reference's COMMITTED trained checkpoints — the only
+real trained-weight artifacts available in this zero-egress image
+(`/root/reference/test/checkpoints-*`, produced by the reference's own CUDA
+training runs; layout per `/root/reference/DeepFlows/utils/model_utils.py:37-82`).
+
+These tests prove checkpoint-layout parity against the reference's real
+files, not just against our own round-trips (VERDICT r2 item 2):
+every parameter restores by name/shape/value, Adam v/s/t resumes, a forward
+pass runs, and training continues from the restored state.
+
+Documented reference gap (SURVEY §5): BatchNorm running stats are NOT in the
+pickle (the reference's save iterates only named_parameters), so after a load
+the BN buffers sit at their init defaults — identical behavior to the
+reference loading its own artifact.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, models, nn, optim
+from deepflows_tpu.utils.model_utils import load_checkpoint
+
+try:
+    import dill as pickle
+except ImportError:  # pragma: no cover
+    import pickle
+
+REF = "/root/reference/test"
+CKPT = os.path.join(
+    REF, "checkpoints-cifar10cuda_70%", "cifar10_cnn_cuda_checkpoint.pkl"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint artifacts not present"
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def _raw():
+    with open(CKPT, "rb") as f:
+        return pickle.load(f)
+
+
+def test_reference_cifar10_checkpoint_restores_every_parameter():
+    raw = _raw()
+    df.manual_seed(0)
+    model = models.CIFAR10_CNN(device="cpu")
+    # name/shape agreement is exact in both directions (14 entries)
+    model_names = {n: tuple(p.shape) for n, p in model.named_parameters()}
+    ckpt_names = {n: tuple(np.asarray(a).shape) for n, a in raw["model_parameters"].items()}
+    assert model_names == ckpt_names
+    opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
+    info = load_checkpoint(model, opt, CKPT, strict=True)
+    assert info["epoch"] == raw["epoch"] == 9
+    np.testing.assert_allclose(info["loss"], raw["loss"])
+    # every restored value is bit-identical to the pickle
+    for name, p in model.named_parameters():
+        np.testing.assert_array_equal(p.numpy(), np.asarray(raw["model_parameters"][name]))
+
+
+def test_reference_cifar10_checkpoint_resumes_adam_state():
+    raw = _raw()
+    df.manual_seed(0)
+    model = models.CIFAR10_CNN(device="cpu")
+    opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
+    load_checkpoint(model, opt, CKPT, strict=True)
+    # hyperparams adopted from the artifact (the cosine-annealed final lr)
+    np.testing.assert_allclose(opt.lr, raw["optimizer_state"]["lr"])
+    np.testing.assert_allclose(opt.weight_decay, raw["optimizer_state"]["weight_decay"])
+    # v/s moment tensors restored per param slot, t resumed (reference t is
+    # 1-based; our internal counter is pre-increment 0-based)
+    assert opt.t == raw["optimizer_state"]["t"] == 8603
+    for i in range(len(opt.params)):
+        np.testing.assert_array_equal(
+            np.asarray(opt.v[i]), np.asarray(raw["optimizer_state"]["v"][i])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(opt.s[i]), np.asarray(raw["optimizer_state"]["s"][i])
+        )
+
+
+def test_reference_cifar10_checkpoint_forward_and_continue_training():
+    """The restored model runs a forward pass and a COMPILED training step
+    continues from the restored Adam state (finite loss, t advances)."""
+    df.manual_seed(0)
+    model = models.CIFAR10_CNN(device="tpu")
+    opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
+    load_checkpoint(model, opt, CKPT, strict=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    model.eval()
+    with df.no_grad():
+        logits = model(Tensor(x, device="tpu"))
+    assert logits.shape == (8, 10)
+    assert np.isfinite(logits.numpy()).all()
+    # restored weights are a trained net: logits far from uniform-random
+    # scale would be a conversion bug; just assert non-degenerate spread
+    assert logits.numpy().std() > 1e-3
+    model.train()
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    step = CompiledTrainStep(model, opt, nn.CrossEntropyLoss())
+    y = rng.integers(0, 10, 8).astype(np.int32)
+    t_before = opt.t
+    loss = float(step(x, y))
+    assert np.isfinite(loss)
+    assert opt.t == t_before + 1  # Adam step counter continued, not reset
+
+
+def test_reference_checkpoint_strict_rejects_mismatched_model():
+    """strict=True refuses a model whose parameter set doesn't match."""
+    df.manual_seed(0)
+    model = models.MNIST_CNN(device="cpu")  # different architecture
+    with pytest.raises((KeyError, ValueError)):
+        load_checkpoint(model, None, CKPT, strict=True)
+
+
+def test_reference_info_files_match_baseline_accuracies():
+    """The committed .pkl.info training histories carry the BASELINE.md
+    accuracy bars (69.14 / max 45.45 / 82.52)."""
+    def info(reldir, name):
+        with open(os.path.join(REF, reldir, name), "rb") as f:
+            return pickle.load(f)
+
+    cifar = info("checkpoints-cifar10cuda_70%", "cifar10_cnn_cuda_checkpoint.pkl.info")
+    np.testing.assert_allclose(cifar["test_accuracies"][-1], 69.14)
+    animal = info("checkpoints-animal10cuda_45%", "animal_cnn_cuda_checkpoint.pkl.info")
+    np.testing.assert_allclose(max(animal["test_accuracies"]), 45.45, atol=0.01)
+    dishes = info("checkpoints-dishescuda_82%", "dishes_cnn_cuda_checkpoint.pkl.info")
+    np.testing.assert_allclose(dishes["test_accuracies"][-1], 82.52, atol=0.01)

@@ -423,3 +423,98 @@ def test_prefetcher_never_started_iterator_does_not_leak_thread():
         t.name == "deepflows-prefetch" and t.is_alive()
         for t in threading.enumerate()
     )
+
+
+# ---------------------------------------------------------------- round-3
+# regression tests for the round-2 ADVICE findings
+
+
+def test_eval_dispatch_survives_concurrent_donating_train_step():
+    """ADVICE r2 (medium): CompiledEvalStep gathered param arrays under the
+    trace lock but DISPATCHED outside it — a concurrent donate=True train
+    step could donate (delete) those exact arrays between gather and
+    dispatch, raising 'Array has been deleted'.  Hammer eval and train on
+    the same model from two threads; any eval raising is a fail."""
+    import threading
+
+    from deepflows_tpu import optim
+    from deepflows_tpu.jit import CompiledEvalStep, CompiledTrainStep
+
+    df.manual_seed(0)
+    model = nn.Sequential(
+        nn.Linear(8, 32, device="tpu"), nn.ReLU(), nn.Linear(32, 4, device="tpu")
+    )
+    opt = optim.Adam(model.parameters(), lr=1e-3)
+    train = CompiledTrainStep(model, opt, nn.CrossEntropyLoss(), donate=True)
+    ev = CompiledEvalStep(model)
+    x = RNG.standard_normal((16, 8)).astype(np.float32)
+    y = RNG.integers(0, 4, 16).astype(np.int32)
+    # warm both compiles before the race
+    float(train(x, y))
+    np.asarray(ev(x))
+    errors = []
+
+    def hammer_train():
+        try:
+            for _ in range(40):
+                train(x, y)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    def hammer_eval():
+        try:
+            for _ in range(40):
+                np.asarray(ev(x))  # force materialization of the result
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    ts = [threading.Thread(target=hammer_train), threading.Thread(target=hammer_eval)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+
+
+def test_moe_expert_init_matches_per_expert_linear_fan():
+    """ADVICE r2 (low): kaiming_uniform_ on the stacked (E, D, H) expert
+    weights used fan_in = D*H (conv receptive-field rule), shrinking the
+    init bound by sqrt(H).  The per-expert bound must match a Linear(D, H):
+    1/sqrt(D)."""
+    df.manual_seed(0)
+    D, H, E = 64, 256, 4
+    moe = nn.MoE(D, H, E, device="cpu")
+    w1 = moe.experts_w1.numpy()
+    w2 = moe.experts_w2.numpy()
+    # uniform(-b, b) has std b/sqrt(3); sample std over E*D*H = 65k draws
+    # estimates b tightly.  Correct b1 = 1/sqrt(D), buggy was 1/sqrt(D*H).
+    b1 = w1.std() * np.sqrt(3)
+    b2 = w2.std() * np.sqrt(3)
+    np.testing.assert_allclose(b1, 1.0 / np.sqrt(D), rtol=0.05)
+    np.testing.assert_allclose(b2, 1.0 / np.sqrt(H), rtol=0.05)
+    assert abs(w1).max() <= 1.0 / np.sqrt(D) + 1e-6
+
+
+def test_cross_entropy_4d_torch_layout_not_auto_flattened():
+    """ADVICE r2 (low): dim=None on a (B, C, H, W) input whose target shape
+    coincides with input.shape[:-1] must NOT silently softmax over the last
+    axis — rank >3 keeps torch-layout dim=1 semantics unless the caller
+    passes dim=-1 explicitly."""
+    B, C = 2, 5
+    logits = RNG.standard_normal((B, C, C, C)).astype(np.float32)
+    target = RNG.integers(0, C, (B, C, C)).astype(np.int64)
+    got = nn.functional.cross_entropy(
+        Tensor(logits), Tensor(target.astype(np.float32))
+    )
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(target)
+    )
+    np.testing.assert_allclose(float(got.numpy()), float(want), rtol=1e-5)
+    # the class-LAST semantics stay reachable via explicit dim=-1
+    got_last = nn.functional.cross_entropy(
+        Tensor(logits), Tensor(target.astype(np.float32)), dim=-1
+    )
+    want_last = torch.nn.functional.cross_entropy(
+        torch.tensor(logits).reshape(-1, C), torch.tensor(target).reshape(-1)
+    )
+    np.testing.assert_allclose(float(got_last.numpy()), float(want_last), rtol=1e-5)
