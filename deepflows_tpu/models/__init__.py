@@ -38,3 +38,4 @@ __all__ = [
     "VGG",
     "VGG16",
 ]
+from .decoding import KVCacheDecoder

@@ -25,6 +25,7 @@ class TransformerLM(nn.Module):
         dropout: float = 0.0,
         device=None,
         remat: bool = False,
+        flash=None,
     ):
         super().__init__()
         dev = Device(device) if device else default_accelerator()
@@ -36,7 +37,7 @@ class TransformerLM(nn.Module):
             *[
                 EncoderBlock(
                     dim, num_heads, mlp_ratio, dropout, device=device,
-                    remat=remat, causal=True,
+                    remat=remat, causal=True, flash=flash,
                 )
                 for _ in range(depth)
             ]

@@ -24,12 +24,13 @@ class EncoderBlock(nn.Module):
 
     def __init__(
         self, dim, num_heads, mlp_ratio=4.0, dropout=0.0, device=None,
-        remat=False, causal=False,
+        remat=False, causal=False, flash=None,
     ):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, device=device)
         self.attn = nn.MultiheadAttention(
-            dim, num_heads, dropout=dropout, causal=causal, device=device
+            dim, num_heads, dropout=dropout, causal=causal, device=device,
+            flash=flash,
         )
         self.norm2 = nn.LayerNorm(dim, device=device)
         hidden = int(dim * mlp_ratio)
@@ -71,6 +72,7 @@ class VisionTransformer(nn.Module):
         dropout=0.0,
         device=None,
         remat=False,
+        flash=None,
     ):
         super().__init__()
         if image_size % patch_size:
@@ -88,7 +90,7 @@ class VisionTransformer(nn.Module):
             *[
                 EncoderBlock(
                     dim, num_heads, mlp_ratio, dropout, device=device,
-                    remat=remat,
+                    remat=remat, flash=flash,
                 )
                 for _ in range(depth)
             ]
@@ -109,10 +111,10 @@ class VisionTransformer(nn.Module):
 
 def ViT_Tiny(
     image_size=32, patch_size=4, num_classes=10, device=None, dropout=0.0,
-    remat=False,
+    remat=False, flash=None,
 ):
     return VisionTransformer(
         image_size, patch_size, 3, num_classes,
         dim=192, depth=6, num_heads=3, device=device, dropout=dropout,
-        remat=remat,
+        remat=remat, flash=flash,
     )

@@ -34,9 +34,19 @@ class MultiheadAttention(Module):
         bias: bool = True,
         causal: bool = False,
         device=None,
+        flash=None,
     ) -> None:
         """``causal=True`` applies the autoregressive mask (position i may
-        attend to j <= i) — the decoder/LM attention variant."""
+        attend to j <= i) — the decoder/LM attention variant.
+
+        ``flash`` selects the Pallas flash-attention fast path
+        (`ops/pallas_kernels.flash_attention`: online-softmax tiling, scores
+        never hit HBM, recompute backward): ``True``/``False`` force it,
+        ``None`` (default) auto-enables on a real TPU backend only (in the
+        CPU interpret mode the kernel is emulated per grid step — correct
+        but slow, so tests opt in explicitly).  The naive path is used
+        whenever ``need_weights`` or live attention dropout require the
+        materialized softmax."""
         super().__init__()
         if embed_dim % num_heads:
             raise ValueError(
@@ -51,7 +61,22 @@ class MultiheadAttention(Module):
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
         self.causal = causal
+        self.flash = flash
+        self._flash_fn = None
         self._mask_cache = {}  # (L, Lk, dtype) -> const mask Tensor
+
+    def _use_flash(self, need_weights: bool) -> bool:
+        if need_weights:
+            return False  # flash never materializes the weights
+        if self.attn_drop is not None and self.training:
+            return False  # attention dropout needs the materialized softmax
+        if not getattr(self.q_proj.weight.device, "is_jax", False):
+            return False
+        if self.flash is None:
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return bool(self.flash)
 
     def forward(self, query, key=None, value=None, need_weights: bool = False):
         key = query if key is None else key
@@ -67,6 +92,21 @@ class MultiheadAttention(Module):
         q = split(self.q_proj(query), L)
         k = split(self.k_proj(key), Lk)
         v = split(self.v_proj(value), Lk)
+        if self._use_flash(need_weights):
+            if self._flash_fn is None:
+                from ...ops.pallas_kernels import flash_attention
+                from ..jax_bridge import jax_function
+
+                causal = self.causal
+
+                def _flash(qa, ka, va):
+                    # positional args only: custom_vjp rejects kwargs
+                    return flash_attention(qa, ka, va, causal)
+
+                self._flash_fn = jax_function(_flash)
+            out = self._flash_fn(q, k, v)  # (B, H, L, D)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+            return self.out_proj(out)
         scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / math.sqrt(D))
         if self.causal:
             scores = scores + self._causal_mask(L, Lk, scores)

