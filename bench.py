@@ -163,6 +163,9 @@ def main() -> None:
                 remat=remat,
             )
         if model_name == "transformer_lm":
+            # BENCH_FLASH: 1 forces the Pallas flash-attention path, 0 the
+            # naive materialized-softmax path, unset = auto (flash on TPU)
+            flash = {"1": True, "0": False}.get(os.environ.get("BENCH_FLASH"))
             return models.TransformerLM(
                 vocab_size=vocab,
                 max_len=seq_len,
@@ -171,6 +174,7 @@ def main() -> None:
                 num_heads=int(os.environ.get("BENCH_LM_HEADS", "8")),
                 device="tpu",
                 remat=remat,
+                flash=flash,
             )
         if model_name == "vit_tiny":
             return models.ViT_Tiny(

@@ -13,6 +13,31 @@ from ..nn.parameter import Parameter
 from .vit import EncoderBlock
 
 
+class _LMPre(nn.Module):
+    """Pipeline pre-stage: token + position embedding, (B, L) -> (B, L, D)."""
+
+    def __init__(self, tok_embed, pos_embed):
+        super().__init__()
+        self.tok_embed = tok_embed
+        self.pos_embed = pos_embed
+
+    def forward(self, idx):
+        x = self.tok_embed(idx)
+        return x + self.pos_embed[:, : x.shape[1]]
+
+
+class _LMPost(nn.Module):
+    """Pipeline post-stage: final LayerNorm + LM head, (B, L, D) -> logits."""
+
+    def __init__(self, norm, head):
+        super().__init__()
+        self.norm = norm
+        self.head = head
+
+    def forward(self, x):
+        return self.head(self.norm(x))
+
+
 class TransformerLM(nn.Module):
     def __init__(
         self,
@@ -55,6 +80,22 @@ class TransformerLM(nn.Module):
         x = self.blocks(x)
         x = self.norm(x)
         return self.head(x)
+
+    def pipeline_partition(self):
+        """Split into ``(pre, blocks, post)`` for heterogeneous pipeline
+        parallelism (``PipelinedTrainStep(stack, ..., pre=, post=)``):
+        ``pre`` = token + position embedding, ``blocks`` = the homogeneous
+        shape-preserving EncoderBlock list (stackable over the ``pipe``
+        axis), ``post`` = final LayerNorm + LM head.  ``pre``/``post`` WRAP
+        this model's own submodules (shared Parameters); the PipelineStack
+        built from ``blocks`` copies the block weights into its stacked
+        Parameters, so after training, read weights from the step/stack, not
+        from this module."""
+        return (
+            _LMPre(self.tok_embed, self.pos_embed),
+            list(self.blocks),
+            _LMPost(self.norm, self.head),
+        )
 
     def generate(self, idx, new_tokens: int):
         """Greedy autoregressive decoding: append ``new_tokens`` tokens to

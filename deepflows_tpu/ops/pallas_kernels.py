@@ -344,6 +344,11 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
 # jax_function AD bridge (flash=True / auto on real TPU).
 
 _NEG_INF = -1e30
+# lane width of the row-scalar (lse/delta) arrays: Mosaic requires the last
+# block dim to equal the array dim or be a 128-multiple; 8 lanes keeps the
+# arrays 16x smaller than the official MIN_BLOCK_SIZE=128 layout while
+# satisfying "equal to the array dimension"
+_LSE_LANES = 8
 
 
 def _flash_fwd_kernel(
@@ -392,7 +397,12 @@ def _flash_fwd_kernel(
         m_fin = m_ref[:, 0:1]
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)  # padded q rows
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m_fin + jnp.log(l_safe))[:, 0]
+        # row scalar broadcast across the small lane dim (Mosaic requires
+        # the last block dim == array dim or a multiple of 128; a (1, bq)
+        # block over (BH, L) violates the sublane rule)
+        lse_ref[0] = jnp.broadcast_to(
+            m_fin + jnp.log(l_safe), lse_ref.shape[1:]
+        )
 
 
 def _flash_dq_kernel(
@@ -420,12 +430,12 @@ def _flash_dq_kernel(
             qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_or(mask, kpos > qpos)
         s = jnp.where(mask, _NEG_INF, s)
-        p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk); masked -> 0
+        p = jnp.exp(s - lse_ref[0][:, 0:1])  # (bq, bk); masked -> 0
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        ds = p * (dp - delta_ref[0][:, None]) * scale
+        ds = p * (dp - delta_ref[0][:, 0:1]) * scale
         dq_acc[:] += jax.lax.dot(
             ds.astype(k_ref.dtype), kb, preferred_element_type=jnp.float32
         )
@@ -452,29 +462,35 @@ def _flash_dkv_kernel(
 
     @pl.when(needed)
     def _():
+        # q-major score layout (bq, bk) as in the dq kernel — dk/dv then
+        # contract over the q dim (dim-0 contraction == transposed-lhs
+        # matmul, native on the MXU; avoids (bq,1)->(1,bq) relayouts of the
+        # lse/delta rows)
         q = q_ref[0]
         kb = k_ref[0]
-        sT = jax.lax.dot_general(
-            kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bk, bq)
-        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = kpos >= lk
         if causal:
-            qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1)
+            qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_or(mask, kpos > qpos)
-        sT = jnp.where(mask, _NEG_INF, sT)
-        pT = jnp.exp(sT - lse_ref[0][None, :])  # (bk, bq)
-        dv_acc[:] += jax.lax.dot(
-            pT.astype(do_ref.dtype), do_ref[0], preferred_element_type=jnp.float32
-        )
-        dpT = jax.lax.dot_general(
-            v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        s = jnp.where(mask, _NEG_INF, s)
+        p = jnp.exp(s - lse_ref[0][:, 0:1])  # (bq, bk)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bk, bq)
-        dsT = pT * (dpT - delta_ref[0][None, :]) * scale
-        dk_acc[:] += jax.lax.dot(
-            dsT.astype(q_ref.dtype), q, preferred_element_type=jnp.float32
-        )
+        )  # (bk, dp)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - delta_ref[0][:, 0:1]) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, dp)
 
     @pl.when(qi == nq - 1)
     def _():
@@ -502,6 +518,9 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
     nq, nk = lqp // bq, lkp // bk
     blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    blk_lse = pl.BlockSpec(
+        (1, bq, _LSE_LANES), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_fwd_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
@@ -509,13 +528,10 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
         ),
         grid=(bh, nq, nk),
         in_specs=[blk_q, blk_kv, blk_kv],
-        out_specs=(
-            blk_q,
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(blk_q, blk_lse),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
-            jax.ShapeDtypeStruct((bh, lqp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lqp, _LSE_LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, dp), jnp.float32),
@@ -529,7 +545,7 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
         ),
         interpret=_interpret(),
     )(qp, kp, vp)
-    return out[:, :lq, :d], lse
+    return out[:, :lq, :d], lse[:, :, 0]
 
 
 def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
@@ -549,11 +565,16 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )  # (bh, lq)
     delta = jnp.pad(delta, ((0, 0), (0, lqp - lq)))
+    # lane-broadcast rows into the kernels' (1, bq, _LSE_LANES) blocks
+    lse = jnp.broadcast_to(lse[:, :, None], (bh, lqp, _LSE_LANES))
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, lqp, _LSE_LANES))
     nq, nk = lqp // bq, lkp // bk
 
     blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
-    row_q = pl.BlockSpec((1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM)
+    row_q = pl.BlockSpec(
+        (1, bq, _LSE_LANES), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
     dq = pl.pallas_call(
         functools.partial(
             _flash_dq_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
@@ -570,7 +591,9 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     # kv-major grid: q blocks iterate fastest
     blk_q2 = pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM)
     blk_kv2 = pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM)
-    row_q2 = pl.BlockSpec((1, bq), lambda b, j, i: (b, i), memory_space=pltpu.VMEM)
+    row_q2 = pl.BlockSpec(
+        (1, bq, _LSE_LANES), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_dkv_kernel, scale=scale, nq=nq, bq=bq, bk=bk,

@@ -58,7 +58,7 @@ P = PartitionSpec
 # --------------------------------------------------------------------------
 # purification: tape-API callables -> array-level pure functions
 # --------------------------------------------------------------------------
-def purify_module(module: Module) -> Callable:
+def purify_module(module: Module, role: str = "pipeline stages") -> Callable:
     """Array-level pure forward ``fn(param_arrays, x_array) -> y_array`` for a
     tape Module (one shared trace-swapping core: `deepflows_tpu.purify`).
     Grad recording is off inside (the caller differentiates the jnp program
@@ -66,7 +66,7 @@ def purify_module(module: Module) -> Callable:
     params = [p for _, p in module.named_parameters()]
     if any(True for _ in module.named_buffers()):
         raise ValueError(
-            "pipeline stages must be buffer-free (BatchNorm running stats "
+            f"{role} must be buffer-free (BatchNorm running stats "
             "cannot be threaded through the pipeline scan); use GroupNorm-"
             "style normalisation or norm-free stages"
         )
@@ -329,9 +329,23 @@ class PipelinedTrainStep:
     ``jax.grad`` backward (reverse pipeline), optimizer ``pure_update`` on
     the stacked (pipe-sharded) parameters, donated buffers.
 
-    ``optimizer`` must hold exactly ``stack.parameters()``.  ``criterion``
-    is a tape-API loss (purified internally); ``metrics_fn`` is not
-    supported (use :meth:`eval_logits`).
+    ``optimizer`` must hold exactly ``pre.parameters() + stack.parameters()
+    + post.parameters()`` (pre/post optional).  ``criterion`` is a tape-API
+    loss (purified internally); ``metrics_fn`` is not supported (use
+    :meth:`eval_logits`).
+
+    **Heterogeneous first/last stages** (``pre=``/``post=``): real models are
+    embedding -> homogeneous blocks -> head, not pure block stacks.  ``pre``
+    maps the raw input (e.g. ``(B, L)`` int tokens) to the block activation
+    shape and ``post`` maps the final block activation to logits.  Both run
+    OUTSIDE the tick scan as ordinary SPMD programs (batch dim sharded over
+    ``data``, parameters replicated across ``pipe``) — mathematically
+    identical to GPipe's per-microbatch first/last ranks because both are
+    per-sample maps, while the FLOP-dominant block stack still pipelines.
+    Replicating the (small) embed/head weights over the pipe axis is the
+    idiomatic SPMD formulation (vmap-pipeline recipe); their gradients need
+    no extra collective because GSPMD reduces them where the replicated
+    params meet the data-sharded activations.  Both must be buffer-free.
     """
 
     def __init__(
@@ -342,6 +356,8 @@ class PipelinedTrainStep:
         mesh: Mesh,
         n_micro: int,
         *,
+        pre: Optional[Module] = None,
+        post: Optional[Module] = None,
         data_axis: str = "data",
         pipe_axis: str = "pipe",
         donate: bool = True,
@@ -376,10 +392,22 @@ class PipelinedTrainStep:
         self.pipe_axis = pipe_axis
         self.grad_transform = grad_transform
         self.compute_dtype = compute_dtype
-        self._params = [p for _, p in stack.named_parameters()]
+        self.pre = pre
+        self.post = post
+        pre_params = [p for _, p in pre.named_parameters()] if pre else []
+        post_params = [p for _, p in post.named_parameters()] if post else []
+        stack_params = [p for _, p in stack.named_parameters()]
+        self._n_pre = len(pre_params)
+        self._n_post = len(post_params)
+        self._params = pre_params + stack_params + post_params
         self._buffers = [b for _, b in stack.named_buffers()]
+        self._pre_fn = purify_module(pre, "pre stages") if pre else None
+        self._post_fn = purify_module(post, "post stages") if post else None
         if [id(p) for p in optimizer.params] != [id(p) for p in self._params]:
-            raise ValueError("optimizer must hold exactly stack.parameters()")
+            raise ValueError(
+                "optimizer must hold exactly pre.parameters() + "
+                "stack.parameters() + post.parameters()"
+            )
         optimizer._ensure_state()
         if self._buffers:
             self._stage_fn = stack.buffered_stage_fn(training=True)
@@ -393,8 +421,8 @@ class PipelinedTrainStep:
         rep = NamedSharding(mesh, P())
         if param_rules is not None:
             stage_names = stack._param_names
-            pspec = []
-            for name, p in zip(stage_names, self._params):
+            stack_pspec = []
+            for name, p in zip(stage_names, stack_params):
                 inner = tuple(param_rules(name, p.shape[1:]))
                 if len(inner) > len(p.shape) - 1:
                     raise ValueError(
@@ -404,12 +432,15 @@ class PipelinedTrainStep:
                         "added automatically)"
                     )
                 inner = inner + (None,) * (len(p.shape) - 1 - len(inner))
-                pspec.append(NamedSharding(mesh, P(pipe_axis, *inner)))
+                stack_pspec.append(NamedSharding(mesh, P(pipe_axis, *inner)))
         else:
-            pspec = [
+            stack_pspec = [
                 NamedSharding(mesh, P(pipe_axis, *([None] * (len(p.shape) - 1))))
-                for p in self._params
+                for p in stack_params
             ]
+        # pre/post (embedding/head) params replicate across the pipe axis —
+        # small weights, and GSPMD inserts the gradient reduction
+        pspec = [rep] * self._n_pre + stack_pspec + [rep] * self._n_post
         self._param_shardings = pspec
         bspec = [
             NamedSharding(mesh, P(pipe_axis, *([None] * (len(b.shape) - 1))))
@@ -449,7 +480,19 @@ class PipelinedTrainStep:
         )
 
     # ------------------------------------------------------------------
+    def _split(self, param_arrays):
+        n_pre, n_post = self._n_pre, self._n_post
+        stack_end = len(param_arrays) - n_post
+        return (
+            param_arrays[:n_pre],
+            param_arrays[n_pre:stack_end],
+            param_arrays[stack_end:],
+        )
+
     def _forward(self, param_arrays, buffer_arrays, x, stage_fn):
+        pre_arrays, stack_arrays, post_arrays = self._split(param_arrays)
+        if self._pre_fn is not None:
+            x = self._pre_fn(pre_arrays, x)
         M = self.n_micro
         B = x.shape[0]
         if B % M:
@@ -457,7 +500,7 @@ class PipelinedTrainStep:
         xm = x.reshape((M, B // M) + x.shape[1:])
         res = pipeline_apply(
             stage_fn,
-            param_arrays,
+            stack_arrays,
             xm,
             stacked_buffers=buffer_arrays if self._buffers else None,
             mesh=self.mesh,
@@ -465,7 +508,10 @@ class PipelinedTrainStep:
             data_axis=self.data_axis,
         )
         outs, new_bufs = res if self._buffers else (res, [])
-        return outs.reshape((B,) + outs.shape[2:]), new_bufs
+        outs = outs.reshape((B,) + outs.shape[2:])
+        if self._post_fn is not None:
+            outs = self._post_fn(post_arrays, outs)
+        return outs, new_bufs
 
     def _pure_step(self, param_arrays, buffer_arrays, opt_state, lr, x, y):
         import jax.numpy as jnp

@@ -464,3 +464,154 @@ def test_3d_parallelism_dp_pp_tp():
                 np.asarray(ref_params[s * n_per + j]),
                 rtol=1e-5, atol=1e-6,
             )
+
+
+# --------------------------------------------------------------------------
+# heterogeneous first/last stages (pre=/post=): real models pipeline
+# --------------------------------------------------------------------------
+def test_hetero_pre_post_matches_single_device():
+    """pre (8->16) -> 4 pipelined blocks -> post (16->4) equals the same
+    modules trained as one Sequential on one device."""
+    df.manual_seed(3)
+    def make_all():
+        df.manual_seed(3)
+        pre = nn.Linear(8, 16, device="tpu")
+        blocks = make_stages(4)  # reseeds with seed=0 internally
+        post = nn.Linear(16, 4, device="tpu")
+        return pre, blocks, post
+
+    pre_r, blocks_r, post_r = make_all()
+    ref_model = nn.Sequential(pre_r, *blocks_r, post_r)
+    ref_opt = optim.SGD(ref_model.parameters(), lr=0.1, momentum=0.9)
+    ref_step = CompiledTrainStep(ref_model, ref_opt, nn.MSELoss())
+
+    pre, blocks, post = make_all()
+    stack = PipelineStack(blocks)
+    params = (
+        list(pre.parameters()) + list(stack.parameters())
+        + list(post.parameters())
+    )
+    opt = optim.SGD(params, lr=0.1, momentum=0.9)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(
+        stack, opt, nn.MSELoss(), mesh, n_micro=4, pre=pre, post=post
+    )
+
+    r = np.random.default_rng(7)
+    for i in range(3):
+        x = r.standard_normal((16, 8)).astype(np.float32)
+        y = r.standard_normal((16, 4)).astype(np.float32)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-5 * max(1.0, abs(ref_loss)), (
+            i, ref_loss, pp_loss,
+        )
+
+    # pre/post params trained identically to the single-device run
+    np.testing.assert_allclose(
+        np.asarray(list(pre.parameters())[0].data.array),
+        np.asarray(list(pre_r.parameters())[0].data.array),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(list(post.parameters())[0].data.array),
+        np.asarray(list(post_r.parameters())[0].data.array),
+        rtol=1e-5, atol=1e-6,
+    )
+    # eval path includes pre/post
+    x = r.standard_normal((16, 8)).astype(np.float32)
+    logits = np.asarray(step.eval_logits(jnp.asarray(x)))
+    ref_eval = CompiledEvalStep(ref_model)
+    np.testing.assert_allclose(
+        logits, np.asarray(ref_eval(x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pipelined_transformer_lm_matches_single_device():
+    """A REAL zoo model end-to-end over dp x pp: TransformerLM split into
+    embedding pre-stage, pipelined EncoderBlocks, LayerNorm+head post-stage
+    — loss trajectory equals the single-device compiled step."""
+    from deepflows_tpu import models
+
+    V, L, D = 16, 8, 32
+
+    def make_lm():
+        df.manual_seed(11)
+        return models.TransformerLM(
+            vocab_size=V, max_len=L, dim=D, depth=4, num_heads=4,
+            device="tpu", flash=False,
+        )
+
+    ref_lm = make_lm()
+    ref_opt = optim.Adam(ref_lm.parameters(), lr=1e-3)
+    ref_step = CompiledTrainStep(ref_lm, ref_opt, nn.CrossEntropyLoss())
+
+    lm = make_lm()
+    pre, blocks, post = lm.pipeline_partition()
+    stack = PipelineStack(blocks)
+    params = (
+        list(pre.parameters()) + list(stack.parameters())
+        + list(post.parameters())
+    )
+    opt = optim.Adam(params, lr=1e-3)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = PipelinedTrainStep(
+        stack, opt, nn.CrossEntropyLoss(), mesh, n_micro=4,
+        pre=pre, post=post,
+    )
+
+    r = np.random.default_rng(5)
+    for i in range(3):
+        x = r.integers(0, V, size=(16, L)).astype(np.int32)
+        y = r.integers(0, V, size=(16, L)).astype(np.int32)
+        ref_loss = float(ref_step(x, y))
+        pp_loss = float(step(x, y))
+        assert abs(ref_loss - pp_loss) < 1e-4 * max(1.0, abs(ref_loss)), (
+            i, ref_loss, pp_loss,
+        )
+
+    # embedding gradients flowed: pre params moved from init
+    init_lm = make_lm()
+    pre_named = dict(pre.named_parameters())
+    init_named = dict(init_lm.tok_embed.named_parameters())
+    tok_w = next(v for k, v in pre_named.items() if "tok_embed" in k)
+    init_w = next(iter(init_named.values()))
+    moved = np.abs(
+        np.asarray(tok_w.data.array) - np.asarray(init_w.data.array)
+    ).max()
+    assert moved > 1e-5
+
+
+def test_hetero_optimizer_order_enforced():
+    pre, blocks, post = (
+        nn.Linear(8, 16, device="tpu"),
+        make_stages(4),
+        nn.Linear(16, 4, device="tpu"),
+    )
+    stack = PipelineStack(blocks)
+    # wrong order: stack params first
+    params = (
+        list(stack.parameters()) + list(pre.parameters())
+        + list(post.parameters())
+    )
+    opt = optim.SGD(params, lr=0.1)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    with pytest.raises(ValueError, match="pre.parameters"):
+        PipelinedTrainStep(
+            stack, opt, nn.MSELoss(), mesh, n_micro=4, pre=pre, post=post
+        )
+
+
+def test_hetero_buffered_pre_rejected():
+    pre = nn.Sequential(
+        nn.Linear(8, 16, device="tpu"), nn.BatchNorm1d(16, device="tpu")
+    )
+    blocks = make_stages(4)
+    stack = PipelineStack(blocks)
+    params = list(pre.parameters()) + list(stack.parameters())
+    opt = optim.SGD(params, lr=0.1)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    with pytest.raises(ValueError, match="buffer-free"):
+        PipelinedTrainStep(
+            stack, opt, nn.MSELoss(), mesh, n_micro=4, pre=pre
+        )
