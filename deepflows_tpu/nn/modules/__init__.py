@@ -20,7 +20,7 @@ from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
 from .module import Module
 from .attention import MultiheadAttention
 from .embedding import Embedding
-from .moe import MoE
+from .moe import MoE, MoECriterion
 from .normalization import GroupNorm, LayerNorm
 from .remat import Remat, remat_call
 from .pool import (
@@ -68,4 +68,5 @@ __all__ = [
     "Embedding",
     "MultiheadAttention",
     "MoE",
+    "MoECriterion",
 ]

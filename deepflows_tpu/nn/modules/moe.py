@@ -66,6 +66,13 @@ class MoE(Module):
         self.top_k = top_k
         self.capacity_factor = float(capacity_factor)
         self._sparse_fn = None
+        # per-forward aux losses/telemetry (see _record_aux); same-trace
+        # reads only — never cache these across traces (they are tracers
+        # inside a jit trace, CLAUDE.md omnistaging rule)
+        self.last_aux_loss = None
+        self.last_z_loss = None
+        self.last_expert_fraction = None
+        self.last_dropped_fraction = None
         dev = Device(device) if device else default_accelerator()
         self.router = Linear(dim, n_experts, device=device)
         self.experts_w1 = Parameter(
@@ -101,7 +108,10 @@ class MoE(Module):
         else:
             B, L, D = x.shape
             N = B * L
-        gates = F.softmax(self.router(x), x.ndim - 1)  # (..., E)
+        logits = self.router(x)  # (..., E)
+        self._record_aux(logits, x.ndim - 1)
+        self.last_dropped_fraction = None  # dense/top-k compute drops nothing
+        gates = F.softmax(logits, x.ndim - 1)  # (..., E)
         if self.top_k and self.top_k < self.n_experts:
             gates = self._topk_renorm(gates, x.ndim - 1)
         xf = x.reshape(1, N, D)
@@ -119,36 +129,76 @@ class MoE(Module):
         return out.reshape(B, D) if squeeze else out.reshape(B, L, D)
 
     def _topk_renorm(self, gates, axis):
-        """Mask gates to the per-token top-k and renormalise.  Built from
-        iterative max + comparison masks (comparisons are no-grad consts in
-        the tape, so the selection is autodiff-constant, as it should be);
-        exact float ties — measure-zero for a softmax of a linear router —
-        may select an extra expert."""
+        """Mask gates to the per-token top-k and renormalise.  The selection
+        is ONE ``lax.top_k`` on the gate array (no-grad const in the tape —
+        the mask is autodiff-constant, as it should be: gradients flow
+        through the surviving gate values only); exact float ties at the
+        k-th value — measure-zero for a softmax of a linear router — may
+        select an extra expert."""
+        import jax
+
         from ...backend import BackendTensor
         from ...tensor import Tensor
 
-        remaining = gates
-        mask = None
-        for _ in range(self.top_k):
-            m = remaining.max(axis, True)
-            # const (no-grad) 0/1 mask built at the array level so its dtype
-            # MATCHES the gates (bf16 purity: a python-scalar cast would
-            # promote the whole downstream combine to f32)
-            sel_arr = (remaining.data.array == m.data.array).astype(
-                gates.data.array.dtype
-            )
-            sel = Tensor(BackendTensor._wrap(sel_arr, gates.device))
-            mask = sel if mask is None else mask + sel - mask * sel
-            remaining = remaining * (1.0 - sel) - sel  # knock out selected
+        arr = gates.data.array
+        kth = jax.lax.top_k(arr, self.top_k)[0][..., -1:]  # (..., 1)
+        # const 0/1 mask built at the array level so its dtype MATCHES the
+        # gates (bf16 purity: a python-scalar cast would promote the whole
+        # downstream combine to f32)
+        sel_arr = (arr >= kth).astype(arr.dtype)
+        mask = Tensor(BackendTensor._wrap(sel_arr, gates.device))
         kept = gates * mask
         return kept / kept.sum(axis, True)
 
-    def _sparse_forward(self, x):
-        if self._sparse_fn is None:
-            import math
+    def _record_aux(self, logits, axis):
+        """Switch-style auxiliary losses + routing telemetry, recorded on
+        the module for the SAME tape/trace (read them through
+        :class:`MoECriterion` inside the step that ran this forward; they
+        are overwritten every forward and must not be cached across traces).
 
+        - ``last_aux_loss`` = ``E * sum_e(f_e * P_e)``: f_e the (no-grad)
+          fraction of tokens whose argmax expert is e, P_e the mean router
+          probability — the load-balancing loss of the Switch recipe
+          (minimised at uniform routing, value 1.0).
+        - ``last_z_loss`` = ``mean(logsumexp(logits)^2)`` (router z-loss,
+          ST-MoE): keeps router logits small, stabilising bf16 training.
+        - ``last_expert_fraction`` (const, (E,)): f_e for telemetry.
+        """
+        import jax.numpy as jnp
+
+        from ...backend import BackendTensor
+        from ...tensor import Tensor
+
+        E = self.n_experts
+        arr = logits.data.array
+        flat = arr.reshape(-1, E)
+        am = jnp.argmax(flat, -1)
+        f = jnp.mean(
+            (am[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32), 0
+        )  # (E,)
+        f_t = Tensor(BackendTensor._wrap(f.astype(arr.dtype), logits.device))
+        probs = F.softmax(logits, axis).reshape(-1, E)
+        P = probs.mean(0)  # (E,) — tape; grads flow into the router
+        self.last_aux_loss = (f_t * P).sum() * float(E)
+        m = logits.max(axis, True)
+        lse = tensor.log(tensor.exp(logits - m).sum(axis, True)) + m
+        self.last_z_loss = (lse * lse).mean()
+        self.last_expert_fraction = Tensor(
+            BackendTensor._wrap(f, logits.device)
+        )
+
+    def _sparse_forward(self, x):
+        import math
+
+        import jax.numpy as jnp
+
+        from ...backend import BackendTensor
+        from ...tensor import Tensor
+
+        logits = self.router(x)  # tape — aux/z grads flow into the router
+        self._record_aux(logits, x.ndim - 1)
+        if self._sparse_fn is None:
             import jax
-            import jax.numpy as jnp
 
             from ..jax_bridge import jax_function
 
@@ -156,13 +206,13 @@ class MoE(Module):
             cf = self.capacity_factor
             act = self.activation
 
-            def fn(xa, rw, rb, w1, b1, w2, b2):
+            def fn(xa, la, w1, b1, w2, b2):
                 shape = xa.shape
                 D = shape[-1]
                 xf = xa.reshape(-1, D)
                 N = xf.shape[0]
                 C = max(1, int(math.ceil(N / E * cf)))
-                gates = jax.nn.softmax(xf @ rw + rb.reshape(-1), -1)  # (N,E)
+                gates = jax.nn.softmax(la.reshape(N, -1), -1)  # (N,E)
                 e_t = jnp.argmax(gates, -1)  # (N,) — routing is autodiff-const
                 g_t = jnp.take_along_axis(gates, e_t[:, None], -1)[:, 0]
                 # routing bookkeeping in f32 regardless of activation dtype:
@@ -183,10 +233,24 @@ class MoE(Module):
                 return y.reshape(shape)
 
             self._sparse_fn = jax_function(fn)
+        # dropped-token fraction (no-grad telemetry): replay the capacity
+        # bookkeeping at the array level; XLA dead-code-shares the cheap
+        # O(N*E) elementwise part, the expert einsums stay inside the bridge
+        arr = logits.data.array
+        E = self.n_experts
+        flat = arr.reshape(-1, E)
+        N = flat.shape[0]
+        C = max(1, int(math.ceil(N / E * self.capacity_factor)))
+        am = jnp.argmax(flat, -1)
+        onehot = (am[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
+        pos = (jnp.cumsum(onehot, 0) - 1.0) * onehot
+        keep = jnp.where(pos < C, onehot, 0.0)
+        self.last_dropped_fraction = Tensor(
+            BackendTensor._wrap(1.0 - keep.sum() / N, logits.device)
+        )
         return self._sparse_fn(
             x,
-            self.router.weight,
-            self.router.bias,
+            logits,
             self.experts_w1,
             self.experts_b1,
             self.experts_w2,
@@ -204,3 +268,42 @@ class MoE(Module):
             f"dim={self.dim}, hidden={self.hidden}, "
             f"n_experts={self.n_experts}, gating={gate}"
         )
+
+
+class MoECriterion(Module):
+    """Criterion wrapper that adds every MoE submodule's Switch auxiliary
+    load-balancing loss (weight ``aux_weight``, Switch paper default 1e-2)
+    and ST-MoE router z-loss (``z_weight``, paper default 1e-3) to the base
+    task loss.
+
+    The aux terms are recorded by each ``MoE.forward`` on the SAME tape the
+    criterion runs on (``jit.CompiledTrainStep`` traces forward + criterion
+    into one program), so gradients flow into the router.  Without the
+    load-balancing term, top-1 routing collapses onto a few experts — the
+    aux loss is the load-bearing ingredient of the Switch recipe
+    (A/B-tested in tests/test_moe_training.py)."""
+
+    def __init__(self, base, model: Module, aux_weight: float = 1e-2,
+                 z_weight: float = 1e-3):
+        super().__init__()
+        self.base = base
+        moes = [m for m in model.modules() if isinstance(m, MoE)]
+        if not moes:
+            raise ValueError("model has no MoE submodules")
+        object.__setattr__(self, "_moes", moes)
+        self.aux_weight = float(aux_weight)
+        self.z_weight = float(z_weight)
+
+    @property
+    def reduction(self):
+        # grad-accum microbatch combine keys off the base loss's reduction
+        return getattr(self.base, "reduction", "mean")
+
+    def forward(self, input, target):
+        loss = self.base(input, target)
+        for m in self._moes:
+            if self.aux_weight and m.last_aux_loss is not None:
+                loss = loss + m.last_aux_loss * self.aux_weight
+            if self.z_weight and m.last_z_loss is not None:
+                loss = loss + m.last_z_loss * self.z_weight
+        return loss
