@@ -51,6 +51,7 @@ class TransformerLM(nn.Module):
         device=None,
         remat: bool = False,
         flash=None,
+        ring=None,
     ):
         super().__init__()
         dev = Device(device) if device else default_accelerator()
@@ -62,7 +63,7 @@ class TransformerLM(nn.Module):
             *[
                 EncoderBlock(
                     dim, num_heads, mlp_ratio, dropout, device=device,
-                    remat=remat, causal=True, flash=flash,
+                    remat=remat, causal=True, flash=flash, ring=ring,
                 )
                 for _ in range(depth)
             ]

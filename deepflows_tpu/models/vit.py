@@ -24,13 +24,13 @@ class EncoderBlock(nn.Module):
 
     def __init__(
         self, dim, num_heads, mlp_ratio=4.0, dropout=0.0, device=None,
-        remat=False, causal=False, flash=None,
+        remat=False, causal=False, flash=None, ring=None,
     ):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, device=device)
         self.attn = nn.MultiheadAttention(
             dim, num_heads, dropout=dropout, causal=causal, device=device,
-            flash=flash,
+            flash=flash, ring=ring,
         )
         self.norm2 = nn.LayerNorm(dim, device=device)
         hidden = int(dim * mlp_ratio)

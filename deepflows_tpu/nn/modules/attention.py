@@ -35,6 +35,7 @@ class MultiheadAttention(Module):
         causal: bool = False,
         device=None,
         flash=None,
+        ring=None,
     ) -> None:
         """``causal=True`` applies the autoregressive mask (position i may
         attend to j <= i) — the decoder/LM attention variant.
@@ -46,7 +47,16 @@ class MultiheadAttention(Module):
         CPU interpret mode the kernel is emulated per grid step — correct
         but slow, so tests opt in explicitly).  The naive path is used
         whenever ``need_weights`` or live attention dropout require the
-        materialized softmax."""
+        materialized softmax.
+
+        ``ring=(mesh, seq_axis)`` (or ``(mesh, seq_axis, batch_axis)``)
+        selects ring attention (`parallel.ring.ring_attention`): Q/K/V stay
+        sharded on the sequence dim over the mesh axis and K/V chunks rotate
+        via ``ppermute`` — true sequence parallelism (the sequence never
+        gathers; pair with ``parallel.sequence_sharding`` constraints so the
+        surrounding pointwise layers keep the same layout).  Self-attention
+        only; takes precedence over ``flash``; falls back to the naive path
+        for ``need_weights``/live attention dropout like flash does."""
         super().__init__()
         if embed_dim % num_heads:
             raise ValueError(
@@ -62,8 +72,19 @@ class MultiheadAttention(Module):
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
         self.causal = causal
         self.flash = flash
+        self.ring = tuple(ring) if ring is not None else None
         self._flash_fn = None
+        self._ring_fn = None
         self._mask_cache = {}  # (L, Lk, dtype) -> const mask Tensor
+
+    def _use_ring(self, need_weights: bool, is_self: bool) -> bool:
+        if self.ring is None or not is_self:
+            return False
+        if need_weights:
+            return False
+        if self.attn_drop is not None and self.training:
+            return False
+        return getattr(self.q_proj.weight.device, "is_jax", False)
 
     def _use_flash(self, need_weights: bool) -> bool:
         if need_weights:
@@ -79,6 +100,7 @@ class MultiheadAttention(Module):
         return bool(self.flash)
 
     def forward(self, query, key=None, value=None, need_weights: bool = False):
+        is_self = key is None and value is None
         key = query if key is None else key
         value = key if value is None else value
         B, L, E = query.shape
@@ -92,6 +114,25 @@ class MultiheadAttention(Module):
         q = split(self.q_proj(query), L)
         k = split(self.k_proj(key), Lk)
         v = split(self.v_proj(value), Lk)
+        if self._use_ring(need_weights, is_self):
+            if self._ring_fn is None:
+                from ...parallel.ring import ring_attention
+                from ..jax_bridge import jax_function
+
+                mesh, seq_axis = self.ring[0], self.ring[1]
+                batch_axis = self.ring[2] if len(self.ring) > 2 else "data"
+                causal = self.causal
+
+                def _ring(qa, ka, va):
+                    return ring_attention(
+                        qa, ka, va, mesh, seq_axis, causal=causal,
+                        batch_axis=batch_axis,
+                    )
+
+                self._ring_fn = jax_function(_ring)
+            out = self._ring_fn(q, k, v)  # (B, H, L, D)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+            return self.out_proj(out)
         if self._use_flash(need_weights):
             if self._flash_fn is None:
                 from ...ops.pallas_kernels import flash_attention

@@ -511,7 +511,11 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
     bk = min(block_k, _round_up(lk, 8))
-    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 128)
+    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 8)
+    # D is NOT padded to 128: the block covers the full (8-aligned) head dim,
+    # which Mosaic allows ("equal to the array dimension") — padding 64->128
+    # doubled every q/k/v/o DMA for the common head_dim=64 (measured 2x
+    # throughput loss at seq 128)
     qp = _flash_pad(q, lqp, dp)
     kp = _flash_pad(k, lkp, dp)
     vp = _flash_pad(v, lkp, dp)
@@ -553,7 +557,11 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
     bk = min(block_k, _round_up(lk, 8))
-    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 128)
+    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 8)
+    # D is NOT padded to 128: the block covers the full (8-aligned) head dim,
+    # which Mosaic allows ("equal to the array dimension") — padding 64->128
+    # doubled every q/k/v/o DMA for the common head_dim=64 (measured 2x
+    # throughput loss at seq 128)
     qp = _flash_pad(q, lqp, dp)
     kp = _flash_pad(k, lkp, dp)
     vp = _flash_pad(v, lkp, dp)

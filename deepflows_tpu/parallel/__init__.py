@@ -3,6 +3,7 @@ reference has no distributed code — SURVEY §2.3)."""
 
 from .mesh import auto_mesh, batch_sharding, make_mesh, replicated
 from .pipeline import PipelinedTrainStep, PipelineStack, pipeline_apply
+from .ring import ring_attention
 from .sequence import ShardConstraint, sequence_sharding
 from .sharded import (
     ShardedEvalStep,
@@ -23,6 +24,7 @@ __all__ = [
     "PipelinedTrainStep",
     "pipeline_apply",
     "ShardConstraint",
+    "ring_attention",
     "sequence_sharding",
     "expert_parallel_rules",
 ]
