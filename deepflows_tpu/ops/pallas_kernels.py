@@ -505,12 +505,19 @@ def _flash_pad(x, lp, dp):
     return jnp.pad(x, ((0, 0), (0, lp - l), (0, dp - d)))
 
 
+def _flash_blocks(lq, lk, block_q, block_k):
+    """Auto block sizes: bigger blocks = fewer (sequential) grid steps and
+    bigger MXU ops; 512 keeps the f32 score block at 1 MiB of VMEM."""
+    bq = min(block_q or 512, _round_up(lq, 8))
+    bk = min(block_k or 512, _round_up(lk, 8))
+    return bq, bk
+
+
 def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
     """q,k,v: (BH, L, D) -> (out (BH, L, D), lse (BH, Lqp) f32)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
-    bq = min(block_q, _round_up(lq, 8))
-    bk = min(block_k, _round_up(lk, 8))
+    bq, bk = _flash_blocks(lq, lk, block_q, block_k)
     lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 8)
     # D is NOT padded to 128: the block covers the full (8-aligned) head dim,
     # which Mosaic allows ("equal to the array dimension") — padding 64->128
@@ -555,8 +562,7 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
 def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     bh, lq, d = q.shape
     lk = k.shape[1]
-    bq = min(block_q, _round_up(lq, 8))
-    bk = min(block_k, _round_up(lk, 8))
+    bq, bk = _flash_blocks(lq, lk, block_q, block_k)
     lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 8)
     # D is NOT padded to 128: the block covers the full (8-aligned) head dim,
     # which Mosaic allows ("equal to the array dimension") — padding 64->128
@@ -629,7 +635,7 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
-    q, k, v, causal=False, sm_scale=None, block_q=128, block_k=128
+    q, k, v, causal=False, sm_scale=None, block_q=None, block_k=None
 ):
     """Tiled online-softmax attention: softmax(QK^T * scale [+ causal]) @ V.
 

@@ -41,6 +41,8 @@ class PredictService:
     def __init__(self, model):
         from ..onnx import OnnxModel
 
+        self._model = model
+        self._decoder = None
         if isinstance(model, OnnxModel):
             self._step = model
         else:
@@ -56,6 +58,30 @@ class PredictService:
             outs.append(_to_matrix(y))
         resp = serving_pb2.PredictResp()
         resp.matrix.extend(outs)
+        return resp
+
+    def generate(self, request, context=None):
+        """Autoregressive generation over the same Matrix wire types:
+        matrix[0] = (B, L) prompt token ids, matrix[1] = [new_tokens].
+        Returns matrix[0] = (B, L+new_tokens) tokens.  Served by the
+        KV-cache decoder (`models.KVCacheDecoder`): one prefill + one
+        fori_loop decode program, ONE host readback per call — not a full
+        forward per token."""
+        from ..models.decoding import KVCacheDecoder
+        from ..models.transformer_lm import TransformerLM
+
+        if not isinstance(self._model, TransformerLM):
+            raise ValueError(
+                "Generate is only served for TransformerLM models; "
+                f"got {type(self._model).__name__}"
+            )
+        if self._decoder is None:
+            self._decoder = KVCacheDecoder(self._model)
+        prompt = _from_matrix(request.matrix[0]).astype(np.int32)
+        new_tokens = int(_from_matrix(request.matrix[1]).ravel()[0])
+        tokens = self._decoder.generate(prompt, new_tokens)
+        resp = serving_pb2.PredictResp()
+        resp.matrix.extend([_to_matrix(tokens.astype(np.float32))])
         return resp
 
 
@@ -117,7 +143,14 @@ class MyDLPWServicer:
                     self._service.predict,
                     request_deserializer=serving_pb2.PredictReq.FromString,
                     response_serializer=serving_pb2.PredictResp.SerializeToString,
-                )
+                ),
+                # superset of the reference protocol: KV-cache decoding for
+                # served LMs (same Matrix wire types)
+                "Generate": grpc.unary_unary_rpc_method_handler(
+                    self._service.generate,
+                    request_deserializer=serving_pb2.PredictReq.FromString,
+                    response_serializer=serving_pb2.PredictResp.SerializeToString,
+                ),
             },
         )
         self._server.add_generic_rpc_handlers((handler,))
@@ -145,12 +178,30 @@ class PredictClient:
             request_serializer=serving_pb2.PredictReq.SerializeToString,
             response_deserializer=serving_pb2.PredictResp.FromString,
         )
+        self._generate_call = self._channel.unary_unary(
+            f"/{_SERVICE}/Generate",
+            request_serializer=serving_pb2.PredictReq.SerializeToString,
+            response_deserializer=serving_pb2.PredictResp.FromString,
+        )
 
     def predict(self, *arrays: np.ndarray):
         req = serving_pb2.PredictReq()
         req.matrix.extend(_to_matrix(a) for a in arrays)
         resp = self._call(req)
         return [_from_matrix(m) for m in resp.matrix]
+
+    def generate(self, prompt: np.ndarray, new_tokens: int) -> np.ndarray:
+        """Server-side KV-cache greedy decoding: (B, L) int prompt ->
+        (B, L+new_tokens) int tokens."""
+        req = serving_pb2.PredictReq()
+        req.matrix.extend(
+            [
+                _to_matrix(np.asarray(prompt, np.float32)),
+                _to_matrix(np.asarray([new_tokens], np.float32)),
+            ]
+        )
+        resp = self._generate_call(req)
+        return _from_matrix(resp.matrix[0]).astype(np.int64)
 
     def close(self):
         self._channel.close()

@@ -111,3 +111,40 @@ def test_serve_exported_lm_from_disk(tmp_path):
         client.close()
     finally:
         server.stop()
+
+
+def test_grpc_generate_kv_cache_decoding():
+    """Generate RPC: server-side KV-cache greedy decoding equals the LM's
+    own generate(); Predict on a non-LM raises a clean error for Generate."""
+    from deepflows_tpu import models
+
+    df.manual_seed(7)
+    lm = models.TransformerLM(
+        vocab_size=16, max_len=16, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    server = MyDLPWServicer("localhost:50917", model=lm)
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50917")
+        prompt = np.array([[1, 3, 5], [2, 4, 6]], np.int64)
+        out = client.generate(prompt, 5)
+        want = lm.generate(prompt, 5)
+        np.testing.assert_array_equal(out, want)
+        client.close()
+    finally:
+        server.stop()
+
+
+def test_grpc_generate_rejects_non_lm():
+    df.manual_seed(0)
+    model = nn.Sequential(nn.Linear(8, 3, device="tpu"))
+    server = MyDLPWServicer("localhost:50919", model=model)
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50919")
+        with pytest.raises(grpc.RpcError):
+            client.generate(np.array([[1, 2]], np.int64), 3)
+        client.close()
+    finally:
+        server.stop()
