@@ -59,7 +59,8 @@ def get_mnist(limit: int | None = None, flat: bool = False):
     return x_train, y_train, x_test, y_test
 
 
-def get_cifar10(data_dir: str | None = None, limit: int | None = None):
+def get_cifar10(data_dir: str | None = None, limit: int | None = None,
+                hard: bool = False):
     """CIFAR-10 from local python batches (``data_batch_*``/``test_batch``,
     the layout `test/CNN_CIFAR10_cuda.py:16-44` reads); synthetic separable
     fallback otherwise.  Per-channel standardization like the reference
@@ -77,6 +78,11 @@ def get_cifar10(data_dir: str | None = None, limit: int | None = None):
             d = pickle.load(f, encoding="bytes")
         x_test = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
         y_test = np.asarray(d[b"labels"], dtype=np.int32)
+    elif hard:
+        x_train, y_train = _synthetic_images_hard(
+            8000 if not limit else limit, 10
+        )
+        x_test, y_test = _synthetic_images_hard(1000, 10, seed=1)
     else:
         x_train, y_train = _synthetic_images(5000 if not limit else limit, 10)
         x_test, y_test = _synthetic_images(1000, 10, seed=1)
@@ -85,6 +91,42 @@ def get_cifar10(data_dir: str | None = None, limit: int | None = None):
     mean = x_train.mean(axis=(0, 2, 3), keepdims=True)
     std = x_train.std(axis=(0, 2, 3), keepdims=True) + 1e-7
     return (x_train - mean) / std, y_train, (x_test - mean) / std, y_test
+
+
+def _synthetic_images_hard(n, num_classes, size=32, seed=0,
+                           label_noise=0.15, mix_lo=0.35, mix_hi=0.65):
+    """NON-memorizable stand-in for trajectory parity (r2 VERDICT weak-2:
+    the separable task hit 100% train acc at epoch 0 and losses ~1e-5 from
+    epoch 1, so 9 of 10 'trajectory' epochs compared noise).  Two levers
+    keep the loss in a CIFAR-like band for the whole run:
+
+    - every sample is an AMBIGUOUS mixture of its class pattern and a random
+      other class's pattern with weight in [mix_lo, mix_hi] — the Bayes
+      boundary is genuinely soft;
+    - ``label_noise`` of the labels are resampled uniformly — an
+      irreducible CE floor no amount of fitting can remove without
+      memorising 3072-dim noise, which the small-capacity recipes cannot
+      do in 10-50 epochs.
+    """
+    rng = np.random.default_rng(seed)
+    y_true = rng.integers(0, num_classes, n).astype(np.int32)
+    xs = np.linspace(0, np.pi * 2, size, dtype=np.float32)
+    base = np.stack(
+        [
+            np.abs(np.sin((k + 1) * xs))[None, :]
+            * np.abs(np.cos((k + 1) * xs))[:, None]
+            for k in range(num_classes)
+        ]
+    )  # (C,H,W) — flip-invariant like the separable task
+    other = (y_true + rng.integers(1, num_classes, n)) % num_classes
+    w = rng.uniform(mix_lo, mix_hi, n).astype(np.float32)[:, None, None]
+    pat = w * base[y_true] + (1.0 - w) * base[other]
+    x = pat[:, None, :, :].repeat(3, axis=1)
+    x = x + rng.standard_normal((n, 3, size, size)).astype(np.float32) * 0.7
+    y = y_true.copy()
+    flip = rng.random(n) < label_noise
+    y[flip] = rng.integers(0, num_classes, int(flip.sum())).astype(np.int32)
+    return x.astype(np.float32), y
 
 
 def _synthetic_images(n, num_classes, size=32, seed=0):

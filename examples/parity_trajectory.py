@@ -12,10 +12,18 @@ then compares per-epoch train loss, test accuracy and LR:
   bs 16, 15 epochs, 32x32, random h-flip
   (reference `test/ResNet.py:208-213,237-238`)
 
-``--exact`` zeroes dropout in BOTH frameworks (the only op whose RNG stream
-cannot be shared across frameworks) so trajectories must agree to <1%; the
-full recipe (dropout on, independent masks) is reported alongside.  ResNet18
+``--exact`` zeroes dropout in BOTH frameworks; the full recipe (default
+dropout ON) is ALSO exactly comparable: the torch twin's
+``SharedMaskDropout`` replays the framework's on-device dropout stream
+bit-for-bit (same threefry keys: ``fold_in(key(seed+1), step_idx)`` then
+``fold_in(, site)``), so both modes assert the same 1%/1pp criteria —
+no "dropout streams differ" escape hatch (r2 VERDICT item 5).  ResNet18
 has no dropout, so its exact mode IS the full recipe.
+
+Offline, the stand-in is the HARD synthetic task (ambiguous class mixtures
++ 15% label noise, ``common._synthetic_images_hard``): losses stay in a
+CIFAR-like band for the whole run instead of memorising to ~1e-5 by epoch 1,
+so every epoch row compares a real training regime.
 
 Comparison protocol — **per-epoch re-sync** (default): at the start of every
 epoch, torch's parameters, BN running stats and optimizer state (Adam m/v/t,
@@ -38,7 +46,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+if os.environ.get("DF_FORCE_CPU"):
+    # must run before any jax backend init (the site config pins
+    # jax_platforms=axon,cpu; the env var alone is ignored — CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import torch
@@ -55,6 +71,47 @@ from torch_twins import (
     TorchResNet18,
     load_from_deepflows,
 )
+
+class _StepCtx:
+    """Shared mutable step counter: the torch twin replays OUR compiled
+    step's PRNG stream, so it must know which step_idx each batch ran as."""
+
+    step = 0
+
+
+class SharedMaskDropout(tnn.Module):
+    """Inverted dropout whose mask REPLAYS deepflows_tpu's on-device stream
+    bit-for-bit: the compiled step installs trace key
+    ``fold_in(jax.random.key(seed+1), step_idx)`` (jit.py:147,170) and each
+    dropout site draws ``bernoulli(fold_in(trace_key, site), keep)``
+    (random.py next_key, functional.dropout).  JAX's threefry is
+    backend-invariant, so generating the same keys host-side gives the
+    exact masks the framework used on device — the full recipe (dropout ON)
+    becomes exactly comparable (r2 VERDICT weak-2's escape hatch removed)."""
+
+    def __init__(self, p: float, site: int, seed: int, ctx=_StepCtx):
+        super().__init__()
+        self.p = float(p)
+        self.site = site
+        self.seed = seed
+        self.ctx = ctx
+
+    def forward(self, x):
+        if not self.training or self.p == 0.0:
+            return x
+        import jax
+        import jax.numpy as jnp
+
+        keep = 1.0 - self.p
+        key = jax.random.fold_in(
+            jax.random.key(self.seed + 1), np.int32(self.ctx.step)
+        )
+        key = jax.random.fold_in(key, self.site)
+        mask = jax.random.bernoulli(key, keep, tuple(x.shape)).astype(
+            jnp.float32
+        ) / jnp.float32(keep)
+        return x * torch.from_numpy(np.array(mask))
+
 
 RECIPES = {
     "cifar10_cnn": dict(epochs=10, batch_size=64),
@@ -108,7 +165,7 @@ def build_ours(model_name, exact):
     return model, opt
 
 
-def build_torch(model_name, df_model, exact):
+def build_torch(model_name, df_model, exact, seed=0):
     if model_name == "resnet18":
         twin = TorchResNet18(num_classes=10, small_input=True)
         topt = torch.optim.SGD(
@@ -119,11 +176,22 @@ def build_torch(model_name, df_model, exact):
         if exact:
             twin.classifier[0].p = 0.0
             twin.classifier[3].p = 0.0
+        else:
+            # full recipe: replay OUR device dropout stream (sites numbered
+            # in forward order — the trace counter increments per call)
+            twin.classifier[0] = SharedMaskDropout(
+                twin.classifier[0].p, site=0, seed=seed
+            )
+            twin.classifier[3] = SharedMaskDropout(
+                twin.classifier[3].p, site=1, seed=seed
+            )
         topt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=1e-4)
     else:
         twin = TorchCIFAR10CNN()
         if exact:
             twin.drop.p = 0.0
+        else:
+            twin.drop = SharedMaskDropout(twin.drop.p, site=0, seed=seed)
         topt = torch.optim.Adam(twin.parameters(), lr=5e-3, weight_decay=5e-4)
     load_from_deepflows(twin, df_model)
     return twin, topt
@@ -216,6 +284,10 @@ def run_ab(model, opt, twin, topt, lrs, data, plan, resync=True, eval_bs=256):
         for group in topt.param_groups:
             group["lr"] = lr
 
+        # the torch twin's SharedMaskDropout replays our PRNG stream by
+        # step index: record which step_idx each of this epoch's batches
+        # will run as (CompiledTrainStep uses _call_count, 0-based)
+        epoch_step0 = step._call_count
         t0 = time.time()
         losses = [float(step(xb, yb)) for xb, yb in batches(x_tr, y_tr, epoch_plan)]
         ours_secs = time.time() - t0
@@ -227,7 +299,8 @@ def run_ab(model, opt, twin, topt, lrs, data, plan, resync=True, eval_bs=256):
         t0 = time.time()
         twin.train()
         tlosses = []
-        for xb, yb in batches(x_tr, y_tr, epoch_plan):
+        for bi, (xb, yb) in enumerate(batches(x_tr, y_tr, epoch_plan)):
+            _StepCtx.step = epoch_step0 + bi
             out = twin(torch.tensor(xb))
             loss = crit(out, torch.tensor(yb, dtype=torch.long))
             topt.zero_grad()
@@ -242,7 +315,7 @@ def run_ab(model, opt, twin, topt, lrs, data, plan, resync=True, eval_bs=256):
     return rows_ours, rows_torch
 
 
-def compare(model_name, ours, theirs, exact, loss_tol=0.01, acc_tol=1.0):
+def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0):
     """Per-epoch table + divergence check.  Returns (table_str, ok).
 
     The hard assert is on (a) test accuracy per epoch and (b) the
@@ -283,12 +356,15 @@ def compare(model_name, ours, theirs, exact, loss_tol=0.01, acc_tol=1.0):
             f"| {dacc:.2f} | {a['lr']:.6f} |"
         )
     ok = worst_probe_gap < loss_tol and worst_acc_gap < acc_tol
+    # the full recipe is exactly comparable too now (SharedMaskDropout
+    # replays our device dropout stream in the twin): PASS/FAIL always —
+    # the r2 "reported (dropout streams differ)" escape hatch is gone
     lines.append(
         f"\nworst post-resync probe gap: {100*worst_probe_gap:.3f}% "
         f"(tol {100*loss_tol:.0f}%), worst Δacc (epochs 1+): "
         f"{worst_acc_gap:.2f}pp (tol {acc_tol:.1f}pp), worst epoch-mean "
         f"loss gap: {100*worst_loss_gap:.2f}% (reported) → "
-        f"{'PASS' if ok else ('FAIL' if exact else 'reported (dropout streams differ)')}"
+        f"{'PASS' if ok else 'FAIL'}"
     )
     return "\n".join(lines), ok
 
@@ -301,7 +377,10 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
         cfg["epochs"] = epochs
     df.manual_seed(seed)
     torch.manual_seed(seed)
-    x_tr, y_tr, x_te, y_te = get_cifar10(data_dir, limit=limit)
+    # offline stand-in is the HARD variant (ambiguous mixtures + 15% label
+    # noise): losses stay in a CIFAR-like band the whole run instead of
+    # memorising to ~1e-5 by epoch 1 (r2 VERDICT weak-2)
+    x_tr, y_tr, x_te, y_te = get_cifar10(data_dir, limit=limit, hard=True)
     real = data_dir is not None
     print(
         f"model={model_name} exact={exact} resync={resync} "
@@ -312,13 +391,12 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
     lrs = lr_schedule(model_name, cfg["epochs"])
 
     model, opt = build_ours(model_name, exact)
-    twin, topt = build_torch(model_name, model, exact)
+    twin, topt = build_torch(model_name, model, exact, seed=seed)
 
     ours, theirs = run_ab(
         model, opt, twin, topt, lrs, (x_tr, y_tr, x_te, y_te), plan, resync=resync
     )
-    table, ok = compare(model_name, ours, theirs, exact and resync,
-                        loss_tol, acc_tol)
+    table, ok = compare(model_name, ours, theirs, resync, loss_tol, acc_tol)
     print(table)
     if write:
         with open(write, "w") as f:
@@ -332,8 +410,9 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
                 f"```json\n{json.dumps({'ours': ours, 'torch': theirs})}\n```\n"
             )
         print(f"wrote {write}")
-    if exact and resync:
-        assert ok, "trajectory divergence exceeded tolerance in exact mode"
+    if resync:
+        # full recipe asserts too: SharedMaskDropout makes dropout exact
+        assert ok, "trajectory divergence exceeded tolerance"
     return ours, theirs, ok
 
 
