@@ -52,3 +52,22 @@ def test_cifar10_cnn_trajectory_parity():
 @pytest.mark.slow
 def test_resnet18_trajectory_parity():
     _run("resnet18", limit=256, epochs=2)
+
+
+@pytest.mark.slow
+def test_cifar10_cnn_full_recipe_shared_masks_parity():
+    """FULL recipe (dropout ON): the torch twin replays the framework's
+    on-device dropout stream bit-for-bit (SharedMaskDropout), so even the
+    dropout path asserts the 1%/1pp criteria — no escape hatch."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    code = _BOOTSTRAP.replace("exact=True", "exact=False").format(
+        examples=os.path.join(ROOT, "examples"), model="cifar10_cnn",
+        limit=512, epochs=3,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=540, env=env, cwd=os.path.join(ROOT, "examples"),
+    )
+    assert proc.returncode == 0, f"full-recipe A/B failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "PARITY_OK" in proc.stdout
