@@ -315,15 +315,20 @@ def run_ab(model, opt, twin, topt, lrs, data, plan, resync=True, eval_bs=256):
     return rows_ours, rows_torch
 
 
-def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0):
+def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0,
+            mean_tol=0.01):
     """Per-epoch table + divergence check.  Returns (table_str, ok).
 
-    The hard assert is on (a) test accuracy per epoch and (b) the
-    *post-resync probe*: the first two batch losses of each epoch, where
-    float drift has not yet amplified.  Epoch-mean losses are tabled with
-    their gap; early epochs at random init are a chaotic transient where a
-    last-bit difference legitimately moves the epoch mean by several percent
-    (the probe proves the math is identical; the mean shows the trajectory).
+    Three hard asserts per epoch: (a) the *post-resync probe* (first two
+    batch losses, before float drift amplifies — proves the math is
+    identical), (b) the EPOCH-MEAN train loss gap < ``mean_tol`` (epochs 1+;
+    meaningful now that the hard stand-in keeps losses in a real training
+    band), and (c) test accuracy within ``acc_tol``.  On the synthetic
+    stand-in the caller sets ``acc_tol=2.5``pp: the task's Bayes boundary is
+    genuinely ambiguous, so test accuracy sits near 40% where the binomial
+    noise scale at n=1000 is ~1.5pp — two runs of PROVABLY identical math
+    (probe gap 0.000%) still differ by ~2pp after an epoch of float drift;
+    real CIFAR-10 runs keep the 1.0pp bar.
     """
     hdr = (
         f"| epoch | ours loss | torch loss | gap% | probe gap% | ours acc "
@@ -338,9 +343,9 @@ def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0):
             for pa, pb in zip(a["probe"], b["probe"])
         )
         dacc = abs(a["acc"] - b["acc"])
-        worst_loss_gap = max(worst_loss_gap, gap)
         worst_probe_gap = max(worst_probe_gap, probe_gap)
         if e > 0:
+            worst_loss_gap = max(worst_loss_gap, gap)
             # epoch 0 from random init is a chaotic transient: its PROBE
             # (first post-sync batches) still asserts math parity, but the
             # end-of-epoch state legitimately diverges by float chaos over a
@@ -355,7 +360,11 @@ def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0):
             f"| {100*probe_gap:.3f} | {a['acc']:.2f} | {b['acc']:.2f} "
             f"| {dacc:.2f} | {a['lr']:.6f} |"
         )
-    ok = worst_probe_gap < loss_tol and worst_acc_gap < acc_tol
+    ok = (
+        worst_probe_gap < loss_tol
+        and worst_acc_gap < acc_tol
+        and worst_loss_gap < mean_tol
+    )
     # the full recipe is exactly comparable too now (SharedMaskDropout
     # replays our device dropout stream in the twin): PASS/FAIL always —
     # the r2 "reported (dropout streams differ)" escape hatch is gone
@@ -363,8 +372,8 @@ def compare(model_name, ours, theirs, _strict=True, loss_tol=0.01, acc_tol=1.0):
         f"\nworst post-resync probe gap: {100*worst_probe_gap:.3f}% "
         f"(tol {100*loss_tol:.0f}%), worst Δacc (epochs 1+): "
         f"{worst_acc_gap:.2f}pp (tol {acc_tol:.1f}pp), worst epoch-mean "
-        f"loss gap: {100*worst_loss_gap:.2f}% (reported) → "
-        f"{'PASS' if ok else 'FAIL'}"
+        f"loss gap (epochs 1+): {100*worst_loss_gap:.2f}% "
+        f"(tol {100*mean_tol:.0f}%) → {'PASS' if ok else 'FAIL'}"
     )
     return "\n".join(lines), ok
 
@@ -387,6 +396,10 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
         f"data={'CIFAR-10' if real else 'synthetic'}"
         f" train={x_tr.shape} epochs={cfg['epochs']} bs={cfg['batch_size']}"
     )
+    if not real:
+        # ambiguous-boundary stand-in: test acc ~40% at n=1000 has a ~1.5pp
+        # binomial noise scale — see compare() docstring
+        acc_tol = max(acc_tol, 2.5)
     plan = make_plan(len(x_tr), cfg["epochs"], cfg["batch_size"], seed=seed)
     lrs = lr_schedule(model_name, cfg["epochs"])
 
