@@ -86,7 +86,14 @@ class MultiheadAttention(Module):
             return False
         return getattr(self.q_proj.weight.device, "is_jax", False)
 
-    def _use_flash(self, need_weights: bool) -> bool:
+    # auto-mode crossover: measured on-chip (v5e, LM bs32-64, head_dim 64,
+    # BENCH_NOTES "Flash attention") — XLA's fused attention wins at short
+    # L (its batched matmuls amortize better than sequential kernel grid
+    # steps), parity at L=512, flash wins beyond as the naive (L, L)
+    # softmax turns HBM-bound.  flash=True/False always overrides.
+    FLASH_AUTO_MIN_LEN = 512
+
+    def _use_flash(self, need_weights: bool, q_len: int = 0) -> bool:
         if need_weights:
             return False  # flash never materializes the weights
         if self.attn_drop is not None and self.training:
@@ -96,7 +103,10 @@ class MultiheadAttention(Module):
         if self.flash is None:
             import jax
 
-            return jax.default_backend() == "tpu"
+            return (
+                jax.default_backend() == "tpu"
+                and q_len >= self.FLASH_AUTO_MIN_LEN
+            )
         return bool(self.flash)
 
     def forward(self, query, key=None, value=None, need_weights: bool = False):
@@ -133,7 +143,7 @@ class MultiheadAttention(Module):
             out = self._ring_fn(q, k, v)  # (B, H, L, D)
             out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
             return self.out_proj(out)
-        if self._use_flash(need_weights):
+        if self._use_flash(need_weights, L):
             if self._flash_fn is None:
                 from ...ops.pallas_kernels import flash_attention
                 from ..jax_bridge import jax_function
