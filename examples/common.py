@@ -60,7 +60,8 @@ def get_mnist(limit: int | None = None, flat: bool = False):
 
 
 def get_cifar10(data_dir: str | None = None, limit: int | None = None,
-                hard: bool = False):
+                hard: bool = False, label_noise: float = 0.15,
+                noise_std: float = 0.7):
     """CIFAR-10 from local python batches (``data_batch_*``/``test_batch``,
     the layout `test/CNN_CIFAR10_cuda.py:16-44` reads); synthetic separable
     fallback otherwise.  Per-channel standardization like the reference
@@ -80,9 +81,12 @@ def get_cifar10(data_dir: str | None = None, limit: int | None = None,
         y_test = np.asarray(d[b"labels"], dtype=np.int32)
     elif hard:
         x_train, y_train = _synthetic_images_hard(
-            8000 if not limit else limit, 10
+            8000 if not limit else limit, 10,
+            label_noise=label_noise, noise_std=noise_std,
         )
-        x_test, y_test = _synthetic_images_hard(1000, 10, seed=1)
+        x_test, y_test = _synthetic_images_hard(
+            1000, 10, seed=1, label_noise=label_noise, noise_std=noise_std
+        )
     else:
         x_train, y_train = _synthetic_images(5000 if not limit else limit, 10)
         x_test, y_test = _synthetic_images(1000, 10, seed=1)
@@ -94,7 +98,8 @@ def get_cifar10(data_dir: str | None = None, limit: int | None = None,
 
 
 def _synthetic_images_hard(n, num_classes, size=32, seed=0,
-                           label_noise=0.15, mix_lo=0.35, mix_hi=0.65):
+                           label_noise=0.15, mix_lo=0.35, mix_hi=0.65,
+                           noise_std=0.7):
     """NON-memorizable stand-in for trajectory parity (r2 VERDICT weak-2:
     the separable task hit 100% train acc at epoch 0 and losses ~1e-5 from
     epoch 1, so 9 of 10 'trajectory' epochs compared noise).  Two levers
@@ -122,7 +127,7 @@ def _synthetic_images_hard(n, num_classes, size=32, seed=0,
     w = rng.uniform(mix_lo, mix_hi, n).astype(np.float32)[:, None, None]
     pat = w * base[y_true] + (1.0 - w) * base[other]
     x = pat[:, None, :, :].repeat(3, axis=1)
-    x = x + rng.standard_normal((n, 3, size, size)).astype(np.float32) * 0.7
+    x = x + rng.standard_normal((n, 3, size, size)).astype(np.float32) * noise_std
     y = y_true.copy()
     flip = rng.random(n) < label_noise
     y[flip] = rng.integers(0, num_classes, int(flip.sum())).astype(np.int32)
