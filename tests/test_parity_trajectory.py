@@ -71,3 +71,11 @@ def test_cifar10_cnn_full_recipe_shared_masks_parity():
     )
     assert proc.returncode == 0, f"full-recipe A/B failed:\n{proc.stdout}\n{proc.stderr}"
     assert "PARITY_OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_cnn_mnist_real_data_trajectory_parity():
+    """REAL-DATA parity: the reference repo ships the 10k-image MNIST test
+    set offline; the cnn_mnist recipe (Adam 1e-3, bs 64) must track its
+    torch twin on real digits."""
+    _run("cnn_mnist", limit=2000, epochs=2)
