@@ -9,6 +9,7 @@ from .sharded import (
     ShardedEvalStep,
     ShardedTrainStep,
     expert_parallel_rules,
+    fsdp_rules,
     tensor_parallel_rules,
 )
 
@@ -27,4 +28,5 @@ __all__ = [
     "ring_attention",
     "sequence_sharding",
     "expert_parallel_rules",
+    "fsdp_rules",
 ]

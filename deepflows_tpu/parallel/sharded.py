@@ -39,6 +39,49 @@ def expert_parallel_rules(axis: str = "model", base: Optional[Callable] = None) 
     return rule
 
 
+def fsdp_rules(
+    mesh: Mesh,
+    axis: str = "data",
+    min_elems: int = 2048,
+    base: Optional[Callable] = None,
+) -> Callable:
+    """ZeRO-3 / FSDP rule: shard every large-enough parameter over the
+    ``data`` mesh axis so resident parameter AND optimizer memory drop ~D×
+    per device.  In GSPMD this is purely a layout choice: params enter and
+    leave the step data-sharded, the partitioner inserts the per-layer
+    all-gather where the full value is consumed (forward and backward) and
+    turns the gradient ``psum`` into a reduce-scatter, and the optimizer
+    update runs on the local shard only — the classic ZeRO-3 schedule,
+    derived by the compiler instead of hand-written bucketing (the torch
+    FSDP/`reference` has no distributed training at all, SURVEY §2.3).
+
+    The first dim divisible by the axis size is sharded (dim 0 preferred,
+    matching FSDP's flat-param convention); params smaller than
+    ``min_elems`` (BN affine vectors, biases) stay replicated — gathering
+    them costs more latency than the bytes are worth.  ``base`` composes:
+    a param already sharded by ``base`` (e.g. tensor-parallel) keeps that
+    layout untouched, so ``fsdp_rules(mesh, base=tensor_parallel_rules())``
+    gives TP weights + FSDP everything-else.
+    """
+    d = mesh.shape[axis]
+
+    def rule(name: str, shape) -> PartitionSpec:
+        if base is not None:
+            spec = base(name, shape)
+            if spec != P():
+                return spec
+        n = 1
+        for s in shape:
+            n *= s
+        if n >= min_elems:
+            for i, s in enumerate(shape):
+                if s >= d and s % d == 0:
+                    return P(*([None] * i), axis, *([None] * (len(shape) - 1 - i)))
+        return P()
+
+    return rule
+
+
 def tensor_parallel_rules(axis: str = "model", shard_conv: bool = True) -> Callable:
     """Default TP rule: shard Linear weights/biases AND conv kernels on
     their out-features/out-channels dim over ``axis``; everything else

@@ -805,8 +805,8 @@ def test_cross_entropy_sequence_edge_cases():
         Tensor(sq.copy(), device="tpu"), Tensor(oh1, device="tpu"), dim=1
     )
     want1 = torch.nn.functional.cross_entropy(
-        torch.tensor(sq), torch.tensor(cls, dtype=torch.long), reduction="sum"
-    ) / 2.0  # our 'mean' divides by batch for torch-layout one-hot
+        torch.tensor(sq), torch.tensor(cls, dtype=torch.long)
+    )  # rank>2 torch-layout 'mean' is torch's per-position mean (B*L)
     np.testing.assert_allclose(float(got.numpy()), float(want1), rtol=1e-4)
 
     # (c) reduction='none' keeps (B, L)

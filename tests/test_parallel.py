@@ -290,3 +290,78 @@ def test_remat_inside_sharded_step():
     plain = run(False)
     rem = run(True)
     np.testing.assert_allclose(plain, rem, rtol=1e-4)
+
+
+def test_fsdp_matches_replicated_and_shards_params():
+    """ZeRO-3/FSDP param sharding (`fsdp_rules`): training is numerically
+    equivalent to the replicated-param data-parallel step, while every
+    large parameter AND its optimizer state are physically stored 1/8-size
+    per device (GSPMD inserts the per-layer all-gather + reduce-scatter)."""
+    from deepflows_tpu.parallel import fsdp_rules
+
+    def run(fsdp):
+        model = make_model()
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        mesh = make_mesh({"data": 8})
+        rules = fsdp_rules(mesh) if fsdp else None
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh, param_rules=rules
+        )
+        losses = []
+        for i in range(3):
+            x, y = batch(i)
+            losses.append(float(step(x, y)))
+        params = [np.asarray(p.data.array) for p in model.parameters()]
+        return losses, params, model, opt
+
+    l0, p0, _, _ = run(False)
+    l1, p1, model1, opt1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # physical check: large params hold a 1/8 shard per device; the Adam
+    # moments follow their param's layout (ZeRO-3: state never replicated)
+    checked = 0
+    for _, p in model1.named_parameters():
+        if p.data.array.size >= 2048:
+            shard = p.data.array.addressable_shards[0].data
+            assert shard.size * 8 == p.data.array.size
+            checked += 1
+    assert checked >= 1  # the (512, 32) Linear weight qualifies
+    for v in opt1._state["v"]:
+        if v is not None and v.size >= 2048:
+            assert v.addressable_shards[0].data.size * 8 == v.size
+    # small params (BN affine, biases) stay replicated by min_elems
+    bn_w = model1[1].weight.data.array
+    assert bn_w.addressable_shards[0].data.size == bn_w.size
+
+
+def test_fsdp_composes_with_tensor_parallel():
+    """fsdp_rules(base=tensor_parallel_rules()): TP-sharded weights keep
+    their 'model'-axis layout, everything else large goes FSDP over 'data';
+    the composed step trains and matches the plain dp x tp step."""
+    from deepflows_tpu.parallel import fsdp_rules
+
+    def run(compose):
+        model = make_model()
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        mesh = make_mesh({"data": 4, "model": 2})
+        tp = tensor_parallel_rules(axis="model")
+        rules = fsdp_rules(mesh, base=tp) if compose else tp
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh, param_rules=rules
+        )
+        losses = []
+        for i in range(3):
+            x, y = batch(i)
+            losses.append(float(step(x, y)))
+        return losses, model
+
+    l0, _ = run(False)
+    l1, model1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-6)
+    # TP layout preserved on the Linear weight (sharded over 'model' dim 1)
+    lin_w = model1[5].weight.data.array  # (512, 32) Linear
+    spec = lin_w.sharding.spec
+    assert len(spec) >= 2 and spec[1] == "model", spec
