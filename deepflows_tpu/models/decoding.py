@@ -34,7 +34,9 @@ class KVCacheDecoder:
         self.lm = lm
         self.compute_dtype = compute_dtype
         self._prefill_jit = jax.jit(self._prefill, static_argnums=(2,))
-        self._decode_jit = jax.jit(self._decode, static_argnums=(4,))
+        # static: n_steps, top_k (lax.top_k needs a static k), do_sample
+        self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
+        self._select_jit = jax.jit(self._select, static_argnums=(3, 5))
 
     # ------------------------------------------------------------ params
     def _gather(self):
@@ -101,6 +103,36 @@ class KVCacheDecoder:
         )
 
     @staticmethod
+    def _select(logits, key, temperature, top_k, top_p, do_sample):
+        """Next-token selection from (B, V) logits.  Greedy when
+        ``do_sample`` is False; otherwise temperature scaling, then optional
+        top-k truncation and top-p (nucleus) truncation, then a categorical
+        draw.  ``top_k``/``do_sample`` are static (lax.top_k needs a static
+        k); ``temperature``/``top_p`` are traced so one compiled program
+        serves any value."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        if not do_sample:
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        logits = logits / temperature
+        if top_k is not None:
+            kth = lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -1e30, logits)
+        if top_p is not None:
+            srt = jnp.sort(logits, -1)[..., ::-1]
+            cum = jnp.cumsum(jax.nn.softmax(srt, -1), -1)
+            # drop tokens whose EXCLUSIVE cumulative prob already >= top_p
+            # (the nucleus always keeps at least the argmax)
+            beyond = cum - jax.nn.softmax(srt, -1) >= top_p
+            thresh = jnp.min(
+                jnp.where(beyond, jnp.inf, srt), -1, keepdims=True
+            )
+            logits = jnp.where(logits < thresh, -1e30, logits)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    @staticmethod
     def _mlp(h, p):
         import jax
 
@@ -136,12 +168,16 @@ class KVCacheDecoder:
             x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
         x = self._ln(x, params["lnf_w"], params["lnf_b"])
         logits = x[:, plen - 1] @ params["head_w"] + params["head_b"]
-        last_tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        return jnp.stack(ks), jnp.stack(vs), last_tok
+        return jnp.stack(ks), jnp.stack(vs), logits
 
     # ------------------------------------------------------------ decode
-    def _decode(self, params, caches, tok0, pos0, n_steps):
-        """Greedy-decode ``n_steps`` tokens in ONE fori_loop program.
+    def _decode(
+        self, params, caches, tok0, pos0, n_steps,
+        key=None, temperature=None, top_k=None, top_p=None, do_sample=False,
+    ):
+        """Decode ``n_steps`` tokens in ONE fori_loop program — greedy by
+        default, or sampled (temperature / top-k / top-p) with the PRNG key
+        split per step inside the loop.
 
         caches: (k, v) each (layers, B, H, max_len, Dh); ``tok0`` the first
         generated token (from prefill); ``pos0`` its position.  Returns
@@ -160,8 +196,10 @@ class KVCacheDecoder:
         tokens0 = tokens0.at[:, 0].set(tok0)
         positions = jnp.arange(L)
 
+        key0 = jax.random.key(0) if key is None else key
+
         def step(i, carry):
-            kc, vc, tokens, pos = carry
+            kc, vc, tokens, pos, k = carry
             tok = tokens[:, i]
             x = params["tok"][tok][:, None, :] + lax.dynamic_slice(
                 params["pos"], (0, pos, 0), (1, 1, params["pos"].shape[2])
@@ -180,26 +218,43 @@ class KVCacheDecoder:
                 x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
             x = self._ln(x, params["lnf_w"], params["lnf_b"])
             logits = x[:, 0] @ params["head_w"] + params["head_b"]
-            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            k, sub = jax.random.split(k)
+            nxt = self._select(logits, sub, temperature, top_k, top_p, do_sample)
             tokens = lax.cond(
                 i + 1 < n_steps,
                 lambda t: t.at[:, i + 1].set(nxt),
                 lambda t: t,
                 tokens,
             )
-            return kc, vc, tokens, pos + 1
+            return kc, vc, tokens, pos + 1, k
 
-        kc, vc, tokens, _ = lax.fori_loop(
-            0, n_steps, step, (kc0, vc0, tokens0, pos0)
+        kc, vc, tokens, _, _ = lax.fori_loop(
+            0, n_steps, step, (kc0, vc0, tokens0, pos0, key0)
         )
         return tokens, (kc, vc)
 
     # ---------------------------------------------------------- generate
-    def generate(self, idx, new_tokens: int):
-        """Greedy-decode ``new_tokens`` continuations of the (B, L) int
-        prompt; returns the (B, L+new_tokens) numpy array like
+    def generate(
+        self,
+        idx,
+        new_tokens: int,
+        temperature: float = 0.0,
+        top_k=None,
+        top_p=None,
+        seed: int = 0,
+    ):
+        """Decode ``new_tokens`` continuations of the (B, L) int prompt;
+        returns the (B, L+new_tokens) numpy array like
         ``TransformerLM.generate`` — but with exactly TWO device programs
-        (prefill + fori_loop decode) and ONE host readback."""
+        (prefill + fori_loop decode) and ONE host readback.
+
+        ``temperature == 0`` (default) is greedy argmax.  ``temperature > 0``
+        samples categorically after temperature scaling, with optional
+        ``top_k`` truncation and ``top_p`` nucleus truncation (both may
+        combine); ``seed`` makes the draw reproducible.  The PRNG key is
+        split per step INSIDE the decode loop, so sampling stays one device
+        program."""
+        import jax
         import jax.numpy as jnp
 
         idx = np.asarray(idx)
@@ -212,15 +267,26 @@ class KVCacheDecoder:
                 f"prompt_len {plen} + new_tokens {new_tokens} exceeds "
                 f"max_len {L}; use TransformerLM.generate for sliding-window"
             )
+        do_sample = temperature is not None and temperature > 0.0
+        if not do_sample:
+            temperature = None  # keep the greedy program free of dead args
+            top_k = None
+            top_p = None
+        temp = None if temperature is None else np.float32(temperature)
+        tp = None if top_p is None else np.float32(top_p)
         params = self._gather()
         prompt = np.zeros((B, L), np.int32)
         prompt[:, :plen] = idx
-        kc, vc, tok0 = self._prefill_jit(params, jnp.asarray(prompt), plen)
+        kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)
         if new_tokens == 0:
             return idx
+        key = jax.random.key(seed)
+        key, sub = jax.random.split(key)
+        tok0 = self._select_jit(logits0, sub, temp, top_k, tp, do_sample)
         # tok0 is the token at position plen (first generated)
         tokens, _ = self._decode_jit(
-            params, (kc, vc), tok0, np.int32(plen), new_tokens
+            params, (kc, vc), tok0, np.int32(plen), new_tokens,
+            key, temp, top_k, tp, do_sample,
         )
         # single host readback for the whole generation
         out = np.asarray(tokens)

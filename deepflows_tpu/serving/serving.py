@@ -62,7 +62,9 @@ class PredictService:
 
     def generate(self, request, context=None):
         """Autoregressive generation over the same Matrix wire types:
-        matrix[0] = (B, L) prompt token ids, matrix[1] = [new_tokens].
+        matrix[0] = (B, L) prompt token ids, matrix[1] = [new_tokens],
+        optional matrix[2] = [temperature, top_k, top_p, seed] sampling
+        knobs (0 disables each; absent or temperature 0 = greedy).
         Returns matrix[0] = (B, L+new_tokens) tokens.  Served by the
         KV-cache decoder (`models.KVCacheDecoder`): one prefill + one
         fori_loop decode program, ONE host readback per call — not a full
@@ -79,7 +81,17 @@ class PredictService:
             self._decoder = KVCacheDecoder(self._model)
         prompt = _from_matrix(request.matrix[0]).astype(np.int32)
         new_tokens = int(_from_matrix(request.matrix[1]).ravel()[0])
-        tokens = self._decoder.generate(prompt, new_tokens)
+        sample_kw = {}
+        if len(request.matrix) > 2:
+            knobs = _from_matrix(request.matrix[2]).ravel()
+            temperature, top_k, top_p, seed = (list(knobs) + [0.0] * 4)[:4]
+            sample_kw = dict(
+                temperature=float(temperature),
+                top_k=int(top_k) if top_k > 0 else None,
+                top_p=float(top_p) if top_p > 0 else None,
+                seed=int(seed),
+            )
+        tokens = self._decoder.generate(prompt, new_tokens, **sample_kw)
         resp = serving_pb2.PredictResp()
         resp.matrix.extend([_to_matrix(tokens.astype(np.float32))])
         return resp
@@ -190,16 +202,42 @@ class PredictClient:
         resp = self._call(req)
         return [_from_matrix(m) for m in resp.matrix]
 
-    def generate(self, prompt: np.ndarray, new_tokens: int) -> np.ndarray:
-        """Server-side KV-cache greedy decoding: (B, L) int prompt ->
-        (B, L+new_tokens) int tokens."""
+    def generate(
+        self,
+        prompt: np.ndarray,
+        new_tokens: int,
+        temperature: float = 0.0,
+        top_k=None,
+        top_p=None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Server-side KV-cache decoding: (B, L) int prompt ->
+        (B, L+new_tokens) int tokens.  ``temperature=0`` (default) is
+        greedy; otherwise temperature/top-k/top-p sampling with a
+        reproducible ``seed`` (knobs ride an optional third Matrix)."""
         req = serving_pb2.PredictReq()
-        req.matrix.extend(
-            [
-                _to_matrix(np.asarray(prompt, np.float32)),
-                _to_matrix(np.asarray([new_tokens], np.float32)),
-            ]
-        )
+        mats = [
+            _to_matrix(np.asarray(prompt, np.float32)),
+            _to_matrix(np.asarray([new_tokens], np.float32)),
+        ]
+        if temperature and temperature > 0.0:
+            # knobs ride a float32 Matrix: ints above 2^24 would be rounded
+            # and the server would decode with a silently different value
+            for name, val in (("seed", seed), ("top_k", top_k or 0)):
+                if abs(int(val)) > 1 << 24:
+                    raise ValueError(
+                        f"{name}={val} exceeds the float32-exact integer "
+                        f"range (2^24) of the Generate wire format"
+                    )
+            mats.append(
+                _to_matrix(
+                    np.asarray(
+                        [temperature, top_k or 0, top_p or 0.0, seed],
+                        np.float32,
+                    )
+                )
+            )
+        req.matrix.extend(mats)
         resp = self._generate_call(req)
         return _from_matrix(resp.matrix[0]).astype(np.int64)
 

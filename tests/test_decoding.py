@@ -84,3 +84,33 @@ def test_kv_decode_sees_weight_updates_without_retrace():
     assert not np.array_equal(before, after)
     # still equivalent to the full-forward path on the UPDATED weights
     np.testing.assert_array_equal(after, lm.generate(idx.copy(), 8))
+
+
+def test_kv_decode_sampling():
+    """Sampling decode: (a) top_k=1 at any temperature equals greedy;
+    (b) a fixed seed reproduces the draw exactly and different seeds
+    diverge; (c) tiny top_p keeps only the argmax (greedy again); (d) all
+    sampled tokens stay inside the vocab."""
+    lm = _lm(seed=7)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (2, 5)).astype(np.int64)
+    greedy = dec.generate(idx.copy(), 8)
+
+    np.testing.assert_array_equal(
+        dec.generate(idx.copy(), 8, temperature=1.7, top_k=1), greedy
+    )
+    np.testing.assert_array_equal(
+        dec.generate(idx.copy(), 8, temperature=1.0, top_p=1e-6), greedy
+    )
+
+    a = dec.generate(idx.copy(), 8, temperature=1.0, seed=3)
+    b = dec.generate(idx.copy(), 8, temperature=1.0, seed=3)
+    c = dec.generate(idx.copy(), 8, temperature=1.0, seed=4)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)  # 16 draws over 48 classes: ties ~0
+    assert a[:, 5:].min() >= 0 and a[:, 5:].max() < 48
+
+    # temperature + top_k + top_p compose; output remains reproducible
+    d1 = dec.generate(idx.copy(), 8, temperature=0.8, top_k=10, top_p=0.9, seed=0)
+    d2 = dec.generate(idx.copy(), 8, temperature=0.8, top_k=10, top_p=0.9, seed=0)
+    np.testing.assert_array_equal(d1, d2)

@@ -131,6 +131,15 @@ def test_grpc_generate_kv_cache_decoding():
         out = client.generate(prompt, 5)
         want = lm.generate(prompt, 5)
         np.testing.assert_array_equal(out, want)
+        # sampled decode over the wire: seeded draw is reproducible,
+        # top_k=1 collapses to greedy
+        s1 = client.generate(prompt, 5, temperature=1.0, seed=3)
+        s2 = client.generate(prompt, 5, temperature=1.0, seed=3)
+        np.testing.assert_array_equal(s1, s2)
+        assert s1[:, :3].tolist() == prompt.tolist()
+        np.testing.assert_array_equal(
+            client.generate(prompt, 5, temperature=2.0, top_k=1), want
+        )
         client.close()
     finally:
         server.stop()
