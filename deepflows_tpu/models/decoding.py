@@ -29,6 +29,12 @@ import numpy as np
 
 class KVCacheDecoder:
     def __init__(self, lm, compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` casts the gathered weights once
+        per generate() and runs the whole prefill+decode in bf16 (half the
+        HBM weight traffic on the memory-bound decode path); layernorm
+        statistics and the softmax stay f32 for stability.  Logits are
+        computed in f32 so greedy argmax is bf16-storage-, not
+        bf16-accumulation-, perturbed."""
         import jax
 
         self.lm = lm
@@ -37,6 +43,22 @@ class KVCacheDecoder:
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
         self._select_jit = jax.jit(self._select, static_argnums=(3, 5))
+        if compute_dtype is not None:
+            import jax.numpy as jnp
+
+            def _cast(tree):
+                return jax.tree.map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    tree,
+                )
+
+            # ONE fused device program per generate(): reads the f32 params
+            # once, writes the compact copy the decode loop then streams
+            self._cast_jit = jax.jit(_cast)
+        else:
+            self._cast_jit = None
 
     # ------------------------------------------------------------ params
     def _gather(self):
@@ -84,10 +106,22 @@ class KVCacheDecoder:
     def _ln(x, w, b, eps=1e-5):
         import jax.numpy as jnp
 
-        mu = jnp.mean(x, -1, keepdims=True)
-        xc = x - mu
+        xf = x.astype(jnp.float32)  # stats in f32 even for bf16 compute
+        mu = jnp.mean(xf, -1, keepdims=True)
+        xc = xf - mu
         var = jnp.mean(xc * xc, -1, keepdims=True)
-        return xc / jnp.sqrt(var + eps) * w + b
+        return (xc / jnp.sqrt(var + eps)).astype(x.dtype) * w + b
+
+    @staticmethod
+    def _head(x, params):
+        """Final-vocab logits with f32 accumulation AND f32 storage (bf16
+        logit rounding would perturb argmax ties)."""
+        import jax.numpy as jnp
+
+        return jnp.einsum(
+            "bd,dv->bv", x, params["head_w"],
+            preferred_element_type=jnp.float32,
+        ) + params["head_b"].astype(jnp.float32)
 
     def _attn_proj(self, h, p, H):
         """h: (B, T, E) -> q, k, v each (B, H, T, Dh)."""
@@ -159,15 +193,17 @@ class KVCacheDecoder:
             q, k, v = self._attn_proj(h, p, H)
             ks.append(k)
             vs.append(v)
-            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + causal
-            attn = jax.nn.softmax(s, -1)
+            s = (jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale).astype(
+                jnp.float32
+            ) + causal
+            attn = jax.nn.softmax(s, -1).astype(v.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
             B, _, T, D = o.shape
             o = o.transpose(0, 2, 1, 3).reshape(B, T, H * D)
             x = x + (o @ p["o_w"] + p["o_b"])
             x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
         x = self._ln(x, params["lnf_w"], params["lnf_b"])
-        logits = x[:, plen - 1] @ params["head_w"] + params["head_b"]
+        logits = self._head(x[:, plen - 1], params)
         return jnp.stack(ks), jnp.stack(vs), logits
 
     # ------------------------------------------------------------ decode
@@ -209,15 +245,17 @@ class KVCacheDecoder:
                 q, k_new, v_new = self._attn_proj(h, p, H)  # (B, H, 1, Dh)
                 kc = lax.dynamic_update_slice(kc, k_new[None], (li, 0, 0, pos, 0))
                 vc = lax.dynamic_update_slice(vc, v_new[None], (li, 0, 0, pos, 0))
-                s = jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale
+                s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
+                    jnp.float32
+                )
                 s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
-                attn = jax.nn.softmax(s, -1)
+                attn = jax.nn.softmax(s, -1).astype(vc.dtype)
                 o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
                 o = o.transpose(0, 2, 1, 3).reshape(B, 1, -1)
                 x = x + (o @ p["o_w"] + p["o_b"])
                 x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
             x = self._ln(x, params["lnf_w"], params["lnf_b"])
-            logits = x[:, 0] @ params["head_w"] + params["head_b"]
+            logits = self._head(x[:, 0], params)
             k, sub = jax.random.split(k)
             nxt = self._select(logits, sub, temperature, top_k, top_p, do_sample)
             tokens = lax.cond(
@@ -275,6 +313,8 @@ class KVCacheDecoder:
         temp = None if temperature is None else np.float32(temperature)
         tp = None if top_p is None else np.float32(top_p)
         params = self._gather()
+        if self._cast_jit is not None:
+            params = self._cast_jit(params)
         prompt = np.zeros((B, L), np.int32)
         prompt[:, :plen] = idx
         kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)

@@ -114,3 +114,36 @@ def test_kv_decode_sampling():
     d1 = dec.generate(idx.copy(), 8, temperature=0.8, top_k=10, top_p=0.9, seed=0)
     d2 = dec.generate(idx.copy(), 8, temperature=0.8, top_k=10, top_p=0.9, seed=0)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_kv_decode_bf16_compute():
+    """compute_dtype=bfloat16: weights are cast once per generate() and the
+    whole prefill+decode runs bf16 (f32 LN stats / softmax / logits).  On a
+    well-separated-logits model the greedy output matches f32 exactly; the
+    prefill logits stay within bf16 tolerance of the f32 path."""
+    import jax.numpy as jnp
+
+    lm = _lm(seed=13)
+    dec32 = KVCacheDecoder(lm)
+    dec16 = KVCacheDecoder(lm, compute_dtype=jnp.bfloat16)
+    idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+
+    p = dec32._gather()
+    p16 = dec16._cast_jit(p)
+    assert p16["tok"].dtype == jnp.bfloat16
+    prompt = np.zeros((2, lm.max_len), np.int32)
+    prompt[:, :6] = idx
+    _, _, lg32 = dec32._prefill_jit(p, jnp.asarray(prompt), 6)
+    _, _, lg16 = dec16._prefill_jit(p16, jnp.asarray(prompt), 6)
+    assert lg16.dtype == jnp.float32  # f32 logits even under bf16 compute
+    scale = np.maximum(1.0, np.abs(np.asarray(lg32)))
+    assert np.max(np.abs(np.asarray(lg16) - np.asarray(lg32)) / scale) < 0.1
+
+    out16 = dec16.generate(idx.copy(), 8)
+    assert out16.shape == (2, 14)
+    assert out16[:, 6:].min() >= 0 and out16[:, 6:].max() < 48
+    np.testing.assert_array_equal(out16[:, :6], idx)
+    # seeded sampling works under bf16 too
+    s1 = dec16.generate(idx.copy(), 6, temperature=1.0, seed=5)
+    s2 = dec16.generate(idx.copy(), 6, temperature=1.0, seed=5)
+    np.testing.assert_array_equal(s1, s2)
