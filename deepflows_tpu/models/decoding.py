@@ -26,39 +26,98 @@ from __future__ import annotations
 
 import numpy as np
 
+# weight matrices quantized under quant="int8" (biases, layernorms and the
+# embedding stay in the compute dtype; the head is quantized at top level)
+_QUANT_KEYS = frozenset(("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"))
+
+
+def _mm(x, w):
+    """x @ w where ``w`` is either a dense array or an int8-quantized
+    ``{"q": int8, "s": per-channel scale}`` pair, routed through the Pallas
+    dequant-in-kernel matmul (``ops.pallas_kernels.int8_matmul``)."""
+    if isinstance(w, dict):
+        from ..ops.pallas_kernels import int8_matmul
+
+        lead = x.shape[:-1]
+        y = int8_matmul(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+        return y.reshape(*lead, y.shape[-1])
+    return x @ w
+
 
 class KVCacheDecoder:
-    def __init__(self, lm, compute_dtype=None):
+    def __init__(self, lm, compute_dtype=None, quant=None):
         """``compute_dtype=jnp.bfloat16`` casts the gathered weights once
         per generate() and runs the whole prefill+decode in bf16 (half the
         HBM weight traffic on the memory-bound decode path); layernorm
         statistics and the softmax stay f32 for stability.  Logits are
         computed in f32 so greedy argmax is bf16-storage-, not
-        bf16-accumulation-, perturbed."""
+        bf16-accumulation-, perturbed.
+
+        ``quant="int8"`` additionally stores every attention/MLP/head weight
+        MATRIX as int8 with a per-output-channel f32 scale (1 byte/param of
+        HBM traffic in the decode loop) and dequantizes INSIDE the Pallas
+        matmul kernel.  XLA cannot express that fusion here: a
+        ``x @ (q.astype(f) * s)`` written in jnp is loop-invariant, so XLA
+        hoists the widened copy out of the decode fori_loop and streams
+        full-width weights every step.  Quantization happens in one fused
+        device program per generate(), so live weight updates are picked up
+        like the dense path.  Combine with ``compute_dtype=jnp.bfloat16``
+        for bf16 activations over int8 weights."""
         import jax
 
+        if quant not in (None, "int8"):
+            raise ValueError(f"quant must be None or 'int8', got {quant!r}")
         self.lm = lm
         self.compute_dtype = compute_dtype
+        self.quant = quant
         self._prefill_jit = jax.jit(self._prefill, static_argnums=(2,))
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
         self._select_jit = jax.jit(self._select, static_argnums=(3, 5))
-        if compute_dtype is not None:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            def _cast(tree):
-                return jax.tree.map(
-                    lambda a: a.astype(compute_dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating)
-                    else a,
-                    tree,
-                )
+        def _cast_leaf(a):
+            if compute_dtype is not None and jnp.issubdtype(
+                a.dtype, jnp.floating
+            ):
+                return a.astype(compute_dtype)
+            return a
+
+        if quant == "int8":
+            from ..ops.pallas_kernels import quantize_int8
+
+            def _q2(w):
+                q, s = quantize_int8(w)
+                return {"q": q, "s": s}
+
+            def _prep(tree):
+                out = {}
+                for k, v in tree.items():
+                    if k == "blocks":
+                        out[k] = [
+                            {
+                                bk: (_q2(bv) if bk in _QUANT_KEYS else _cast_leaf(bv))
+                                for bk, bv in blk.items()
+                            }
+                            for blk in v
+                        ]
+                    elif k == "head_w":
+                        out[k] = _q2(v)
+                    else:
+                        out[k] = _cast_leaf(v)
+                return out
 
             # ONE fused device program per generate(): reads the f32 params
+            # once, writes the int8 weights + scales the decode loop streams
+            self._prep_jit = jax.jit(_prep)
+        elif compute_dtype is not None:
+            # ONE fused device program per generate(): reads the f32 params
             # once, writes the compact copy the decode loop then streams
-            self._cast_jit = jax.jit(_cast)
+            self._prep_jit = jax.jit(lambda tree: jax.tree.map(_cast_leaf, tree))
         else:
-            self._cast_jit = None
+            self._prep_jit = None
+        # back-compat alias (r3 tests poked _cast_jit directly)
+        self._cast_jit = self._prep_jit
 
     # ------------------------------------------------------------ params
     def _gather(self):
@@ -118,10 +177,15 @@ class KVCacheDecoder:
         logit rounding would perturb argmax ties)."""
         import jax.numpy as jnp
 
+        hw = params["head_w"]
+        hb = params["head_b"].astype(jnp.float32)
+        if isinstance(hw, dict):
+            from ..ops.pallas_kernels import int8_matmul
+
+            return int8_matmul(x, hw["q"], hw["s"], out_dtype=jnp.float32) + hb
         return jnp.einsum(
-            "bd,dv->bv", x, params["head_w"],
-            preferred_element_type=jnp.float32,
-        ) + params["head_b"].astype(jnp.float32)
+            "bd,dv->bv", x, hw, preferred_element_type=jnp.float32
+        ) + hb
 
     def _attn_proj(self, h, p, H):
         """h: (B, T, E) -> q, k, v each (B, H, T, Dh)."""
@@ -129,7 +193,7 @@ class KVCacheDecoder:
         D = E // H
 
         def proj(w, b):
-            y = h @ w + b
+            y = _mm(h, w) + b
             return y.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
         return proj(p["q_w"], p["q_b"]), proj(p["k_w"], p["k_b"]), proj(
@@ -170,9 +234,9 @@ class KVCacheDecoder:
     def _mlp(h, p):
         import jax
 
-        h = h @ p["fc1_w"] + p["fc1_b"]
+        h = _mm(h, p["fc1_w"]) + p["fc1_b"]
         h = jax.nn.gelu(h, approximate=False)  # exact erf, like nn.GELU
-        return h @ p["fc2_w"] + p["fc2_b"]
+        return _mm(h, p["fc2_w"]) + p["fc2_b"]
 
     # ----------------------------------------------------------- prefill
     def _prefill(self, params, prompt, plen):
@@ -200,7 +264,7 @@ class KVCacheDecoder:
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
             B, _, T, D = o.shape
             o = o.transpose(0, 2, 1, 3).reshape(B, T, H * D)
-            x = x + (o @ p["o_w"] + p["o_b"])
+            x = x + (_mm(o, p["o_w"]) + p["o_b"])
             x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
         x = self._ln(x, params["lnf_w"], params["lnf_b"])
         logits = self._head(x[:, plen - 1], params)
@@ -252,7 +316,7 @@ class KVCacheDecoder:
                 attn = jax.nn.softmax(s, -1).astype(vc.dtype)
                 o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
                 o = o.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-                x = x + (o @ p["o_w"] + p["o_b"])
+                x = x + (_mm(o, p["o_w"]) + p["o_b"])
                 x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
             x = self._ln(x, params["lnf_w"], params["lnf_b"])
             logits = self._head(x[:, 0], params)
@@ -313,8 +377,8 @@ class KVCacheDecoder:
         temp = None if temperature is None else np.float32(temperature)
         tp = None if top_p is None else np.float32(top_p)
         params = self._gather()
-        if self._cast_jit is not None:
-            params = self._cast_jit(params)
+        if self._prep_jit is not None:
+            params = self._prep_jit(params)
         prompt = np.zeros((B, L), np.int32)
         prompt[:, :plen] = idx
         kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)

@@ -330,6 +330,104 @@ def fused_adam_sr(p, g, v, s, hyper, seed):
     return unpad(new_p, jnp.bfloat16), unpad(new_v, jnp.float32), unpad(new_s, jnp.float32)
 
 
+# ------------------------------------------------- int8 weight-only matmul
+# Weight-only int8 quantization for the memory-bound decode path: weights
+# are stored int8 with a per-output-channel f32 scale (w ≈ q * s[col]) and
+# DEQUANTIZED INSIDE THE MATMUL KERNEL's K-loop, so HBM weight traffic is
+# 1 byte/param instead of 2 (bf16) or 4 (f32).  XLA cannot express this
+# fusion in an autoregressive decode loop: `x @ (q.astype(bf16) * s)` is
+# loop-invariant, so XLA hoists the dequantized COPY out of the fori_loop
+# and streams the full-width weights every step — erasing the win.  Here
+# the int8 tile is widened in VMEM after the DMA, and the per-channel scale
+# is applied ONCE to the f32 accumulator at the last K step (exact: s[n]
+# distributes over the K sum).
+
+
+def quantize_int8(w):
+    """Per-output-channel symmetric int8 quantization of a (K, N) weight.
+    Returns (q int8 (K, N), scale f32 (N,)) with q * scale ≈ w."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.where(a == 0.0, 1.0, a / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref, *, k_steps):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # widen the int8 tile to the activation dtype in VMEM (the DMA moved
+    # only 1 byte/elem); |q| <= 127 is exact in bf16's 8 mantissa bits
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:], wq_ref[:].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * s_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k")
+)
+def int8_matmul(
+    x, wq, scale, out_dtype=None,
+    tile_m: int = 128, tile_n: int = 256, tile_k: int = 256,
+):
+    """x @ (wq * scale[col]) with in-kernel dequantization.
+
+    x: (M, K) f32/bf16; wq: (K, N) int8; scale: (N,) f32.  Accumulates f32
+    and applies the per-channel scale once at the end, so the result equals
+    the dequantized matmul exactly (modulo f32 summation order).  M is
+    padded to the dtype's sublane tile (decode uses M = batch, e.g. 16);
+    K tiles are 32-multiples (the int8 sublane tile)."""
+    m, k = x.shape
+    _, n = wq.shape
+    out_dtype = jnp.dtype(x.dtype if out_dtype is None else out_dtype)
+    tile_m = min(tile_m, _round_up(m, 32))
+    mp = _round_up(m, tile_m)
+    kp = _round_up(k, tile_k)
+    np_ = _round_up(n, tile_n)
+    x_p = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    w_p = jnp.pad(wq, ((0, kp - k), (0, np_ - n)))
+    s_p = jnp.pad(scale.reshape(1, -1), ((0, 0), (0, np_ - n)))
+    k_steps = kp // tile_k
+    grid = (mp // tile_m, np_ // tile_n, k_steps)
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel, k_steps=k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, tile_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, tile_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * np_,
+            bytes_accessed=x.dtype.itemsize * mp * kp
+            + kp * np_
+            + out_dtype.itemsize * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_p, w_p, s_p)
+    return out[:m, :n]
+
+
 # ------------------------------------------------------------ flash attention
 # FlashAttention-2-style online-softmax tiled attention (fwd + recompute
 # backward) for (B, H, L, D) inputs.  The naive tape path materializes the

@@ -38,11 +38,17 @@ class PredictService:
     """Predict handler backed by a deepflows_tpu model or a loaded ONNX
     graph (both execute as jitted XLA programs)."""
 
-    def __init__(self, model):
+    def __init__(self, model, decode_dtype=None, decode_quant=None):
+        """``decode_dtype``/``decode_quant`` configure the Generate RPC's
+        KV-cache decoder (e.g. ``decode_dtype=jnp.bfloat16,
+        decode_quant="int8"`` serves int8-weight decode — the
+        weight-bandwidth fast path); Predict is unaffected."""
         from ..onnx import OnnxModel
 
         self._model = model
         self._decoder = None
+        self._decode_dtype = decode_dtype
+        self._decode_quant = decode_quant
         if isinstance(model, OnnxModel):
             self._step = model
         else:
@@ -78,7 +84,11 @@ class PredictService:
                 f"got {type(self._model).__name__}"
             )
         if self._decoder is None:
-            self._decoder = KVCacheDecoder(self._model)
+            self._decoder = KVCacheDecoder(
+                self._model,
+                compute_dtype=self._decode_dtype,
+                quant=self._decode_quant,
+            )
         prompt = _from_matrix(request.matrix[0]).astype(np.int32)
         new_tokens = int(_from_matrix(request.matrix[1]).ravel()[0])
         sample_kw = {}
@@ -111,6 +121,8 @@ class MyDLPWServicer:
         model_name: Optional[str] = None,
         num_classes: int = 1000,
         max_workers: int = 10,
+        decode_dtype=None,
+        decode_quant=None,
     ):
         """Serve either an in-memory model, or a model FILE from disk
         (reference ctor contract `DF_serving/serving/serving.py:25,71-92`:
@@ -146,7 +158,9 @@ class MyDLPWServicer:
         if model is None:
             raise ValueError("pass a deepflows_tpu model (or a checkpoint) to serve")
         self.host = host
-        self._service = PredictService(model)
+        self._service = PredictService(
+            model, decode_dtype=decode_dtype, decode_quant=decode_quant
+        )
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
         handler = grpc.method_handlers_generic_handler(
             _SERVICE,

@@ -147,3 +147,60 @@ def test_kv_decode_bf16_compute():
     s1 = dec16.generate(idx.copy(), 6, temperature=1.0, seed=5)
     s2 = dec16.generate(idx.copy(), 6, temperature=1.0, seed=5)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_kv_decode_int8_weight_only():
+    """quant="int8": every attention/MLP/head weight matrix is stored int8
+    with per-output-channel scales and dequantized inside the Pallas matmul
+    kernel.  On a well-separated-logits model the greedy output matches f32;
+    prefill logits stay within weight-only-int8 tolerance."""
+    import jax.numpy as jnp
+
+    lm = _lm(seed=13)
+    dec32 = KVCacheDecoder(lm)
+    dec8 = KVCacheDecoder(lm, quant="int8")
+    idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+
+    p = dec32._gather()
+    p8 = dec8._prep_jit(p)
+    blk = p8["blocks"][0]
+    assert blk["q_w"]["q"].dtype == jnp.int8
+    assert blk["q_w"]["s"].shape == (p["blocks"][0]["q_w"].shape[1],)
+    assert p8["head_w"]["q"].dtype == jnp.int8
+    assert blk["ln1_w"].dtype == p["blocks"][0]["ln1_w"].dtype  # not quantized
+
+    prompt = np.zeros((2, lm.max_len), np.int32)
+    prompt[:, :6] = idx
+    _, _, lg32 = dec32._prefill_jit(p, jnp.asarray(prompt), 6)
+    _, _, lg8 = dec8._prefill_jit(p8, jnp.asarray(prompt), 6)
+    assert lg8.dtype == jnp.float32
+    scale = np.maximum(1.0, np.abs(np.asarray(lg32)))
+    assert np.max(np.abs(np.asarray(lg8) - np.asarray(lg32)) / scale) < 0.15
+
+    out8 = dec8.generate(idx.copy(), 8)
+    out32 = dec32.generate(idx.copy(), 8)
+    np.testing.assert_array_equal(out8, out32)
+
+    # seeded sampling reproducible under int8 too
+    s1 = dec8.generate(idx.copy(), 6, temperature=1.0, seed=5)
+    s2 = dec8.generate(idx.copy(), 6, temperature=1.0, seed=5)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_kv_decode_int8_bf16_activations():
+    """int8 weights + bf16 activations compose (the serving fast path)."""
+    import jax.numpy as jnp
+
+    lm = _lm(seed=13)
+    dec = KVCacheDecoder(lm, compute_dtype=jnp.bfloat16, quant="int8")
+    p8 = dec._prep_jit(dec._gather())
+    assert p8["tok"].dtype == jnp.bfloat16  # activations/embeddings bf16
+    assert p8["blocks"][0]["fc1_w"]["q"].dtype == jnp.int8
+    idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+    out = dec.generate(idx.copy(), 8)
+    np.testing.assert_array_equal(out, KVCacheDecoder(lm).generate(idx.copy(), 8))
+
+
+def test_kv_decode_rejects_bad_quant():
+    with pytest.raises(ValueError):
+        KVCacheDecoder(_lm(), quant="int4")

@@ -207,3 +207,40 @@ def test_bf16_sr_training_recovers_f32_convergence():
     # SR must land close to f32 and beat round-to-nearest
     assert sr < rtn, (sr, rtn)
     assert sr < f32 * 2.0, (sr, f32)
+
+
+def test_quantize_int8_roundtrip():
+    w = RNG.standard_normal((64, 48)).astype(np.float32) * 0.3
+    q, s = pk.quantize_int8(jnp.asarray(w))
+    assert q.dtype == jnp.int8 and s.shape == (48,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    # symmetric per-channel: error bounded by half a quantization step
+    step = np.asarray(s)
+    assert np.all(np.abs(deq - w) <= 0.5 * step[None, :] + 1e-7)
+    # zero column -> scale 1, q 0
+    w0 = np.zeros((16, 4), np.float32)
+    q0, s0 = pk.quantize_int8(jnp.asarray(w0))
+    assert np.all(np.asarray(q0) == 0) and np.all(np.asarray(s0) == 1.0)
+
+
+@pytest.mark.parametrize("m,k,n", [(16, 512, 512), (100, 70, 50), (129, 256, 300)])
+def test_pallas_int8_matmul(m, k, n):
+    x = RNG.standard_normal((m, k)).astype(np.float32)
+    w = RNG.standard_normal((k, n)).astype(np.float32) * 0.1
+    q, s = pk.quantize_int8(jnp.asarray(w))
+    got = np.asarray(pk.int8_matmul(jnp.asarray(x), q, s))
+    want = x @ (np.asarray(q, np.float32) * np.asarray(s))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_int8_matmul_bf16_activations_f32_out():
+    x = RNG.standard_normal((16, 256)).astype(np.float32)
+    w = RNG.standard_normal((256, 128)).astype(np.float32) * 0.1
+    q, s = pk.quantize_int8(jnp.asarray(w))
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    got = pk.int8_matmul(xb, q, s)
+    assert got.dtype == jnp.bfloat16
+    got32 = pk.int8_matmul(xb, q, s, out_dtype=jnp.float32)
+    assert got32.dtype == jnp.float32
+    want = np.asarray(xb, np.float32) @ (np.asarray(q, np.float32) * np.asarray(s))
+    np.testing.assert_allclose(np.asarray(got32), want, rtol=2e-2, atol=2e-1)

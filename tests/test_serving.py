@@ -157,3 +157,32 @@ def test_grpc_generate_rejects_non_lm():
         client.close()
     finally:
         server.stop()
+
+
+def test_grpc_generate_int8_quantized_decoder():
+    """decode_quant="int8" serves the Generate RPC through the int8
+    weight-only KV decoder; greedy output over the wire still equals the
+    dense LM's generate() on a well-separated model."""
+    from deepflows_tpu import models
+
+    df.manual_seed(13)
+    lm = models.TransformerLM(
+        vocab_size=16, max_len=16, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    import jax.numpy as jnp
+
+    server = MyDLPWServicer(
+        "localhost:50918", model=lm,
+        decode_dtype=jnp.bfloat16, decode_quant="int8",
+    )
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50918")
+        prompt = np.array([[1, 3, 5], [2, 4, 6]], np.int64)
+        out = client.generate(prompt, 5)
+        np.testing.assert_array_equal(out, lm.generate(prompt, 5))
+        assert server._service._decoder.quant == "int8"
+        client.close()
+    finally:
+        server.stop()
