@@ -74,6 +74,8 @@ class KVCacheDecoder:
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
         self._select_jit = jax.jit(self._select, static_argnums=(3, 5))
+        # static: n_steps, num_beams, eos_id (baked into the frozen row)
+        self._beam_jit = jax.jit(self._beam, static_argnums=(4, 5, 6))
         import jax.numpy as jnp
 
         def _cast_leaf(a):
@@ -270,6 +272,39 @@ class KVCacheDecoder:
         logits = self._head(x[:, plen - 1], params)
         return jnp.stack(ks), jnp.stack(vs), logits
 
+    # ------------------------------------------------- one-token forward
+    def _forward_one(self, params, kc, vc, tok, pos, positions):
+        """One decode step for a (N,) token batch at position ``pos``:
+        writes this step's K/V into the caches and returns
+        (logits (N, V) f32, kc, vc).  Shared by greedy/sampling decode and
+        beam search."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        lm = self.lm
+        H = lm.blocks[0].attn.num_heads
+        scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
+        x = params["tok"][tok][:, None, :] + lax.dynamic_slice(
+            params["pos"], (0, pos, 0), (1, 1, params["pos"].shape[2])
+        )
+        for li, p in enumerate(params["blocks"]):
+            h = self._ln(x, p["ln1_w"], p["ln1_b"])
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (N, H, 1, Dh)
+            kc = lax.dynamic_update_slice(kc, k_new[None], (li, 0, 0, pos, 0))
+            vc = lax.dynamic_update_slice(vc, v_new[None], (li, 0, 0, pos, 0))
+            s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
+            o = o.transpose(0, 2, 1, 3).reshape(tok.shape[0], 1, -1)
+            x = x + (_mm(o, p["o_w"]) + p["o_b"])
+            x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
+        x = self._ln(x, params["lnf_w"], params["lnf_b"])
+        return self._head(x[:, 0], params), kc, vc
+
     # ------------------------------------------------------------ decode
     def _decode(
         self, params, caches, tok0, pos0, n_steps,
@@ -287,9 +322,7 @@ class KVCacheDecoder:
         from jax import lax
 
         lm = self.lm
-        H = lm.blocks[0].attn.num_heads
         L = lm.max_len
-        scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
         kc0, vc0 = caches
         B = kc0.shape[1]
         tokens0 = jnp.zeros((B, n_steps), jnp.int32)
@@ -301,25 +334,9 @@ class KVCacheDecoder:
         def step(i, carry):
             kc, vc, tokens, pos, k = carry
             tok = tokens[:, i]
-            x = params["tok"][tok][:, None, :] + lax.dynamic_slice(
-                params["pos"], (0, pos, 0), (1, 1, params["pos"].shape[2])
+            logits, kc, vc = self._forward_one(
+                params, kc, vc, tok, pos, positions
             )
-            for li, p in enumerate(params["blocks"]):
-                h = self._ln(x, p["ln1_w"], p["ln1_b"])
-                q, k_new, v_new = self._attn_proj(h, p, H)  # (B, H, 1, Dh)
-                kc = lax.dynamic_update_slice(kc, k_new[None], (li, 0, 0, pos, 0))
-                vc = lax.dynamic_update_slice(vc, v_new[None], (li, 0, 0, pos, 0))
-                s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
-                    jnp.float32
-                )
-                s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
-                attn = jax.nn.softmax(s, -1).astype(vc.dtype)
-                o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
-                o = o.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-                x = x + (_mm(o, p["o_w"]) + p["o_b"])
-                x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
-            x = self._ln(x, params["lnf_w"], params["lnf_b"])
-            logits = self._head(x[:, 0], params)
             k, sub = jax.random.split(k)
             nxt = self._select(logits, sub, temperature, top_k, top_p, do_sample)
             tokens = lax.cond(
@@ -334,6 +351,140 @@ class KVCacheDecoder:
             0, n_steps, step, (kc0, vc0, tokens0, pos0, key0)
         )
         return tokens, (kc, vc)
+
+    # ------------------------------------------------------- beam search
+    def _beam(
+        self, params, caches, logits0, plen, n_steps, num_beams,
+        eos_id, length_penalty,
+    ):
+        """Beam-search ``n_steps`` tokens as ONE fori_loop program.
+
+        caches come from the (B,) prefill; each batch row is replicated
+        ``num_beams`` times so the loop forwards B*W tokens per step and
+        reorders the caches by beam parent with a single gather.  Finished
+        beams (``eos_id`` emitted) are frozen: their only continuation is
+        ``eos_id`` at log-prob 0, so their score carries unchanged.
+        Returns (tokens (B, W, n_steps), scores (B, W)) sorted best-first
+        by length-penalised score sum(logp)/len**length_penalty."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        W = num_beams
+        kc0, vc0 = caches
+        layers, B = kc0.shape[0], kc0.shape[1]
+        L = self.lm.max_len
+        positions = jnp.arange(L)
+        V = logits0.shape[-1]
+
+        logp0 = jax.nn.log_softmax(logits0, -1)  # (B, V) f32
+        scores0, tok0 = lax.top_k(logp0, W)  # (B, W)
+        tokens0 = jnp.zeros((B, W, n_steps), jnp.int32)
+        tokens0 = tokens0.at[:, :, 0].set(tok0)
+        fin0 = (
+            tok0 == eos_id if eos_id is not None
+            else jnp.zeros((B, W), bool)
+        )
+        len0 = jnp.ones((B, W), jnp.float32)
+        # replicate each batch row per beam: (layers, B*W, H, L, Dh)
+        kc0 = jnp.repeat(kc0, W, axis=1)
+        vc0 = jnp.repeat(vc0, W, axis=1)
+        brow = jnp.arange(B)[:, None]  # (B, 1)
+
+        def step(i, carry):
+            kc, vc, tokens, scores, fin, lens, pos = carry
+            tok = tokens[:, :, i - 1].reshape(B * W)
+            logits, kc, vc = self._forward_one(
+                params, kc, vc, tok, pos, positions
+            )
+            logp = jax.nn.log_softmax(logits, -1).reshape(B, W, V)
+            if eos_id is not None:
+                # frozen beams: only eos continues, at logp 0
+                frozen = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
+                logp = jnp.where(fin[:, :, None], frozen[None, None], logp)
+            total = scores[:, :, None] + logp  # (B, W, V)
+            scores, idx = lax.top_k(total.reshape(B, W * V), W)
+            parent = idx // V  # (B, W)
+            tok_new = idx % V
+            gidx = (brow * W + parent).reshape(-1)  # (B*W,)
+            kc = kc[:, gidx]
+            vc = vc[:, gidx]
+            tokens = tokens[brow, parent]
+            tokens = tokens.at[:, :, i].set(tok_new)
+            fin = fin[brow, parent]
+            lens = lens[brow, parent] + jnp.where(fin, 0.0, 1.0)
+            if eos_id is not None:
+                fin = jnp.logical_or(fin, tok_new == eos_id)
+            return kc, vc, tokens, scores, fin, lens, pos + 1
+
+        carry = (kc0, vc0, tokens0, scores0, fin0, len0, plen + 1)
+        if n_steps > 1:
+            carry = lax.fori_loop(1, n_steps, step, carry)
+        _, _, tokens, scores, _, lens, _ = carry
+        adj = scores / lens ** length_penalty
+        order = jnp.argsort(-adj, axis=-1)  # best-first
+        return (
+            tokens[brow, order],
+            jnp.take_along_axis(adj, order, axis=-1),
+        )
+
+    def generate_beam(
+        self,
+        idx,
+        new_tokens: int,
+        num_beams: int = 4,
+        eos_id=None,
+        length_penalty: float = 1.0,
+        return_all: bool = False,
+    ):
+        """Beam-search decode: returns the highest-scoring continuation of
+        the (B, L) prompt as (B, L+new_tokens) (``num_beams == 1`` ≡ greedy
+        ``generate``).  With ``return_all=True`` returns
+        (sequences (B, num_beams, L+new_tokens) best-first,
+        scores (B, num_beams)) where a score is the sequence log-prob
+        divided by generated-length**length_penalty.  ``eos_id`` freezes a
+        beam once emitted (its tail pads with ``eos_id``).
+
+        Whole search = one prefill + ONE fori_loop program + one readback,
+        like greedy; the per-step beam reorder is a single cache gather.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        idx = np.asarray(idx)
+        B, plen = idx.shape
+        if plen < 1:
+            raise ValueError("prompt must have at least one token")
+        if num_beams < 1:
+            raise ValueError("num_beams must be >= 1")
+        L = self.lm.max_len
+        if plen + new_tokens > L:
+            raise ValueError(
+                f"prompt_len {plen} + new_tokens {new_tokens} exceeds "
+                f"max_len {L}"
+            )
+        if new_tokens == 0:
+            raise ValueError("beam search needs new_tokens >= 1")
+        params = self._gather()
+        if self._prep_jit is not None:
+            params = self._prep_jit(params)
+        prompt = np.zeros((B, L), np.int32)
+        prompt[:, :plen] = idx
+        kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)
+        tokens, scores = self._beam_jit(
+            params, (kc, vc), logits0, np.int32(plen), new_tokens,
+            num_beams, eos_id, np.float32(length_penalty),
+        )
+        tokens = np.asarray(tokens)  # single readback
+        scores = np.asarray(scores)
+        seqs = np.concatenate(
+            [np.broadcast_to(idx[:, None], (B, num_beams, plen)),
+             tokens.astype(idx.dtype)],
+            axis=2,
+        )
+        if return_all:
+            return seqs, scores
+        return seqs[:, 0]
 
     # ---------------------------------------------------------- generate
     def generate(

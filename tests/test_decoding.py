@@ -204,3 +204,96 @@ def test_kv_decode_int8_bf16_activations():
 def test_kv_decode_rejects_bad_quant():
     with pytest.raises(ValueError):
         KVCacheDecoder(_lm(), quant="int4")
+
+
+def _seq_logprob(lm, seq, plen):
+    """Independent sequence log-prob via the tape forward: sum of
+    log-softmax(logits[t-1])[tok_t] over the generated positions."""
+    import scipy.special as sp
+
+    with df.no_grad():
+        logits = lm(Tensor(seq.astype(np.int64), device="tpu")).numpy()
+    lp = sp.log_softmax(logits.astype(np.float64), axis=-1)
+    B, L, _ = lp.shape
+    out = np.zeros(B)
+    for t in range(plen, seq.shape[1]):
+        out += lp[np.arange(B), t - 1, seq[:, t]]
+    return out
+
+
+def test_beam_search_beam1_equals_greedy():
+    lm = _lm(seed=13)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (3, 5)).astype(np.int64)
+    np.testing.assert_array_equal(
+        dec.generate_beam(idx.copy(), 7, num_beams=1),
+        dec.generate(idx.copy(), 7),
+    )
+
+
+def test_beam_search_finds_higher_likelihood_and_scores_exact():
+    lm = _lm(seed=5)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (2, 4)).astype(np.int64)
+    new = 6
+    seqs, scores = dec.generate_beam(
+        idx.copy(), new, num_beams=4, return_all=True
+    )
+    assert seqs.shape == (2, 4, 10) and scores.shape == (2, 4)
+    # best-first ordering
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    # each returned score is the sequence's true mean log-prob
+    # (length_penalty=1, no eos -> divide by new token count); the tape
+    # forward computes MHA/softmax in a different op order than the
+    # decoder's fused inference path, so agreement is ~1e-3 relative
+    for w in range(4):
+        want = _seq_logprob(lm, seqs[:, w], idx.shape[1]) / new
+        np.testing.assert_allclose(scores[:, w], want, rtol=1e-2, atol=5e-3)
+    # the top beam is at least as likely as the greedy sequence
+    greedy = dec.generate(idx.copy(), new)
+    glp = _seq_logprob(lm, greedy, idx.shape[1]) / new
+    assert np.all(scores[:, 0] >= glp - 1e-6)
+
+
+def test_beam_search_eos_freezes_beam():
+    lm = _lm(seed=13)
+    dec = KVCacheDecoder(lm)
+    idx = RNG.integers(0, 48, (1, 5)).astype(np.int64)
+    greedy = dec.generate(idx.copy(), 6)
+    eos = int(greedy[0, 5])  # the greedy first token -> finishes a beam
+    seqs, scores = dec.generate_beam(
+        idx.copy(), 6, num_beams=3, eos_id=eos, return_all=True
+    )
+    # some beam emitted eos and then padded with eos to the end
+    hit = [(seqs[0, w] == eos).any() for w in range(3)]
+    assert any(hit)
+    for w in range(3):
+        row = seqs[0, w, 5:]
+        pos = np.where(row == eos)[0]
+        if pos.size:
+            assert np.all(row[pos[0]:] == eos), row  # frozen tail
+    assert np.all(np.isfinite(scores))
+
+
+def test_beam_search_int8_bf16_compose():
+    import jax.numpy as jnp
+
+    lm = _lm(seed=13)
+    dense = KVCacheDecoder(lm)
+    qdec = KVCacheDecoder(lm, compute_dtype=jnp.bfloat16, quant="int8")
+    idx = RNG.integers(0, 48, (2, 5)).astype(np.int64)
+    np.testing.assert_array_equal(
+        qdec.generate_beam(idx.copy(), 5, num_beams=3),
+        dense.generate_beam(idx.copy(), 5, num_beams=3),
+    )
+
+
+def test_beam_search_rejects_bad_args():
+    dec = KVCacheDecoder(_lm())
+    idx = RNG.integers(0, 48, (1, 4)).astype(np.int64)
+    with pytest.raises(ValueError):
+        dec.generate_beam(idx, 5, num_beams=0)
+    with pytest.raises(ValueError):
+        dec.generate_beam(idx, 0)
+    with pytest.raises(ValueError):
+        dec.generate_beam(idx, 100)
