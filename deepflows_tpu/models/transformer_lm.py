@@ -38,6 +38,29 @@ class _LMPost(nn.Module):
         return self.head(self.norm(x))
 
 
+class _LMTrunk(nn.Module):
+    """The LM WITHOUT its head: (B, L) tokens -> (B, L, D) hidden states.
+    Pair with ``nn.LMHeadCrossEntropy(lm.head)`` so head matmul + token CE
+    run as one fused Pallas kernel and the (B, L, vocab) logits never
+    materialize.  Wraps (shares) the parent LM's modules — the optimizer
+    built on ``lm.parameters()`` maps onto this module's tree by identity,
+    and ``lm(idx)`` still produces logits for eval."""
+
+    def __init__(self, lm):
+        super().__init__()
+        self.lm = lm
+
+    def forward(self, idx):
+        lm = self.lm
+        x = lm.tok_embed(idx)
+        L = x.shape[1]
+        if L > lm.max_len:
+            raise ValueError(f"sequence length {L} > max_len {lm.max_len}")
+        x = x + lm.pos_embed[:, :L]
+        x = lm.blocks(x)
+        return lm.norm(x)
+
+
 class TransformerLM(nn.Module):
     def __init__(
         self,
@@ -81,6 +104,12 @@ class TransformerLM(nn.Module):
         x = self.blocks(x)
         x = self.norm(x)
         return self.head(x)
+
+    def trunk(self):
+        """A shared-parameter view of this LM that stops before the head —
+        the model half of the fused-head training pair
+        (``CompiledTrainStep(lm.trunk(), opt, nn.LMHeadCrossEntropy(lm.head))``)."""
+        return _LMTrunk(self)
 
     def pipeline_partition(self):
         """Split into ``(pre, blocks, post)`` for heterogeneous pipeline

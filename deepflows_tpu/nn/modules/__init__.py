@@ -16,7 +16,8 @@ from .conv import Conv1d, Conv2d
 from .dropout import Dropout
 from .flatten import Flatten
 from .linear import Linear
-from .loss import BCELoss, CrossEntropyLoss, L1Loss, MSELoss, NLLLoss
+from .loss import (BCELoss, CrossEntropyLoss, L1Loss, LMHeadCrossEntropy,
+                   MSELoss, NLLLoss)
 from .module import Module
 from .attention import MultiheadAttention
 from .embedding import Embedding
@@ -61,6 +62,7 @@ __all__ = [
     "MSELoss",
     "BCELoss",
     "CrossEntropyLoss",
+    "LMHeadCrossEntropy",
     "Remat",
     "remat_call",
     "LayerNorm",

@@ -47,3 +47,45 @@ class BCELoss(_Loss):
 class CrossEntropyLoss(_Loss):
     def forward(self, input: Tensor, target: Tensor) -> Tensor:
         return F.cross_entropy(input, target, reduction=self.reduction)
+
+
+class LMHeadCrossEntropy(_Loss):
+    """Fused LM-head + token cross-entropy: pair with a model that outputs
+    HIDDEN states (e.g. ``TransformerLM.trunk()``) and pass the model's own
+    ``head`` Linear here — the head matmul and the cross-entropy run as ONE
+    Pallas kernel (``ops.pallas_kernels.fused_linear_ce``) that never
+    materializes the (B, L, vocab) logits in HBM, forward or backward.
+    That logits tensor is the dominant activation at large vocab (B·L·V
+    floats, plus its softmax twin); here only the per-token loss and
+    log-sum-exp (B·L floats) leave the kernel.
+
+    Gradients flow to the hidden states AND the shared head Parameters
+    (the head stays registered in the model tree, so the optimizer and
+    checkpointing see it as usual).  No reference analog (CNN-only zoo).
+    """
+
+    def __init__(self, head, reduction: str = "mean"):
+        super().__init__(reduction)
+        # reference, not a child: the head belongs to the model's tree
+        object.__setattr__(self, "_head", head)
+        from ..jax_bridge import jax_function
+        from ...ops.pallas_kernels import fused_linear_ce
+
+        def _fn(x, w, b, t):
+            return fused_linear_ce(x, w, b.reshape(-1), t)
+
+        object.__setattr__(self, "_fused", jax_function(_fn))
+
+    def forward(self, hidden: Tensor, target: Tensor) -> Tensor:
+        d = hidden.shape[-1]
+        n = 1
+        for s in hidden.shape[:-1]:
+            n *= s
+        x = hidden.reshape((n, d)) if hidden.ndim != 2 else hidden
+        t = target.reshape((n,)) if target.ndim != 1 else target
+        loss = self._fused(x, self._head.weight, self._head.bias, t)
+        if self.reduction == "mean":
+            return loss.mean()
+        if self.reduction == "sum":
+            return loss.sum()
+        return loss

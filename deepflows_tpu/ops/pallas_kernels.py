@@ -428,6 +428,249 @@ def int8_matmul(
     return out[:m, :n]
 
 
+# ---------------------------------------------- fused linear cross-entropy
+# LM-head loss WITHOUT materializing the (N, V) logits: the classic
+# large-vocab memory cliff (N=B*L rows x 32k-256k vocab of f32 logits +
+# softmax dwarfs every other activation).  The forward streams vocab tiles
+# through an online-softmax (running max / sum-exp, exactly the flash
+# recipe applied to the class axis) while gathering each row's target
+# logit; only the per-row loss and log-sum-exp (N,) leave the kernel.  The
+# backward recomputes each logits tile from (x, w, lse) and contracts it
+# immediately: dx accumulates over vocab tiles, dw/db over row tiles —
+# softmax probabilities never hit HBM either.
+
+_FLCE_BV = 512  # vocab tile (f32 logits tile 128 x 512 = 256 KiB of VMEM)
+
+
+def _flce_fwd_kernel(
+    x_ref, w_ref, b_ref, t_ref, loss_ref, lse_ref, m_ref, l_ref, s_ref,
+    *, nv, bv, vocab,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    logits = jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    ) + b_ref[:]  # (bm, bv) f32
+    bm = logits.shape[0]
+    kpos = j * bv + jax.lax.broadcasted_iota(jnp.int32, (bm, bv), 1)
+    logits = jnp.where(kpos >= vocab, _NEG_INF, logits)  # padded vocab tail
+    tgt = t_ref[:, 0:1]  # (bm, 1) int32
+    s_ref[:] += jnp.broadcast_to(
+        jnp.sum(jnp.where(kpos == tgt, logits, 0.0), axis=1, keepdims=True),
+        s_ref.shape,
+    )
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    l_cur = l_prev * jnp.exp(m_prev - m_cur) + jnp.sum(
+        jnp.exp(logits - m_cur), axis=1, keepdims=True
+    )
+    m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_cur, l_ref.shape)
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse = m_ref[:, 0:1] + jnp.log(l_ref[:, 0:1])
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+        loss_ref[:] = jnp.broadcast_to(lse - s_ref[:, 0:1], loss_ref.shape)
+
+
+def _flce_dx_kernel(
+    x_ref, w_ref, b_ref, t_ref, lse_ref, g_ref, dx_ref, dx_acc,
+    *, nv, bv, vocab,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dx_acc[:] = jnp.zeros_like(dx_acc)
+
+    logits = jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    ) + b_ref[:]
+    bm = logits.shape[0]
+    kpos = j * bv + jax.lax.broadcasted_iota(jnp.int32, (bm, bv), 1)
+    p = jnp.where(
+        kpos >= vocab, 0.0, jnp.exp(logits - lse_ref[:, 0:1])
+    )  # softmax tile
+    dl = (p - (kpos == t_ref[:, 0:1]).astype(jnp.float32)) * g_ref[:, 0:1]
+    dx_acc[:] += jax.lax.dot_general(
+        dl.astype(w_ref.dtype), w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bm, D)
+
+    @pl.when(j == nv - 1)
+    def _():
+        dx_ref[:] = dx_acc[:].astype(dx_ref.dtype)
+
+
+def _flce_dw_kernel(
+    x_ref, w_ref, b_ref, t_ref, lse_ref, g_ref, dw_ref, db_ref,
+    dw_acc, db_acc, *, ni, bv, vocab,
+):
+    # grid (nj, ni): row tiles iterate fastest, one (dw, db) tile per j
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        db_acc[:] = jnp.zeros_like(db_acc)
+
+    logits = jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    ) + b_ref[:]
+    bm = logits.shape[0]
+    kpos = j * bv + jax.lax.broadcasted_iota(jnp.int32, (bm, bv), 1)
+    p = jnp.where(kpos >= vocab, 0.0, jnp.exp(logits - lse_ref[:, 0:1]))
+    dl = (p - (kpos == t_ref[:, 0:1]).astype(jnp.float32)) * g_ref[:, 0:1]
+    dw_acc[:] += jax.lax.dot_general(
+        x_ref[:], dl.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, bv)
+    db_acc[:] += jnp.broadcast_to(
+        jnp.sum(dl, axis=0, keepdims=True), db_acc.shape
+    )  # every sublane accumulates the same (1, bv) row
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        db_ref[:] = db_acc[0:1].astype(db_ref.dtype)
+
+
+def _flce_pads(x, w, b, t, g, bm, bv):
+    n, d = x.shape
+    vocab = w.shape[1]
+    np_, vp = _round_up(n, bm), _round_up(vocab, bv)
+    x_p = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    w_p = jnp.pad(w, ((0, 0), (0, vp - vocab)))
+    b_p = jnp.pad(b.reshape(1, -1), ((0, 0), (0, vp - vocab)))
+    # padded rows target class 0 of an all -inf row: loss garbage, sliced off
+    t_p = jnp.pad(t.astype(jnp.int32), (0, np_ - n)).reshape(-1, 1)
+    t_p = jnp.broadcast_to(t_p, (np_, _LSE_LANES))
+    parts = [x_p, w_p, b_p, t_p]
+    if g is not None:
+        g_p = jnp.pad(g.astype(jnp.float32), (0, np_ - n)).reshape(-1, 1)
+        parts.append(jnp.broadcast_to(g_p, (np_, _LSE_LANES)))
+    return parts, np_, vp, vocab
+
+
+def _flce_fwd_impl(x, w, b, t, bm, bv):
+    n, d = x.shape
+    (x_p, w_p, b_p, t_p), np_, vp, vocab = _flce_pads(x, w, b, t, None, bm, bv)
+    ni, nv = np_ // bm, vp // bv
+    row = pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    wv = pl.BlockSpec((d, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((1, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    lanes = pl.BlockSpec(
+        (bm, _LSE_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    loss, lse = pl.pallas_call(
+        functools.partial(_flce_fwd_kernel, nv=nv, bv=bv, vocab=vocab),
+        grid=(ni, nv),
+        in_specs=[row, wv, bias, lanes],
+        out_specs=(lanes, lanes),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, _LSE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((np_, _LSE_LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 128), jnp.float32),
+            pltpu.VMEM((bm, 128), jnp.float32),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d * vp,
+            bytes_accessed=4 * (np_ * d + d * vp + 2 * np_),
+            transcendentals=np_ * vp,
+        ),
+        interpret=_interpret(),
+    )(x_p, w_p, b_p, t_p)
+    return loss[:n, 0], lse[:n, 0]
+
+
+def _flce_bwd_impl(x, w, b, t, lse, g, bm, bv):
+    n, d = x.shape
+    (x_p, w_p, b_p, t_p, g_p), np_, vp, vocab = _flce_pads(
+        x, w, b, t, g, bm, bv
+    )
+    lse_p = jnp.pad(lse, (0, np_ - n)).reshape(-1, 1)
+    lse_p = jnp.broadcast_to(lse_p, (np_, _LSE_LANES))
+    ni, nv = np_ // bm, vp // bv
+    row = pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    wv = pl.BlockSpec((d, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((1, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    lanes = pl.BlockSpec(
+        (bm, _LSE_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    dx = pl.pallas_call(
+        functools.partial(_flce_dx_kernel, nv=nv, bv=bv, vocab=vocab),
+        grid=(ni, nv),
+        in_specs=[row, wv, bias, lanes, lanes, lanes],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, d), jnp.float32)],
+        interpret=_interpret(),
+    )(x_p, w_p, b_p, t_p, lse_p, g_p)
+    # kv-major grid for dw/db: row tiles fastest
+    row2 = pl.BlockSpec((bm, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    wv2 = pl.BlockSpec((d, bv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    bias2 = pl.BlockSpec((1, bv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    lanes2 = pl.BlockSpec(
+        (bm, _LSE_LANES), lambda j, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dw, db = pl.pallas_call(
+        functools.partial(_flce_dw_kernel, ni=ni, bv=bv, vocab=vocab),
+        grid=(nv, ni),
+        in_specs=[row2, wv2, bias2, lanes2, lanes2, lanes2],
+        out_specs=(wv2, bias2),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, vp), w.dtype),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, bv), jnp.float32),
+            pltpu.VMEM((8, bv), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x_p, w_p, b_p, t_p, lse_p, g_p)
+    return dx[:n], dw[:, :vocab], db[0, :vocab].astype(b.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_vocab"))
+def fused_linear_ce(x, w, b, targets, block_rows: int = 128, block_vocab: int = _FLCE_BV):
+    """Per-row cross-entropy of the LM head ``x @ w + b`` against int
+    ``targets`` — loss_i = logsumexp_v(logits_iv) - logits_i,t_i — with the
+    (N, V) logits never materialized in HBM (streamed per vocab tile,
+    forward AND backward).  x: (N, D); w: (D, V); b: (V,); targets: (N,)
+    int.  Differentiable in x, w, b (targets get no gradient)."""
+
+    @jax.custom_vjp
+    def run(x, w, b, tf):
+        loss, _ = _flce_fwd_impl(x, w, b, tf.astype(jnp.int32), block_rows, block_vocab)
+        return loss
+
+    def fwd(x, w, b, tf):
+        t = tf.astype(jnp.int32)
+        loss, lse = _flce_fwd_impl(x, w, b, t, block_rows, block_vocab)
+        return loss, (x, w, b, t, lse)
+
+    def bwd(res, g):
+        x, w, b, t, lse = res
+        dx, dw, db = _flce_bwd_impl(x, w, b, t, lse, g, block_rows, block_vocab)
+        return dx, dw, db, jnp.zeros(t.shape, jnp.float32)
+
+    run.defvjp(fwd, bwd)
+    # targets ride through AD as f32 so the cotangent structure is plain
+    # (int primals would need float0 cotangents); values are exact ints
+    return run(x, w, b, targets.astype(jnp.float32))
+
+
 # ------------------------------------------------------------ flash attention
 # FlashAttention-2-style online-softmax tiled attention (fwd + recompute
 # backward) for (B, H, L, D) inputs.  The naive tape path materializes the
