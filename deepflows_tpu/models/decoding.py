@@ -27,8 +27,11 @@ from __future__ import annotations
 import numpy as np
 
 # weight matrices quantized under quant="int8" (biases, layernorms and the
-# embedding stay in the compute dtype; the head is quantized at top level)
-_QUANT_KEYS = frozenset(("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"))
+# embedding stay in the compute dtype; the head is quantized at top level;
+# q/k/v fuse into qkv_w at prep time before quantization — per-channel
+# scales make fused and separate quantization identical)
+_QUANT_KEYS = frozenset(("qkv_w", "o_w", "fc1_w", "fc2_w"))
+_QKV_KEYS = frozenset(("q_w", "k_w", "v_w", "q_b", "k_b", "v_b"))
 
 
 def _mm(x, w):
@@ -88,36 +91,47 @@ class KVCacheDecoder:
         if quant == "int8":
             from ..ops.pallas_kernels import quantize_int8
 
-            def _q2(w):
+            def _wprep(w):
                 q, s = quantize_int8(w)
                 return {"q": q, "s": s}
-
-            def _prep(tree):
-                out = {}
-                for k, v in tree.items():
-                    if k == "blocks":
-                        out[k] = [
-                            {
-                                bk: (_q2(bv) if bk in _QUANT_KEYS else _cast_leaf(bv))
-                                for bk, bv in blk.items()
-                            }
-                            for blk in v
-                        ]
-                    elif k == "head_w":
-                        out[k] = _q2(v)
-                    else:
-                        out[k] = _cast_leaf(v)
-                return out
-
-            # ONE fused device program per generate(): reads the f32 params
-            # once, writes the int8 weights + scales the decode loop streams
-            self._prep_jit = jax.jit(_prep)
-        elif compute_dtype is not None:
-            # ONE fused device program per generate(): reads the f32 params
-            # once, writes the compact copy the decode loop then streams
-            self._prep_jit = jax.jit(lambda tree: jax.tree.map(_cast_leaf, tree))
         else:
-            self._prep_jit = None
+            _wprep = _cast_leaf
+
+        def _prep(tree):
+            """Cast + fuse + (optionally) quantize, as ONE device program
+            per generate(): the separate q/k/v projections concatenate into
+            a single (D, 3E) matmul — decode at small batch is
+            op-LATENCY-bound (BENCH_NOTES "Decode dtype ladder"), so fewer,
+            bigger matmuls per layer beat three skinny ones."""
+            out = {}
+            for k, v in tree.items():
+                if k == "blocks":
+                    nbs = []
+                    for blk in v:
+                        nb = {
+                            bk: (_wprep(bv) if bk in _QUANT_KEYS else _cast_leaf(bv))
+                            for bk, bv in blk.items()
+                            if bk not in _QKV_KEYS
+                        }
+                        nb["qkv_w"] = _wprep(
+                            jnp.concatenate(
+                                [blk["q_w"], blk["k_w"], blk["v_w"]], axis=1
+                            )
+                        )
+                        nb["qkv_b"] = _cast_leaf(
+                            jnp.concatenate(
+                                [blk["q_b"], blk["k_b"], blk["v_b"]], axis=-1
+                            )
+                        )
+                        nbs.append(nb)
+                    out[k] = nbs
+                elif k == "head_w":
+                    out[k] = _wprep(v)
+                else:
+                    out[k] = _cast_leaf(v)
+            return out
+
+        self._prep_jit = jax.jit(_prep)
         # back-compat alias (r3 tests poked _cast_jit directly)
         self._cast_jit = self._prep_jit
 
@@ -190,17 +204,19 @@ class KVCacheDecoder:
         ) + hb
 
     def _attn_proj(self, h, p, H):
-        """h: (B, T, E) -> q, k, v each (B, H, T, Dh)."""
+        """h: (B, T, E) -> q, k, v each (B, H, T, Dh), via the prep-fused
+        single (E, 3E) projection."""
+        import jax.numpy as jnp
+
         B, T, E = h.shape
         D = E // H
+        y = _mm(h, p["qkv_w"]) + p["qkv_b"]  # (B, T, 3E)
+        q, k, v = jnp.split(y, 3, axis=-1)
 
-        def proj(w, b):
-            y = _mm(h, w) + b
-            return y.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        def sh(z):
+            return z.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
-        return proj(p["q_w"], p["q_b"]), proj(p["k_w"], p["k_b"]), proj(
-            p["v_w"], p["v_b"]
-        )
+        return sh(q), sh(k), sh(v)
 
     @staticmethod
     def _select(logits, key, temperature, top_k, top_p, do_sample):
@@ -465,9 +481,7 @@ class KVCacheDecoder:
             )
         if new_tokens == 0:
             raise ValueError("beam search needs new_tokens >= 1")
-        params = self._gather()
-        if self._prep_jit is not None:
-            params = self._prep_jit(params)
+        params = self._prep_jit(self._gather())
         prompt = np.zeros((B, L), np.int32)
         prompt[:, :plen] = idx
         kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)
@@ -527,9 +541,7 @@ class KVCacheDecoder:
             top_p = None
         temp = None if temperature is None else np.float32(temperature)
         tp = None if top_p is None else np.float32(top_p)
-        params = self._gather()
-        if self._prep_jit is not None:
-            params = self._prep_jit(params)
+        params = self._prep_jit(self._gather())
         prompt = np.zeros((B, L), np.int32)
         prompt[:, :plen] = idx
         kc, vc, logits0 = self._prefill_jit(params, jnp.asarray(prompt), plen)

@@ -128,8 +128,8 @@ def test_kv_decode_bf16_compute():
     dec16 = KVCacheDecoder(lm, compute_dtype=jnp.bfloat16)
     idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
 
-    p = dec32._gather()
-    p16 = dec16._cast_jit(p)
+    p = dec32._prep_jit(dec32._gather())
+    p16 = dec16._cast_jit(dec32._gather())
     assert p16["tok"].dtype == jnp.bfloat16
     prompt = np.zeros((2, lm.max_len), np.int32)
     prompt[:, :6] = idx
@@ -161,13 +161,15 @@ def test_kv_decode_int8_weight_only():
     dec8 = KVCacheDecoder(lm, quant="int8")
     idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
 
-    p = dec32._gather()
-    p8 = dec8._prep_jit(p)
+    raw = dec32._gather()
+    p = dec32._prep_jit(raw)
+    p8 = dec8._prep_jit(raw)
     blk = p8["blocks"][0]
-    assert blk["q_w"]["q"].dtype == jnp.int8
-    assert blk["q_w"]["s"].shape == (p["blocks"][0]["q_w"].shape[1],)
+    # q/k/v fuse into one (D, 3E) matrix at prep time, then quantize
+    assert blk["qkv_w"]["q"].dtype == jnp.int8
+    assert blk["qkv_w"]["s"].shape == (3 * raw["blocks"][0]["q_w"].shape[1],)
     assert p8["head_w"]["q"].dtype == jnp.int8
-    assert blk["ln1_w"].dtype == p["blocks"][0]["ln1_w"].dtype  # not quantized
+    assert blk["ln1_w"].dtype == raw["blocks"][0]["ln1_w"].dtype  # not quantized
 
     prompt = np.zeros((2, lm.max_len), np.int32)
     prompt[:, :6] = idx
