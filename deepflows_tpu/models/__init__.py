@@ -11,6 +11,7 @@ from .resnet import (
     ResNet34,
     ResNet50,
 )
+from .llama import LlamaBlock, LlamaLM
 from .transformer_lm import TransformerLM
 from .vgg import VGG, VGG16
 from .vit import EncoderBlock, ViT_Tiny, VisionTransformer
@@ -20,6 +21,8 @@ __all__ = [
     "ViT_Tiny",
     "EncoderBlock",
     "TransformerLM",
+    "LlamaLM",
+    "LlamaBlock",
     "MLP",
     "MNIST_CNN",
     "CIFAR10_CNN",

@@ -48,6 +48,16 @@ def _mm(x, w):
 
 
 class KVCacheDecoder:
+    def __new__(cls, lm, *a, **kw):
+        # architecture dispatch: KVCacheDecoder(model) returns the right
+        # decoder subclass (serving constructs decoders generically)
+        if cls is KVCacheDecoder:
+            from .llama import LlamaLM
+
+            if isinstance(lm, LlamaLM):
+                return super().__new__(LlamaKVCacheDecoder)
+        return super().__new__(cls)
+
     def __init__(self, lm, compute_dtype=None, quant=None):
         """``compute_dtype=jnp.bfloat16`` casts the gathered weights once
         per generate() and runs the whole prefill+decode in bf16 (half the
@@ -97,43 +107,47 @@ class KVCacheDecoder:
         else:
             _wprep = _cast_leaf
 
-        def _prep(tree):
-            """Cast + fuse + (optionally) quantize, as ONE device program
-            per generate(): the separate q/k/v projections concatenate into
-            a single (D, 3E) matmul — decode at small batch is
-            op-LATENCY-bound (BENCH_NOTES "Decode dtype ladder"), so fewer,
-            bigger matmuls per layer beat three skinny ones."""
-            out = {}
-            for k, v in tree.items():
-                if k == "blocks":
-                    nbs = []
-                    for blk in v:
-                        nb = {
-                            bk: (_wprep(bv) if bk in _QUANT_KEYS else _cast_leaf(bv))
-                            for bk, bv in blk.items()
-                            if bk not in _QKV_KEYS
-                        }
-                        nb["qkv_w"] = _wprep(
-                            jnp.concatenate(
-                                [blk["q_w"], blk["k_w"], blk["v_w"]], axis=1
-                            )
-                        )
-                        nb["qkv_b"] = _cast_leaf(
-                            jnp.concatenate(
-                                [blk["q_b"], blk["k_b"], blk["v_b"]], axis=-1
-                            )
-                        )
-                        nbs.append(nb)
-                    out[k] = nbs
-                elif k == "head_w":
-                    out[k] = _wprep(v)
-                else:
-                    out[k] = _cast_leaf(v)
-            return out
-
-        self._prep_jit = jax.jit(_prep)
+        self._prep_jit = jax.jit(
+            lambda tree: self._prep_tree(tree, _wprep, _cast_leaf)
+        )
         # back-compat alias (r3 tests poked _cast_jit directly)
         self._cast_jit = self._prep_jit
+
+    def _prep_tree(self, tree, _wprep, _cast_leaf):
+        """Cast + fuse + (optionally) quantize, as ONE device program per
+        generate(): the separate q/k/v projections concatenate into a
+        single (D, 3E) matmul — decode at small batch is op-LATENCY-bound
+        (BENCH_NOTES "Decode dtype ladder"), so fewer, bigger matmuls per
+        layer beat three skinny ones."""
+        import jax.numpy as jnp
+
+        out = {}
+        for k, v in tree.items():
+            if k == "blocks":
+                nbs = []
+                for blk in v:
+                    nb = {
+                        bk: (_wprep(bv) if bk in _QUANT_KEYS else _cast_leaf(bv))
+                        for bk, bv in blk.items()
+                        if bk not in _QKV_KEYS
+                    }
+                    nb["qkv_w"] = _wprep(
+                        jnp.concatenate(
+                            [blk["q_w"], blk["k_w"], blk["v_w"]], axis=1
+                        )
+                    )
+                    nb["qkv_b"] = _cast_leaf(
+                        jnp.concatenate(
+                            [blk["q_b"], blk["k_b"], blk["v_b"]], axis=-1
+                        )
+                    )
+                    nbs.append(nb)
+                out[k] = nbs
+            elif k == "head_w":
+                out[k] = _wprep(v)
+            else:
+                out[k] = _cast_leaf(v)
+        return out
 
     # ------------------------------------------------------------ params
     def _gather(self):
@@ -194,7 +208,10 @@ class KVCacheDecoder:
         import jax.numpy as jnp
 
         hw = params["head_w"]
-        hb = params["head_b"].astype(jnp.float32)
+        hb = (
+            params["head_b"].astype(jnp.float32)
+            if "head_b" in params else jnp.float32(0.0)
+        )
         if isinstance(hw, dict):
             from ..ops.pallas_kernels import int8_matmul
 
@@ -558,3 +575,215 @@ class KVCacheDecoder:
         # single host readback for the whole generation
         out = np.asarray(tokens)
         return np.concatenate([idx, out.astype(idx.dtype)], 1)
+
+
+class LlamaKVCacheDecoder(KVCacheDecoder):
+    """KV-cache decoding for ``models.LlamaLM`` (RMSNorm + RoPE + GQA +
+    SwiGLU).  The cache is ``(layers, B, num_kv_heads, max_len, Dh)`` — the
+    GQA group factor directly divides cache HBM and cache read traffic —
+    and the prep program fuses q/k/v into one ``(E, E + 2·Hkv·Dh)`` matmul
+    and gate/up into one ``(E, 2·hidden)`` matmul (same latency argument as
+    the base qkv fusion).  RoPE is applied in f32 from trace-time tables;
+    ``KVCacheDecoder(llama_model)`` dispatches here automatically."""
+
+    def _prep_tree(self, tree, _wprep, _cast_leaf):
+        import jax.numpy as jnp
+
+        out = {}
+        for k, v in tree.items():
+            if k == "blocks":
+                nbs = []
+                for blk in v:
+                    nbs.append(
+                        {
+                            "ln1_w": _cast_leaf(blk["ln1_w"]),
+                            "ln2_w": _cast_leaf(blk["ln2_w"]),
+                            "o_w": _wprep(blk["o_w"]),
+                            "down_w": _wprep(blk["down_w"]),
+                            "qkv_w": _wprep(
+                                jnp.concatenate(
+                                    [blk["q_w"], blk["k_w"], blk["v_w"]],
+                                    axis=1,
+                                )
+                            ),
+                            "gate_up_w": _wprep(
+                                jnp.concatenate(
+                                    [blk["gate_w"], blk["up_w"]], axis=1
+                                )
+                            ),
+                        }
+                    )
+                out[k] = nbs
+            elif k == "head_w":
+                out[k] = _wprep(v)
+            elif k in ("rope_cos", "rope_sin"):
+                out[k] = v  # stays f32: rope is applied in f32
+            else:
+                out[k] = _cast_leaf(v)
+        return out
+
+    def _gather(self):
+        from ..jit import _TRACE_LOCK
+
+        lm = self.lm
+        with _TRACE_LOCK:
+            blocks = []
+            for blk in lm.blocks:
+                a = blk.attn
+                blocks.append(
+                    dict(
+                        ln1_w=blk.norm1.weight.data.array,
+                        q_w=a.q_proj.weight.data.array,
+                        k_w=a.k_proj.weight.data.array,
+                        v_w=a.v_proj.weight.data.array,
+                        o_w=a.out_proj.weight.data.array,
+                        ln2_w=blk.norm2.weight.data.array,
+                        gate_w=blk.gate.weight.data.array,
+                        up_w=blk.up.weight.data.array,
+                        down_w=blk.down.weight.data.array,
+                    )
+                )
+            tree = dict(
+                tok=lm.tok_embed.weight.data.array,
+                blocks=blocks,
+                lnf_w=lm.norm.weight.data.array,
+                head_w=lm.head.weight.data.array,
+            )
+        # RoPE tables: (max_len, Dh) f32 consts, NeoX half-rotation layout
+        # (same math as MultiheadAttention._apply_rope)
+        a0 = lm.blocks[0].attn
+        D = a0.head_dim
+        half = D // 2
+        inv = 1.0 / (
+            a0.rope_theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / D)
+        )
+        ang = np.outer(np.arange(lm.max_len, dtype=np.float64), inv)
+        tree["rope_cos"] = np.concatenate([np.cos(ang)] * 2, -1).astype(
+            np.float32
+        )
+        tree["rope_sin"] = np.concatenate([np.sin(ang)] * 2, -1).astype(
+            np.float32
+        )
+        return tree
+
+    # ------------------------------------------------------- pure pieces
+    @staticmethod
+    def _rms(x, w, eps):
+        import jax.numpy as jnp
+
+        xf = x.astype(jnp.float32)  # stats in f32 even for bf16 compute
+        ms = jnp.mean(xf * xf, -1, keepdims=True)
+        return (xf / jnp.sqrt(ms + eps)).astype(x.dtype) * w
+
+    @staticmethod
+    def _rope(x, cos, sin):
+        """x (B, heads, T, D) with cos/sin (T, D) f32; applied in f32."""
+        import jax.numpy as jnp
+
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], -1)
+        return (xf * cos[None, None] + rot * sin[None, None]).astype(x.dtype)
+
+    def _attn_proj(self, h, p, H):
+        """h (B, T, E) -> q (B, H, T, D), k/v (B, Hkv, T, D) via the
+        prep-fused (E, E + 2·Hkv·D) projection (bias-free)."""
+        import jax.numpy as jnp
+
+        B, T, E = h.shape
+        a = self.lm.blocks[0].attn
+        Hkv, D = a.num_kv_heads, a.head_dim
+        y = _mm(h, p["qkv_w"])
+        q, k, v = jnp.split(y, [H * D, (H + Hkv) * D], axis=-1)
+
+        def sh(z, heads):
+            return z.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+
+        return sh(q, H), sh(k, Hkv), sh(v, Hkv)
+
+    @staticmethod
+    def _mlp(h, p):
+        import jax
+        import jax.numpy as jnp
+
+        y = _mm(h, p["gate_up_w"])
+        g, u = jnp.split(y, 2, axis=-1)
+        return _mm(jax.nn.silu(g) * u, p["down_w"])
+
+    # ----------------------------------------------------------- prefill
+    def _prefill(self, params, prompt, plen):
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        L = lm.max_len
+        eps = lm.norm.eps
+        x = params["tok"][prompt]
+        B = x.shape[0]
+        scale = 1.0 / np.sqrt(D)
+        causal = jnp.triu(jnp.full((L, L), -1e30, jnp.float32), k=1)
+        cos, sin = params["rope_cos"], params["rope_sin"]
+        ks, vs = [], []
+        for p in params["blocks"]:
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k, v = self._attn_proj(h, p, H)
+            q = self._rope(q, cos, sin)
+            k = self._rope(k, cos, sin)
+            ks.append(k)
+            vs.append(v)
+            # grouped contraction: each KV head serves G query heads
+            q5 = q.reshape(B, Hkv, G, L, D)
+            s = (jnp.einsum("bkgqd,bkld->bkgql", q5, k) * scale).astype(
+                jnp.float32
+            ) + causal
+            attn = jax.nn.softmax(s, -1).astype(v.dtype)
+            o = jnp.einsum("bkgql,bkld->bkgqd", attn, v)
+            o = (
+                o.reshape(B, H, L, D)
+                .transpose(0, 2, 1, 3)
+                .reshape(B, L, H * D)
+            )
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        logits = self._head(x[:, plen - 1], params)
+        return jnp.stack(ks), jnp.stack(vs), logits
+
+    # ------------------------------------------------- one-token forward
+    def _forward_one(self, params, kc, vc, tok, pos, positions):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        eps = lm.norm.eps
+        scale = 1.0 / np.sqrt(D)
+        N = tok.shape[0]
+        x = params["tok"][tok][:, None, :]
+        cos = lax.dynamic_slice(params["rope_cos"], (pos, 0), (1, D))
+        sin = lax.dynamic_slice(params["rope_sin"], (pos, 0), (1, D))
+        for li, p in enumerate(params["blocks"]):
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (N, *, 1, D)
+            q = self._rope(q, cos, sin)
+            k_new = self._rope(k_new, cos, sin)
+            kc = lax.dynamic_update_slice(kc, k_new[None], (li, 0, 0, pos, 0))
+            vc = lax.dynamic_update_slice(vc, v_new[None], (li, 0, 0, pos, 0))
+            qg = q.reshape(N, Hkv, G, D)
+            s = (jnp.einsum("bkgd,bkld->bkgl", qg, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bkgl,bkld->bkgd", attn, vc[li])
+            o = o.reshape(N, 1, H * D)
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        return self._head(x[:, 0], params), kc, vc

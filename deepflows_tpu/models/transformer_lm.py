@@ -13,6 +13,39 @@ from ..nn.parameter import Parameter
 from .vit import EncoderBlock
 
 
+def _pad_greedy_generate(model, idx, new_tokens: int):
+    """Greedy autoregressive decoding for any causal LM with ``max_len``
+    and ``tok_embed``: append ``new_tokens`` tokens to the (B, L) int
+    prompt.  Pads to ``max_len`` so every step reuses ONE compiled shape
+    (no per-length retrace); causal masking makes the pad inert."""
+    import numpy as np
+
+    from ..autograd import no_grad
+    from ..tensor import Tensor
+
+    was_training = model.training
+    model.eval()
+    try:
+        idx = np.asarray(idx)
+        for _ in range(new_tokens):
+            L = idx.shape[1]
+            if L >= model.max_len:
+                ctx = idx[:, -model.max_len :]
+                pos = model.max_len - 1
+            else:  # right-pad to max_len: one static shape for all steps
+                pad = np.zeros((idx.shape[0], model.max_len - L), idx.dtype)
+                ctx = np.concatenate([idx, pad], 1)
+                pos = L - 1
+            with no_grad():
+                logits = model(Tensor(ctx, device=model.tok_embed.device))
+            nxt = np.asarray(logits.data.array)[:, pos].argmax(-1)
+            idx = np.concatenate([idx, nxt[:, None].astype(idx.dtype)], 1)
+        return idx
+    finally:
+        if was_training:
+            model.train()
+
+
 class _LMPre(nn.Module):
     """Pipeline pre-stage: token + position embedding, (B, L) -> (B, L, D)."""
 
@@ -131,31 +164,4 @@ class TransformerLM(nn.Module):
         """Greedy autoregressive decoding: append ``new_tokens`` tokens to
         the (B, L) int prompt.  Pads to ``max_len`` so every step reuses ONE
         compiled shape (no per-length retrace)."""
-        import numpy as np
-
-        from ..autograd import no_grad
-        from ..tensor import Tensor
-
-        was_training = self.training
-        self.eval()
-        try:
-            idx = np.asarray(idx)
-            for _ in range(new_tokens):
-                L = idx.shape[1]
-                if L >= self.max_len:
-                    ctx = idx[:, -self.max_len :]
-                    pos = self.max_len - 1
-                else:  # right-pad to max_len: one static shape for all steps
-                    pad = np.zeros(
-                        (idx.shape[0], self.max_len - L), idx.dtype
-                    )
-                    ctx = np.concatenate([idx, pad], 1)
-                    pos = L - 1
-                with no_grad():
-                    logits = self(Tensor(ctx, device=self.tok_embed.device))
-                nxt = np.asarray(logits.data.array)[:, pos].argmax(-1)
-                idx = np.concatenate([idx, nxt[:, None].astype(idx.dtype)], 1)
-            return idx
-        finally:
-            if was_training:
-                self.train()
+        return _pad_greedy_generate(self, idx, new_tokens)

@@ -120,6 +120,26 @@ class sigmoid(UnaryOperator):
         return grad * self.data * (1.0 - self.data)
 
 
+class silu(UnaryOperator):
+    """x * sigmoid(x) (no reference analog — shipped for the SwiGLU MLP of
+    the Llama family, `models/llama.py`).  One tape node: the sigmoid is
+    recomputed from the saved output-free form in grad (d/dx = s + x·s·(1−s))."""
+
+    def forward(self, x):
+        d = x.data
+        xp = d.device.xp
+        z = xp.exp(-xp.abs(d.array))
+        s = xp.where(d.array >= 0, 1.0 / (1.0 + z), z / (1.0 + z))
+        self._s = BackendTensor._wrap(s.astype(d.array.dtype), d.device)
+        return BackendTensor._wrap(
+            (d.array * s).astype(d.array.dtype), d.device
+        )
+
+    def grad_fn(self, x, grad):
+        s = self._s
+        return grad * (s + x.data * s * (1.0 - s))
+
+
 class tanh(UnaryOperator):
     def forward(self, x):
         return x.data.tanh()

@@ -7,6 +7,7 @@ from .activation import (
     LogSoftmax,
     ReLU,
     Sigmoid,
+    SiLU,
     Softmax,
     Tanh,
 )
@@ -22,7 +23,7 @@ from .module import Module
 from .attention import MultiheadAttention
 from .embedding import Embedding
 from .moe import MoE, MoECriterion
-from .normalization import GroupNorm, LayerNorm
+from .normalization import GroupNorm, LayerNorm, RMSNorm
 from .remat import Remat, remat_call
 from .pool import (
     AdaptiveAvgPool2d,
@@ -52,6 +53,7 @@ __all__ = [
     "ReLU",
     "ReLU6",
     "Sigmoid",
+    "SiLU",
     "Tanh",
     "GELU",
     "LeakyReLU",
@@ -67,6 +69,7 @@ __all__ = [
     "remat_call",
     "LayerNorm",
     "GroupNorm",
+    "RMSNorm",
     "Embedding",
     "MultiheadAttention",
     "MoE",

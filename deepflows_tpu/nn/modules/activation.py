@@ -29,6 +29,13 @@ class Tanh(Module):
         return F.tanh(input)
 
 
+class SiLU(Module):
+    """x·sigmoid(x) — the Llama-family MLP activation (no reference analog)."""
+
+    def forward(self, input: Tensor) -> Tensor:
+        return F.silu(input)
+
+
 class GELU(Module):
     """Real GELU — the reference module delegated to an empty functional stub
     (`activation.py:79-106`, `functional.py:38-40`)."""

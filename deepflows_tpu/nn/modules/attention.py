@@ -36,6 +36,9 @@ class MultiheadAttention(Module):
         device=None,
         flash=None,
         ring=None,
+        num_kv_heads=None,
+        rope: bool = False,
+        rope_theta: float = 10000.0,
     ) -> None:
         """``causal=True`` applies the autoregressive mask (position i may
         attend to j <= i) — the decoder/LM attention variant.
@@ -56,19 +59,46 @@ class MultiheadAttention(Module):
         gathers; pair with ``parallel.sequence_sharding`` constraints so the
         surrounding pointwise layers keep the same layout).  Self-attention
         only; takes precedence over ``flash``; falls back to the naive path
-        for ``need_weights``/live attention dropout like flash does."""
+        for ``need_weights``/live attention dropout like flash does.
+
+        ``num_kv_heads`` (grouped-query attention, GQA): K/V project onto
+        fewer heads than Q and each group of ``num_heads // num_kv_heads``
+        query heads shares one KV head (query head ``h`` reads KV head
+        ``h // group``, torch/HF repeat_interleave semantics).  The grouped
+        score/value contraction runs as broadcast batched matmuls — the KV
+        tensors are never physically repeated on the naive path.  Shrinks
+        the KV cache by the group factor at decode time (`models/decoding`).
+
+        ``rope=True`` applies rotary position embeddings to Q and K after
+        the head split (NeoX/Llama half-rotation layout, base
+        ``rope_theta``), making the layer position-aware without an additive
+        positional table."""
         super().__init__()
         if embed_dim % num_heads:
             raise ValueError(
                 f"embed_dim {embed_dim} not divisible by num_heads {num_heads}"
             )
+        if num_kv_heads is None:
+            num_kv_heads = num_heads
+        if num_heads % num_kv_heads:
+            raise ValueError(
+                f"num_heads {num_heads} not divisible by num_kv_heads "
+                f"{num_kv_heads}"
+            )
         self.embed_dim = embed_dim
         self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
         self.head_dim = embed_dim // num_heads
+        kv_dim = num_kv_heads * self.head_dim
         self.q_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
-        self.k_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
-        self.v_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        self.k_proj = Linear(embed_dim, kv_dim, bias=bias, device=device)
+        self.v_proj = Linear(embed_dim, kv_dim, bias=bias, device=device)
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias, device=device)
+        if rope and self.head_dim % 2:
+            raise ValueError("rope needs an even head_dim")
+        self.rope = bool(rope)
+        self.rope_theta = float(rope_theta)
+        self._rope_cache = {}  # (L, dtype) -> (cos, sin) numpy (L, D)
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
         self.causal = causal
         self.flash = flash
@@ -80,6 +110,8 @@ class MultiheadAttention(Module):
     def _use_ring(self, need_weights: bool, is_self: bool) -> bool:
         if self.ring is None or not is_self:
             return False
+        if self.num_kv_heads != self.num_heads:
+            return False  # ring path is non-grouped; GQA uses naive/flash
         if need_weights:
             return False
         if self.attn_drop is not None and self.training:
@@ -116,14 +148,20 @@ class MultiheadAttention(Module):
         B, L, E = query.shape
         Lk = key.shape[1]
         H, D = self.num_heads, self.head_dim
+        Hkv = self.num_kv_heads
 
-        def split(x, length):
-            # (B, L, E) -> (B, H, L, D)
-            return x.reshape(B, length, H, D).transpose(0, 2, 1, 3)
+        def split(x, length, heads):
+            # (B, L, heads*D) -> (B, heads, L, D)
+            return x.reshape(B, length, heads, D).transpose(0, 2, 1, 3)
 
-        q = split(self.q_proj(query), L)
-        k = split(self.k_proj(key), Lk)
-        v = split(self.v_proj(value), Lk)
+        q = split(self.q_proj(query), L, H)
+        k = split(self.k_proj(key), Lk, Hkv)
+        v = split(self.v_proj(value), Lk, Hkv)
+        if self.rope:
+            q = self._apply_rope(q, L)
+            k = self._apply_rope(k, Lk)
+        if Hkv != H:
+            return self._grouped_forward(q, k, v, need_weights)
         if self._use_ring(need_weights, is_self):
             if self._ring_fn is None:
                 from ...parallel.ring import ring_attention
@@ -173,6 +211,108 @@ class MultiheadAttention(Module):
         if need_weights:
             return out, weights
         return out
+
+    def _grouped_forward(self, q, k, v, need_weights):
+        """GQA score/value contraction: q ``(B, H, L, D)`` against
+        ``(B, Hkv, Lk, D)`` K/V via 5-D broadcast batched matmuls — each
+        group of ``H // Hkv`` query heads reads its shared KV head without
+        the KV tensor ever being repeated (matmul's batch broadcasting
+        carries the group dim; grads sum back over it via _unbroadcast)."""
+        B, H, L, D = q.shape
+        Hkv = self.num_kv_heads
+        Lk = k.shape[2]
+        G = H // Hkv
+        E = self.embed_dim
+        if self._use_flash(need_weights, L):
+            # the flash kernel wants equal head counts: broadcast-repeat
+            # KV heads with a ones-multiply (grads still sum per group)
+            k = (k.reshape(B, Hkv, 1, Lk, D) * self._group_ones(G, k)).reshape(
+                B, H, Lk, D
+            )
+            v = (v.reshape(B, Hkv, 1, Lk, D) * self._group_ones(G, v)).reshape(
+                B, H, Lk, D
+            )
+            if self._flash_fn is None:
+                from ...ops.pallas_kernels import flash_attention
+                from ..jax_bridge import jax_function
+
+                causal = self.causal
+
+                def _flash(qa, ka, va):
+                    return flash_attention(qa, ka, va, causal)
+
+                self._flash_fn = jax_function(_flash)
+            out = self._flash_fn(q, k, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+            return self.out_proj(out)
+        q5 = q.reshape(B, Hkv, G, L, D)
+        k5 = k.reshape(B, Hkv, 1, Lk, D)
+        v5 = v.reshape(B, Hkv, 1, Lk, D)
+        scores = (q5 @ k5.transpose(0, 1, 2, 4, 3)) * (1.0 / math.sqrt(D))
+        if self.causal:
+            scores = scores + self._causal_mask(L, Lk, scores)
+        attn = F.softmax(scores, 4)
+        weights = attn.reshape(B, H, L, Lk).mean(1) if need_weights else None
+        if self.attn_drop is not None:
+            attn = self.attn_drop(attn)
+        out = attn @ v5  # (B, Hkv, G, L, D)
+        out = out.reshape(B, H, L, D).transpose(0, 2, 1, 3).reshape(B, L, E)
+        out = self.out_proj(out)
+        if need_weights:
+            return out, weights
+        return out
+
+    @staticmethod
+    def _group_ones(G, like):
+        import numpy as np
+
+        from ...backend import BackendTensor
+        from ...tensor import Tensor
+
+        arr = np.ones((1, 1, G, 1, 1), np.float32)
+        if "bfloat16" in str(like.dtype):
+            import jax.numpy as jnp
+
+            arr = arr.astype(jnp.bfloat16)
+        return Tensor(BackendTensor._wrap(arr, like.device))
+
+    def _apply_rope(self, x, L):
+        """Rotary position embedding, NeoX/Llama half-rotation layout:
+        ``x·cos + rotate_half(x)·sin`` with angle base ``rope_theta``; the
+        (1, 1, L, D) cos/sin tables are no-grad numpy consts cached per
+        (L, dtype) like the causal mask."""
+        import numpy as np
+
+        from ...backend import BackendTensor
+        from ...tensor import Tensor, concat
+
+        D = self.head_dim
+        key = (L, str(x.dtype))
+        cs = self._rope_cache.get(key)
+        if cs is None:
+            half = D // 2
+            inv = 1.0 / (
+                self.rope_theta
+                ** (np.arange(0, half, dtype=np.float64) * 2.0 / D)
+            )
+            ang = np.outer(np.arange(L, dtype=np.float64), inv)  # (L, half)
+            cos = np.concatenate([np.cos(ang)] * 2, -1).astype(np.float32)
+            sin = np.concatenate([np.sin(ang)] * 2, -1).astype(np.float32)
+            if "bfloat16" in str(x.dtype):
+                import jax.numpy as jnp
+
+                cos = cos.astype(jnp.bfloat16)
+                sin = sin.astype(jnp.bfloat16)
+            cs = (cos[None, None], sin[None, None])
+            self._rope_cache[key] = cs
+        cos = Tensor(BackendTensor._wrap(cs[0], x.device))
+        sin = Tensor(BackendTensor._wrap(cs[1], x.device))
+        half = D // 2
+        lead = (slice(None),) * 3
+        x1 = x[lead + (slice(0, half),)]
+        x2 = x[lead + (slice(half, D),)]
+        rot = concat([-x2, x1], axis=3)
+        return x * cos + rot * sin
 
     def _causal_mask(self, L, Lk, scores):
         """Additive -inf above the diagonal; a no-grad const built in the

@@ -58,6 +58,50 @@ class LayerNorm(Module):
         )
 
 
+class RMSNorm(Module):
+    """Root-mean-square LayerNorm (torch.nn.RMSNorm semantics, no centering
+    and no bias; no reference analog — shipped for the Llama family,
+    `models/llama.py`).  Composed from tape ops like LayerNorm, so forward
+    and backward compile into the whole-step program."""
+
+    def __init__(
+        self,
+        normalized_shape,
+        eps: float = 1e-6,
+        elementwise_affine: bool = True,
+        device=None,
+        dtype=None,
+    ) -> None:
+        super().__init__()
+        if isinstance(normalized_shape, int):
+            normalized_shape = (normalized_shape,)
+        self.normalized_shape = tuple(normalized_shape)
+        self.eps = float(eps)
+        self.elementwise_affine = elementwise_affine
+        self.device = Device(device) if device else default_accelerator()
+        if elementwise_affine:
+            self.weight = Parameter(
+                tensor.ones(self.normalized_shape, dtype=dtype, device=self.device)
+            )
+        else:
+            self.weight = None
+
+    def forward(self, x):
+        nd = len(self.normalized_shape)
+        axes = tuple(range(x.ndim - nd, x.ndim))
+        ms = (x * x).mean(axes, True)
+        y = x / (ms + self.eps).sqrt()
+        if self.weight is not None:
+            y = y * self.weight
+        return y
+
+    def extra_repr(self) -> str:
+        return (
+            f"{self.normalized_shape}, eps={self.eps}, "
+            f"elementwise_affine={self.elementwise_affine}"
+        )
+
+
 class GroupNorm(Module):
     """GroupNorm (torch semantics): normalise (N, C, *spatial) over each
     group of ``C/num_groups`` channels together with all spatial dims.

@@ -76,11 +76,12 @@ class PredictService:
         fori_loop decode program, ONE host readback per call — not a full
         forward per token."""
         from ..models.decoding import KVCacheDecoder
+        from ..models.llama import LlamaLM
         from ..models.transformer_lm import TransformerLM
 
-        if not isinstance(self._model, TransformerLM):
+        if not isinstance(self._model, (TransformerLM, LlamaLM)):
             raise ValueError(
-                "Generate is only served for TransformerLM models; "
+                "Generate is only served for TransformerLM/LlamaLM models; "
                 f"got {type(self._model).__name__}"
             )
         if self._decoder is None:

@@ -145,6 +145,29 @@ def test_grpc_generate_kv_cache_decoding():
         server.stop()
 
 
+def test_grpc_generate_llama():
+    """Generate RPC serves the Llama family too (KVCacheDecoder dispatches
+    on the architecture; the wire contract is unchanged)."""
+    from deepflows_tpu import models
+
+    df.manual_seed(3)
+    lm = models.LlamaLM(
+        vocab_size=16, max_len=16, dim=32, depth=2, num_heads=4,
+        num_kv_heads=2, device="tpu", flash=False,
+    )
+    server = MyDLPWServicer("localhost:50921", model=lm)
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50921")
+        prompt = np.array([[1, 3, 5], [2, 4, 6]], np.int64)
+        out = client.generate(prompt, 5)
+        want = lm.generate(prompt, 5)
+        np.testing.assert_array_equal(out, want)
+        client.close()
+    finally:
+        server.stop()
+
+
 def test_grpc_generate_rejects_non_lm():
     df.manual_seed(0)
     model = nn.Sequential(nn.Linear(8, 3, device="tpu"))
