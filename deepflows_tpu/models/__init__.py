@@ -42,3 +42,6 @@ __all__ = [
     "VGG16",
 ]
 from .decoding import KVCacheDecoder
+from .engine import InflightEngine, InflightHandle
+
+__all__ += ["KVCacheDecoder", "InflightEngine", "InflightHandle"]

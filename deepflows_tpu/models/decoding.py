@@ -47,6 +47,22 @@ def _mm(x, w):
     return x @ w
 
 
+def _scatter_step(cache, layer, new, posv):
+    """Write one decode step's K/V at PER-SLOT positions: cache
+    (layers, S, Hc, L, Dh), new (S, Hc, 1, Dh), posv (S,) int32 ->
+    cache with ``cache[layer, s, h, posv[s]] = new[s, h, 0]``.  The
+    in-flight engine's cache write — each slot sits at its own depth, so a
+    single ``dynamic_update_slice`` (one shared position) cannot express
+    it; this lowers to one scatter."""
+    import jax.numpy as jnp
+
+    S, Hc = new.shape[0], new.shape[1]
+    i0 = jnp.arange(S)[:, None]
+    i1 = jnp.arange(Hc)[None, :]
+    i2 = posv[:, None]
+    return cache.at[layer, i0, i1, i2].set(new[:, :, 0, :].astype(cache.dtype))
+
+
 class KVCacheDecoder:
     def __new__(cls, lm, *a, **kw):
         # architecture dispatch: KVCacheDecoder(model) returns the right
@@ -266,6 +282,35 @@ class KVCacheDecoder:
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
     @staticmethod
+    def _select_multi(logits, key, temp, top_p, smask, top_k, any_sample):
+        """Per-slot next-token selection for the in-flight engine: (S, V)
+        logits with PER-SLOT knobs — ``temp``/``top_p`` (S,) f32 (0 = off),
+        ``smask`` (S,) bool picks sampling vs greedy per slot.  ``top_k``
+        is engine-global (lax.top_k needs a static k) and ``any_sample``
+        is a static gate so an all-greedy engine never pays the per-step
+        vocab sort."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+        if not any_sample:
+            return greedy
+        t = jnp.where(smask, jnp.maximum(temp, 1e-6), 1.0)[:, None]
+        sl = logits / t
+        if top_k is not None:
+            kth = lax.top_k(sl, top_k)[0][..., -1:]
+            sl = jnp.where(sl < kth, -1e30, sl)
+        p = jnp.where(top_p > 0, top_p, 1.0)[:, None]
+        srt = jnp.sort(sl, -1)[..., ::-1]
+        probs = jax.nn.softmax(srt, -1)
+        beyond = jnp.cumsum(probs, -1) - probs >= p
+        thresh = jnp.min(jnp.where(beyond, jnp.inf, srt), -1, keepdims=True)
+        sl = jnp.where(sl < thresh, -1e30, sl)
+        drawn = jax.random.categorical(key, sl).astype(jnp.int32)
+        return jnp.where(smask, drawn, greedy)
+
+    @staticmethod
     def _mlp(h, p):
         import jax
 
@@ -330,6 +375,42 @@ class KVCacheDecoder:
                 jnp.float32
             )
             s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
+            o = o.transpose(0, 2, 1, 3).reshape(tok.shape[0], 1, -1)
+            x = x + (_mm(o, p["o_w"]) + p["o_b"])
+            x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
+        x = self._ln(x, params["lnf_w"], params["lnf_b"])
+        return self._head(x[:, 0], params), kc, vc
+
+    # ------------------------------------- per-slot-position forward
+    def _forward_multi(self, params, kc, vc, tok, posv, positions):
+        """One decode step where each batch row sits at its OWN position:
+        tok (S,) tokens, posv (S,) int32 positions.  The in-flight
+        batching engine's forward (``models.engine.InflightEngine``) —
+        identical math to ``_forward_one`` except the position embedding
+        row is gathered per slot, the cache write is a per-slot scatter,
+        and the causal mask compares against the position VECTOR."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        H = lm.blocks[0].attn.num_heads
+        scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
+        x = params["tok"][tok][:, None, :] + params["pos"][0][posv][:, None, :]
+        for li, p in enumerate(params["blocks"]):
+            h = self._ln(x, p["ln1_w"], p["ln1_b"])
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (S, H, 1, Dh)
+            kc = _scatter_step(kc, li, k_new, posv)
+            vc = _scatter_step(vc, li, v_new, posv)
+            s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(
+                positions[None, None, None, :] > posv[:, None, None, None],
+                -1e30,
+                s,
+            )
             attn = jax.nn.softmax(s, -1).astype(vc.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
             o = o.transpose(0, 2, 1, 3).reshape(tok.shape[0], 1, -1)
@@ -783,6 +864,60 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             attn = jax.nn.softmax(s, -1).astype(vc.dtype)
             o = jnp.einsum("bkgl,bkld->bkgd", attn, vc[li])
             o = o.reshape(N, 1, H * D)
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        return self._head(x[:, 0], params), kc, vc
+
+    @staticmethod
+    def _rope_rows(x, cos, sin):
+        """RoPE with a PER-SLOT table row: x (S, heads, 1, D),
+        cos/sin (S, D) f32 gathered at each slot's position."""
+        import jax.numpy as jnp
+
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], -1)
+        return (
+            xf * cos[:, None, None, :] + rot * sin[:, None, None, :]
+        ).astype(x.dtype)
+
+    def _forward_multi(self, params, kc, vc, tok, posv, positions):
+        """Per-slot-position decode step (in-flight engine): same math as
+        ``_forward_one`` with per-slot RoPE rows, per-slot cache scatter
+        and a vector causal mask.  The cache stays ``num_kv_heads`` wide."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        eps = lm.norm.eps
+        scale = 1.0 / np.sqrt(D)
+        S = tok.shape[0]
+        x = params["tok"][tok][:, None, :]
+        cos = params["rope_cos"][posv]  # (S, D) f32
+        sin = params["rope_sin"][posv]
+        for li, p in enumerate(params["blocks"]):
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (S, *, 1, D)
+            q = self._rope_rows(q, cos, sin)
+            k_new = self._rope_rows(k_new, cos, sin)
+            kc = _scatter_step(kc, li, k_new, posv)
+            vc = _scatter_step(vc, li, v_new, posv)
+            qg = q.reshape(S, Hkv, G, D)
+            s = (jnp.einsum("bkgd,bkld->bkgl", qg, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(
+                positions[None, None, None, :] > posv[:, None, None, None],
+                -1e30,
+                s,
+            )
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bkgl,bkld->bkgd", attn, vc[li])
+            o = o.reshape(S, 1, H * D)
             x = x + _mm(o, p["o_w"])
             x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
         x = self._rms(x, params["lnf_w"], eps)

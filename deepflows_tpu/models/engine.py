@@ -1,0 +1,386 @@
+"""In-flight (continuous) batching decode engine.
+
+``KVCacheDecoder.generate`` serves a FIXED batch: every sequence starts and
+finishes together, and a new request waits for the whole batch to drain.
+Production serving has requests ARRIVING; the TPU-native answer is a
+slot-based engine over static shapes:
+
+- the KV cache is ``(layers, slots, Hc, max_len, Dh)``; each slot is an
+  independent sequence at its OWN depth (per-slot position vector —
+  ``KVCacheDecoder._forward_multi``);
+- a jitted CHUNK program advances every active slot ``chunk`` tokens in one
+  ``lax.fori_loop`` — one host readback per chunk, not per token, bounding
+  admission latency to one chunk;
+- admission = one prefill (prompt length is a TRACED scalar, so ONE
+  compiled prefill serves every prompt length) + a cache-row
+  ``dynamic_update_slice`` at a traced slot index;
+- retirement (budget exhausted or EOS) frees the slot for the next queued
+  request between chunks.  Slots whose budget ends mid-chunk freeze
+  in-program (token and position stop advancing; re-forwarding the frozen
+  token rewrites the identical K/V at the same position, so the cache stays
+  exact) and the host discards their frozen tail.
+
+Every device program compiles ONCE per engine (at most twice: an all-greedy
+and an any-sampling variant of chunk/admission): shapes, slot count, chunk
+length and ``top_k`` are static; slot index, prompt length, temperatures
+and positions are traced.  The cache buffers are DONATED through the chunk
+and admission programs, so the engine holds one cache's HBM, not two.
+
+Requests are submitted from any thread (``submit`` returns a handle whose
+``result()`` blocks); a daemon thread owns the device state, so concurrent
+gRPC Generate calls share one in-flight batch
+(``serving.PredictService`` with ``inflight_slots=``).
+
+No reference analog (the reference serves one ONNXRuntime call per RPC,
+`/root/reference/DF_serving/serving/serving.py:61-68`); this is the
+continuous-batching recipe (Orca/vLLM-style) re-designed for static-shape
+XLA.  Works for both ``TransformerLM`` and ``LlamaLM`` via the decoder's
+architecture dispatch (the Llama cache stays ``num_kv_heads`` wide).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from .decoding import KVCacheDecoder
+
+__all__ = ["InflightEngine", "InflightHandle"]
+
+
+class InflightHandle:
+    """Per-request handle: ``result()`` blocks until the request finishes
+    and returns the 1-D ``prompt + generated`` token array (generation
+    stops at ``new_tokens`` or at the first ``eos_id``, inclusive)."""
+
+    def __init__(self, prompt, new_tokens, eos_id):
+        self.prompt = np.asarray(prompt, np.int64)
+        self.new_tokens = int(new_tokens)
+        self.eos_id = eos_id
+        self.tokens: list = []
+        self._done = threading.Event()
+        self._err = None
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def result(self, timeout=None) -> np.ndarray:
+        if not self._done.wait(timeout):
+            raise TimeoutError("request not finished")
+        if self._err is not None:
+            raise self._err
+        return np.concatenate(
+            [self.prompt, np.asarray(self.tokens, np.int64)]
+        )
+
+    def _finish(self, err=None):
+        self._err = err
+        self._done.set()
+
+
+class InflightEngine:
+    def __init__(
+        self,
+        lm,
+        slots: int = 4,
+        chunk: int = 8,
+        top_k=None,
+        compute_dtype=None,
+        quant=None,
+        seed: int = 0,
+        start: bool = True,
+    ):
+        """``slots``: max concurrent sequences (cache batch dim).
+        ``chunk``: decode steps per device program — the host readback /
+        admission granularity.  ``top_k``: engine-global static top-k for
+        sampling requests (``lax.top_k`` needs a static k; ``None`` = no
+        top-k truncation).  ``compute_dtype``/``quant`` configure the
+        underlying ``KVCacheDecoder`` (bf16 / int8-weight decode).
+
+        Sampling requests draw from ONE engine-wide PRNG stream (seeded by
+        ``seed``, split per decode step): with in-flight batching a
+        request's draws depend on what else is in the batch, so per-request
+        seeds are not reproducible — use the one-shot decoder when exact
+        replay matters."""
+        import jax
+        import jax.numpy as jnp
+
+        self.dec = lm if isinstance(lm, KVCacheDecoder) else KVCacheDecoder(
+            lm, compute_dtype=compute_dtype, quant=quant
+        )
+        lm = self.dec.lm
+        self.lm = lm
+        self.S = int(slots)
+        self.chunk = int(chunk)
+        self.top_k = top_k
+        self.L = lm.max_len
+        if self.S < 1 or self.chunk < 1:
+            raise ValueError("slots and chunk must be >= 1")
+
+        a0 = lm.blocks[0].attn
+        Hc = a0.num_kv_heads  # == num_heads unless GQA
+        layers = len(lm.blocks)
+        cdtype = self.dec.compute_dtype or jnp.float32
+        self.params = self.dec._prep_jit(self.dec._gather())
+        self._kc = jnp.zeros((layers, self.S, Hc, self.L, a0.head_dim), cdtype)
+        self._vc = jnp.zeros_like(self._kc)
+        self._tok = jnp.zeros((self.S,), jnp.int32)
+        self._pos = jnp.zeros((self.S,), jnp.int32)
+        self._key = jax.random.key(seed)
+
+        # host-side slot bookkeeping (passed into the chunk program as tiny
+        # arguments each call)
+        self._active = np.zeros(self.S, bool)
+        self._limit = np.zeros(self.S, np.int32)
+        self._temp = np.zeros(self.S, np.float32)
+        self._topp = np.zeros(self.S, np.float32)
+        self._smask = np.zeros(self.S, bool)
+        self._slot_req: list = [None] * self.S
+
+        # one compiled prefill for EVERY prompt length: plen is traced
+        self._prefill_j = jax.jit(self.dec._prefill)
+        self._admit_j = jax.jit(
+            self._admit_fn, static_argnums=(12,), donate_argnums=(0, 1, 2, 3)
+        )
+        self._chunk_j = jax.jit(
+            self._chunk_fn, static_argnums=(11,), donate_argnums=(1, 2, 3, 4)
+        )
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._pending: list = []
+        self._stop = False
+        self._refresh = False
+        self._thread = None
+        if start:
+            self.start()
+
+    # ------------------------------------------------------- device programs
+    def _admit_fn(
+        self, kc, vc, tok, posv, kcn, vcn, logits0, slot, plen, key,
+        temp, topp, any_sample,
+    ):
+        """Install a prefilled request into slot ``slot`` (traced): scatter
+        the (layers, 1, Hc, L, Dh) prefill cache into the slot row, select
+        the first generated token from the prefill logits, and set the
+        slot's token/position."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        kc = lax.dynamic_update_slice(
+            kc, kcn.astype(kc.dtype), (0, slot, 0, 0, 0)
+        )
+        vc = lax.dynamic_update_slice(
+            vc, vcn.astype(vc.dtype), (0, slot, 0, 0, 0)
+        )
+        tok0 = self.dec._select_multi(
+            logits0,
+            key,
+            jnp.reshape(temp, (1,)),
+            jnp.reshape(topp, (1,)),
+            jnp.reshape(temp > 0, (1,)),
+            self.top_k,
+            any_sample,
+        )
+        tok = lax.dynamic_update_slice(tok, tok0, (slot,))
+        posv = lax.dynamic_update_slice(
+            posv, jnp.reshape(plen, (1,)).astype(posv.dtype), (slot,)
+        )
+        return kc, vc, tok, posv, tok0
+
+    def _chunk_fn(
+        self, params, kc, vc, tok, posv, key, active, limit,
+        temp, topp, smask, any_sample,
+    ):
+        """Advance all live slots ``self.chunk`` tokens in one fori_loop.
+        Live = active AND position below the slot's budget limit; dead
+        slots freeze (token/position hold, output rows repeat the frozen
+        token — the host discards them)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        positions = jnp.arange(self.L)
+        out0 = jnp.zeros((self.S, self.chunk), jnp.int32)
+
+        def step(i, carry):
+            kc, vc, tok, posv, key, out = carry
+            live = jnp.logical_and(active, posv < limit)
+            logits, kc, vc = self.dec._forward_multi(
+                params, kc, vc, tok, posv, positions
+            )
+            key, sub = jax.random.split(key)
+            nxt = self.dec._select_multi(
+                logits, sub, temp, topp, smask, self.top_k, any_sample
+            )
+            nxt = jnp.where(live, nxt, tok)
+            out = out.at[:, i].set(nxt)
+            posv = jnp.where(live, posv + 1, posv)
+            return kc, vc, nxt, posv, key, out
+
+        return lax.fori_loop(
+            0, self.chunk, step, (kc, vc, tok, posv, key, out0)
+        )
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        return self
+
+    def close(self):
+        """Stop the engine thread; unfinished requests fail with
+        RuntimeError."""
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+        err = RuntimeError("engine closed")
+        for req in self._pending + [r for r in self._slot_req if r is not None]:
+            if not req.done():
+                req._finish(err)
+        while True:
+            try:
+                self._queue.get_nowait()._finish(err)
+            except queue.Empty:
+                break
+            except AttributeError:
+                break
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def refresh_params(self):
+        """Pick up live weight updates: the engine re-gathers + re-preps
+        the model's parameters between chunks (training-while-serving)."""
+        self._refresh = True
+
+    # --------------------------------------------------------------- submit
+    def submit(
+        self, prompt, new_tokens: int, temperature: float = 0.0,
+        top_p=None, eos_id=None,
+    ) -> InflightHandle:
+        """Queue a single sequence: ``prompt`` is a 1-D int token array;
+        generation emits ``new_tokens`` tokens (stopping early at
+        ``eos_id``, inclusive).  ``temperature > 0`` samples (with the
+        engine's static ``top_k`` and this request's ``top_p``); 0 is
+        greedy.  Thread-safe; returns immediately."""
+        prompt = np.asarray(prompt)
+        if prompt.ndim != 1 or prompt.size < 1:
+            raise ValueError("prompt must be a non-empty 1-D token array")
+        new_tokens = int(new_tokens)
+        if new_tokens < 1:
+            raise ValueError("new_tokens must be >= 1")
+        if prompt.size + new_tokens > self.L:
+            raise ValueError(
+                f"prompt_len {prompt.size} + new_tokens {new_tokens} "
+                f"exceeds max_len {self.L}"
+            )
+        if self._stop or self._thread is None:
+            raise RuntimeError("engine is not running")
+        req = InflightHandle(prompt, new_tokens, eos_id)
+        req.temperature = float(temperature)
+        req.top_p = float(top_p) if top_p else 0.0
+        self._queue.put(req)
+        return req
+
+    def generate(self, prompt, new_tokens: int, **kw) -> np.ndarray:
+        """Blocking convenience: ``submit`` + ``result``."""
+        return self.submit(prompt, new_tokens, **kw).result()
+
+    # ----------------------------------------------------------- engine loop
+    def _loop(self):
+        try:
+            while not self._stop:
+                self._drain_queue(block=not self._active.any())
+                if self._refresh:
+                    self._refresh = False
+                    self.params = self.dec._prep_jit(self.dec._gather())
+                while self._pending and not self._active.all():
+                    slot = int(np.flatnonzero(~self._active)[0])
+                    self._admit(self._pending.pop(0), slot)
+                if self._active.any():
+                    self._run_chunk()
+        except Exception as e:  # fail loudly: resolve every waiter
+            for req in self._pending + [
+                r for r in self._slot_req if r is not None
+            ]:
+                if req is not None and not req.done():
+                    req._finish(e)
+            self._stop = True
+            raise
+
+    def _drain_queue(self, block: bool):
+        try:
+            self._pending.append(
+                self._queue.get(timeout=0.05 if block else 0.0)
+            )
+        except queue.Empty:
+            pass
+        while True:
+            try:
+                self._pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                return
+
+    def _admit(self, req, slot: int):
+        import jax
+        import jax.numpy as jnp
+
+        plen = req.prompt.size
+        prompt = np.zeros((1, self.L), np.int32)
+        prompt[0, :plen] = req.prompt
+        kcn, vcn, logits0 = self._prefill_j(
+            self.params, jnp.asarray(prompt), jnp.int32(plen)
+        )
+        self._key, sub = jax.random.split(self._key)
+        any_s = req.temperature > 0.0
+        self._kc, self._vc, self._tok, self._pos, tok0 = self._admit_j(
+            self._kc, self._vc, self._tok, self._pos, kcn, vcn, logits0,
+            jnp.int32(slot), jnp.int32(plen), sub,
+            jnp.float32(req.temperature), jnp.float32(req.top_p), any_s,
+        )
+        t0 = int(np.asarray(tok0)[0])
+        req.tokens.append(t0)
+        if req.new_tokens == 1 or (
+            req.eos_id is not None and t0 == req.eos_id
+        ):
+            req._finish()
+            return
+        self._slot_req[slot] = req
+        self._active[slot] = True
+        # the slot's LAST token sits at position plen + new_tokens - 1
+        self._limit[slot] = plen + req.new_tokens - 1
+        self._temp[slot] = req.temperature
+        self._topp[slot] = req.top_p
+        self._smask[slot] = any_s
+
+    def _run_chunk(self):
+        self._kc, self._vc, self._tok, self._pos, self._key, out = (
+            self._chunk_j(
+                self.params, self._kc, self._vc, self._tok, self._pos,
+                self._key, self._active, self._limit, self._temp,
+                self._topp, self._smask, bool(self._smask[self._active].any()),
+            )
+        )
+        out = np.asarray(out)  # ONE readback per chunk
+        for slot in np.flatnonzero(self._active):
+            req = self._slot_req[slot]
+            take = min(self.chunk, req.new_tokens - len(req.tokens))
+            toks = out[slot, :take].tolist()
+            if req.eos_id is not None and req.eos_id in toks:
+                toks = toks[: toks.index(req.eos_id) + 1]
+            req.tokens.extend(toks)
+            if (
+                len(req.tokens) >= req.new_tokens
+                or (req.eos_id is not None and toks and toks[-1] == req.eos_id)
+            ):
+                req._finish()
+                self._slot_req[slot] = None
+                self._active[slot] = False
+                self._smask[slot] = False

@@ -38,17 +38,33 @@ class PredictService:
     """Predict handler backed by a deepflows_tpu model or a loaded ONNX
     graph (both execute as jitted XLA programs)."""
 
-    def __init__(self, model, decode_dtype=None, decode_quant=None):
+    def __init__(
+        self, model, decode_dtype=None, decode_quant=None,
+        inflight_slots=None, inflight_chunk: int = 8, inflight_top_k=None,
+    ):
         """``decode_dtype``/``decode_quant`` configure the Generate RPC's
         KV-cache decoder (e.g. ``decode_dtype=jnp.bfloat16,
         decode_quant="int8"`` serves int8-weight decode — the
-        weight-bandwidth fast path); Predict is unaffected."""
+        weight-bandwidth fast path); Predict is unaffected.
+
+        ``inflight_slots=N`` turns on IN-FLIGHT BATCHING for Generate:
+        concurrent RPCs share one slot-based decode engine
+        (``models.InflightEngine`` with N slots), so a request joins the
+        running batch instead of waiting for a free device.  Requests whose
+        ``top_k`` differs from the engine-global ``inflight_top_k`` fall
+        back to the one-shot decoder, and with in-flight batching the
+        sampling stream is engine-wide (the request's ``seed`` knob is not
+        individually reproducible)."""
         from ..onnx import OnnxModel
 
         self._model = model
         self._decoder = None
         self._decode_dtype = decode_dtype
         self._decode_quant = decode_quant
+        self._engine = None
+        self._inflight_slots = inflight_slots
+        self._inflight_chunk = inflight_chunk
+        self._inflight_top_k = inflight_top_k
         if isinstance(model, OnnxModel):
             self._step = model
         else:
@@ -102,10 +118,45 @@ class PredictService:
                 top_p=float(top_p) if top_p > 0 else None,
                 seed=int(seed),
             )
-        tokens = self._decoder.generate(prompt, new_tokens, **sample_kw)
+        tokens = self._engine_generate(prompt, new_tokens, sample_kw)
+        if tokens is None:
+            tokens = self._decoder.generate(prompt, new_tokens, **sample_kw)
         resp = serving_pb2.PredictResp()
         resp.matrix.extend([_to_matrix(tokens.astype(np.float32))])
         return resp
+
+    def _engine_generate(self, prompt, new_tokens, sample_kw):
+        """Route a Generate call through the shared in-flight engine when
+        one is configured and the request is engine-compatible; returns
+        None to fall back to the one-shot decoder.  Each prompt row
+        becomes its own engine request, so concurrent RPCs (and rows)
+        batch together on the device."""
+        if self._inflight_slots is None or new_tokens < 1:
+            return None
+        temperature = sample_kw.get("temperature", 0.0)
+        top_k = sample_kw.get("top_k")
+        if temperature > 0.0 and top_k != self._inflight_top_k:
+            return None  # engine top_k is static; mismatch -> one-shot path
+        if self._engine is None:
+            from ..models.engine import InflightEngine
+
+            self._engine = InflightEngine(
+                self._model,
+                slots=self._inflight_slots,
+                chunk=self._inflight_chunk,
+                top_k=self._inflight_top_k,
+                compute_dtype=self._decode_dtype,
+                quant=self._decode_quant,
+            )
+        handles = [
+            self._engine.submit(
+                row, new_tokens, temperature=temperature,
+                top_p=sample_kw.get("top_p"),
+            )
+            for row in prompt
+        ]
+        # no eos on this RPC, so every row has the same length
+        return np.stack([h.result(timeout=600) for h in handles])
 
 
 class MyDLPWServicer:
@@ -124,6 +175,9 @@ class MyDLPWServicer:
         max_workers: int = 10,
         decode_dtype=None,
         decode_quant=None,
+        inflight_slots=None,
+        inflight_chunk: int = 8,
+        inflight_top_k=None,
     ):
         """Serve either an in-memory model, or a model FILE from disk
         (reference ctor contract `DF_serving/serving/serving.py:25,71-92`:
@@ -160,7 +214,12 @@ class MyDLPWServicer:
             raise ValueError("pass a deepflows_tpu model (or a checkpoint) to serve")
         self.host = host
         self._service = PredictService(
-            model, decode_dtype=decode_dtype, decode_quant=decode_quant
+            model,
+            decode_dtype=decode_dtype,
+            decode_quant=decode_quant,
+            inflight_slots=inflight_slots,
+            inflight_chunk=inflight_chunk,
+            inflight_top_k=inflight_top_k,
         )
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
         handler = grpc.method_handlers_generic_handler(
@@ -191,6 +250,9 @@ class MyDLPWServicer:
 
     def stop(self, grace: float = 0.5):
         self._server.stop(grace)
+        if self._service._engine is not None:
+            self._service._engine.close()
+            self._service._engine = None
 
 
 class PredictClient:

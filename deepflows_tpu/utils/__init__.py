@@ -13,7 +13,11 @@ from .model_configs import (  # noqa: F401
     get_normalization_stats,
     is_model_supported,
 )
-from .model_utils import load_checkpoint, save_checkpoint  # noqa: F401
+from .model_utils import (  # noqa: F401
+    AsyncCheckpointer,
+    load_checkpoint,
+    save_checkpoint,
+)
 from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401
 from . import profiling  # noqa: F401,E402

@@ -27,33 +27,79 @@ from ..nn.modules.module import Module
 from ..optim.optimizer import Optimizer
 
 
-def save_checkpoint(
-    model: Module,
-    optimizer: Optional[Optimizer] = None,
-    epoch: int = 0,
-    loss: Optional[float] = None,
-    save_path: str = "checkpoint.pkl",
-    extra: Optional[dict] = None,
-) -> None:
-    parent = os.path.dirname(os.path.abspath(save_path))
-    os.makedirs(parent, exist_ok=True)
+def _snapshot_state(model: Module, optimizer: Optional[Optimizer]) -> dict:
+    """Collect everything a checkpoint needs as ARRAY REFERENCES, under the
+    trace lock — O(#params) pointer work, no device->host transfer.  jax
+    arrays are immutable and optimizer steps REBIND parameters to new
+    buffers (they never mutate in place), so holding the references pins a
+    consistent point-in-time snapshot while training races ahead; numpy-
+    backed arrays (cpu test devices) are defensively copied."""
+    from ..jit import _TRACE_LOCK
 
+    def grab(arr):
+        return np.array(arr) if isinstance(arr, np.ndarray) else arr
+
+    with _TRACE_LOCK:
+        snap = {
+            "params": {
+                n: grab(p.data.array) for n, p in model.named_parameters()
+            },
+            # fix vs reference: persist buffers (BN running stats)
+            "buffers": {
+                n: grab(b.data.array) for n, b in model.named_buffers()
+            },
+            "opt": None,
+        }
+        if optimizer is not None:
+            opt = {"type": type(optimizer).__name__}
+            for attr in ("lr", "momentum", "weight_decay"):
+                if hasattr(optimizer, attr):
+                    opt[attr] = getattr(optimizer, attr)
+            optimizer._ensure_state()
+            state = optimizer._state
+
+            def _ref(v):
+                if v is None:
+                    return None
+                if isinstance(v, list):
+                    return [_ref(x) for x in v]
+                return grab(v)
+
+            opt["state"] = (
+                {k: _ref(v) for k, v in state.items()}
+                if isinstance(state, dict)
+                else None
+            )
+            snap["opt"] = opt
+    return snap
+
+
+def _write_checkpoint(
+    snap: dict,
+    epoch: int,
+    loss: Optional[float],
+    save_path: str,
+    extra: Optional[dict],
+) -> str:
+    """Materialize a snapshot (device->host) and write it ATOMICALLY
+    (temp file + ``os.replace``): a crash mid-save never corrupts the
+    previous checkpoint.  Runs on the caller's thread for the sync
+    ``save_checkpoint`` and on the background thread for
+    ``AsyncCheckpointer``."""
     checkpoint = {
         "epoch": epoch,
         "loss": loss,
         "model_parameters": {
-            name: param.numpy() for name, param in model.named_parameters()
+            n: np.asarray(a) for n, a in snap["params"].items()
         },
-        # fix vs reference: persist buffers (BN running stats)
-        "model_buffers": {name: buf.numpy() for name, buf in model.named_buffers()},
+        "model_buffers": {
+            n: np.asarray(a) for n, a in snap["buffers"].items()
+        },
     }
-    if optimizer is not None:
-        opt_state = {"type": type(optimizer).__name__}
-        for attr in ("lr", "momentum", "weight_decay"):
-            if hasattr(optimizer, attr):
-                opt_state[attr] = getattr(optimizer, attr)
-        optimizer._ensure_state()
-        state = optimizer._state
+    opt = snap.get("opt")
+    if opt is not None:
+        opt_state = {k: v for k, v in opt.items() if k != "state"}
+        state = opt["state"]
 
         def _to_np(v):
             if v is None:
@@ -63,20 +109,110 @@ def save_checkpoint(
             return np.asarray(v)
 
         # reference-compatible Adam keys (v/s/t) plus the full generic state
-        for key in ("v", "s"):
-            if isinstance(state, dict) and key in state:
-                opt_state[key] = _to_np(state[key])
-        if isinstance(state, dict) and "t" in state:
-            opt_state["t"] = int(state["t"]) + 1  # reference t starts at 1
-        opt_state["full_state"] = (
-            {k: _to_np(v) for k, v in state.items()} if isinstance(state, dict) else None
-        )
+        if isinstance(state, dict):
+            for key in ("v", "s"):
+                if key in state:
+                    opt_state[key] = _to_np(state[key])
+            if "t" in state:
+                # reference t starts at 1
+                opt_state["t"] = int(np.asarray(state["t"])) + 1
+            opt_state["full_state"] = {k: _to_np(v) for k, v in state.items()}
+        else:
+            opt_state["full_state"] = None
         checkpoint["optimizer_state"] = opt_state
     if extra:
         checkpoint.update(extra)
 
-    with open(save_path, "wb") as f:
+    parent = os.path.dirname(os.path.abspath(save_path))
+    os.makedirs(parent, exist_ok=True)
+    tmp = f"{save_path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         pickle.dump(checkpoint, f)
+    os.replace(tmp, save_path)
+    return save_path
+
+
+def save_checkpoint(
+    model: Module,
+    optimizer: Optional[Optimizer] = None,
+    epoch: int = 0,
+    loss: Optional[float] = None,
+    save_path: str = "checkpoint.pkl",
+    extra: Optional[dict] = None,
+) -> None:
+    _write_checkpoint(
+        _snapshot_state(model, optimizer), epoch, loss, save_path, extra
+    )
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint saves: ``save()`` snapshots the model +
+    optimizer state NOW (reference-grab under the trace lock — jax arrays
+    are immutable, so this costs microseconds and zero HBM copies) and
+    returns a ``concurrent.futures.Future``; the device->host transfer,
+    pickling and atomic rename happen on a background thread while
+    training continues.  ``max_pending`` bounds in-flight saves (each
+    pins one generation of weight buffers in HBM until written);
+    exceeding it blocks on the oldest save — natural backpressure.
+
+    No reference analog (the reference's ``save_checkpoint`` blocks the
+    epoch loop on pickle + disk, `DeepFlows/utils/model_utils.py:19-82`).
+
+    Usage::
+
+        with AsyncCheckpointer() as ck:
+            for epoch in ...:
+                train_epoch(...)
+                ck.save(model, opt, epoch=epoch, save_path="ck.pkl")
+        # context exit waits for outstanding writes
+    """
+
+    def __init__(self, max_pending: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if max_pending < 1:
+            raise ValueError("max_pending must be >= 1")
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="deepflows-ckpt"
+        )
+        self._pending: list = []
+        self._max_pending = max_pending
+
+    def save(
+        self,
+        model: Module,
+        optimizer: Optional[Optimizer] = None,
+        epoch: int = 0,
+        loss: Optional[float] = None,
+        save_path: str = "checkpoint.pkl",
+        extra: Optional[dict] = None,
+    ):
+        self._pending = [f for f in self._pending if not f.done()]
+        while len(self._pending) >= self._max_pending:
+            self._pending.pop(0).result()  # backpressure + error surfacing
+        snap = _snapshot_state(model, optimizer)
+        fut = self._pool.submit(
+            _write_checkpoint, snap, epoch, loss, save_path, extra
+        )
+        self._pending.append(fut)
+        return fut
+
+    def wait(self) -> None:
+        """Block until every outstanding save has hit disk (re-raises the
+        first write error, if any)."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def load_checkpoint(

@@ -209,3 +209,55 @@ def test_grpc_generate_int8_quantized_decoder():
         client.close()
     finally:
         server.stop()
+
+
+def test_grpc_generate_inflight_batching():
+    """inflight_slots=N: concurrent Generate RPCs share one slot-based
+    engine (models.InflightEngine) — every client still gets the exact
+    greedy tokens, and the shared engine actually served them."""
+    import threading
+
+    from deepflows_tpu import models
+
+    df.manual_seed(21)
+    lm = models.TransformerLM(
+        vocab_size=16, max_len=16, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    server = MyDLPWServicer(
+        "localhost:50923", model=lm, inflight_slots=3, inflight_chunk=2
+    )
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50923")
+        prompts = [
+            np.array([[1, 3, 5]], np.int64),
+            np.array([[2, 4]], np.int64),
+            np.array([[7, 6, 5, 4]], np.int64),
+        ]
+        budgets = [5, 7, 4]
+        wants = [lm.generate(p, n) for p, n in zip(prompts, budgets)]
+        outs = [None] * 3
+
+        def call(i):
+            outs[i] = client.generate(prompts[i], budgets[i])
+
+        threads = [
+            threading.Thread(target=call, args=(i,)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i, (o, w) in enumerate(zip(outs, wants)):
+            np.testing.assert_array_equal(o, w, err_msg=f"rpc {i}")
+        assert server._service._engine is not None  # engine served them
+        # multi-row prompts fan out to one engine request per row
+        multi = np.array([[1, 2, 3], [4, 5, 6]], np.int64)
+        np.testing.assert_array_equal(
+            client.generate(multi, 5), lm.generate(multi, 5)
+        )
+        client.close()
+    finally:
+        server.stop()
+        assert server._service._engine is None  # stop() closed the engine

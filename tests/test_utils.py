@@ -317,3 +317,79 @@ def test_step_report():
     rep = step_report(step, x, yv)
     assert rep.get("flops_per_step", 0) > 0
     assert "summary" in rep
+
+
+def test_async_checkpointer_snapshot_semantics(tmp_path):
+    """AsyncCheckpointer.save captures the state AT THE CALL (reference
+    snapshot of immutable arrays), even though training keeps stepping
+    while the write is in flight; the file is byte-equivalent to a sync
+    save taken at the same instant."""
+    from deepflows_tpu.utils import AsyncCheckpointer
+
+    apath = str(tmp_path / "async.pkl")
+    spath = str(tmp_path / "sync.pkl")
+    model = nn.Sequential(
+        nn.Flatten(), nn.Linear(8, 8, device="tpu"), nn.ReLU(),
+        nn.Linear(8, 2, device="tpu"),
+    )
+    opt = optim.Adam(model.parameters(), lr=0.05)
+    crit = nn.CrossEntropyLoss()
+    x = RNG.standard_normal((4, 8)).astype(np.float32)
+    y = RNG.integers(0, 2, 4).astype(np.int32)
+
+    def step():
+        loss = crit(model(Tensor(x, device="tpu")), Tensor(y, device="tpu"))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()
+    with AsyncCheckpointer() as ck:
+        save_checkpoint(model, opt, epoch=1, loss=0.5, save_path=spath)
+        fut = ck.save(model, opt, epoch=1, loss=0.5, save_path=apath)
+        for _ in range(3):
+            step()  # mutate state while the async write is in flight
+        assert fut.result(timeout=60) == apath
+    import pickle
+
+    with open(apath, "rb") as f:
+        a = pickle.load(f)
+    with open(spath, "rb") as f:
+        s = pickle.load(f)
+    assert a.keys() == s.keys()
+    for n, arr in s["model_parameters"].items():
+        np.testing.assert_array_equal(a["model_parameters"][n], arr, err_msg=n)
+    for k in ("v", "s"):
+        for av, sv in zip(a["optimizer_state"][k], s["optimizer_state"][k]):
+            np.testing.assert_array_equal(av, sv)
+    assert a["optimizer_state"]["t"] == s["optimizer_state"]["t"]
+    # and the async file loads + resumes like any checkpoint
+    model2 = nn.Sequential(
+        nn.Flatten(), nn.Linear(8, 8, device="tpu"), nn.ReLU(),
+        nn.Linear(8, 2, device="tpu"),
+    )
+    opt2 = optim.Adam(model2.parameters())
+    info = load_checkpoint(model2, opt2, apath)
+    assert info["epoch"] == 1 and opt2.lr == 0.05
+
+
+def test_async_checkpointer_backpressure_and_atomicity(tmp_path):
+    """max_pending bounds in-flight saves; every written file is complete
+    (atomic rename — no .tmp leftovers)."""
+    import os as _os
+
+    from deepflows_tpu.utils import AsyncCheckpointer
+
+    model = nn.Linear(4, 2, device="tpu")
+    opt = optim.SGD(model.parameters(), lr=0.1)
+    with AsyncCheckpointer(max_pending=1) as ck:
+        for i in range(4):
+            ck.save(model, opt, epoch=i, save_path=str(tmp_path / f"c{i}.pkl"))
+    import pickle
+
+    for i in range(4):
+        with open(tmp_path / f"c{i}.pkl", "rb") as f:
+            assert pickle.load(f)["epoch"] == i
+    assert not [p for p in _os.listdir(tmp_path) if ".tmp." in p]
+    with pytest.raises(ValueError):
+        AsyncCheckpointer(max_pending=0)
