@@ -38,3 +38,15 @@ def manual_seed(seed: int) -> None:
         if d.enabled():
             d.manual_seed(seed)
     _random.manual_seed(seed)
+
+
+# ---------------------------------------------------------------- lazy mode
+from .backend import lazy  # noqa: F401,E402  (deferred-execution switch)
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("DEEPFLOWS_LAZY", "") not in ("", "0"):
+    # opt-in LazyTensor mode for the whole process: eager device ops record
+    # and flush as one compiled program per host readback (see backend/lazy.py)
+    lazy.enable()
+del _os

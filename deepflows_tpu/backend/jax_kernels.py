@@ -75,6 +75,12 @@ def device_put(a):
     return jnp.asarray(a)
 
 
+def adopt(a, dtype=None):
+    """Adopt a raw device array without conversion (BackendTensor fast path;
+    the lazy module's override wraps it as a concrete LazyArray instead)."""
+    return a if dtype is None else a.astype(dtype)
+
+
 # ---------------------------------------------------------------- basics
 def fill(shape, value, dtype=None):
     return jnp.full(shape, value, dtype=dtype or config.default_dtype)

@@ -61,11 +61,14 @@ class BackendTensor:
             self.array = device.fill((), other, dtype=dtype)
         elif isinstance(other, np.ndarray):
             self.array = device.device_put(_coerce_dtype(other, dtype))
-        elif type(other).__module__.startswith(("jaxlib", "jax")):
+        elif type(other).__module__.startswith(("jaxlib", "jax")) or getattr(
+            other, "_is_lazy", False
+        ):
             # already a device array: adopt without host round-trip when the
-            # target is the jax device
+            # target is the jax device (in lazy mode, ``adopt`` wraps it so
+            # every lazy-device BackendTensor holds a LazyArray uniformly)
             if getattr(device, "is_jax", False):
-                self.array = other if dtype is None else device.astype(other, dtype)
+                self.array = device.adopt(other, dtype)
             else:
                 self.array = device.device_put(_coerce_dtype(np.asarray(other), dtype))
         else:

@@ -35,6 +35,7 @@ import threading
 from . import random as df_random
 from .autograd import set_grad_enabled
 from .backend import BackendTensor, tpu
+from .backend.lazy import force as _lz, materialize_tree as _lz_tree
 from .config import config
 from .tensor import Graph, Tensor
 
@@ -64,7 +65,7 @@ def jit(fn: Callable) -> Callable:
     @functools.wraps(fn)
     def wrapper(*args):
         arrays = [
-            a.data.array
+            _lz(a.data.array)
             if isinstance(a, Tensor)
             else (a if hasattr(a, "dtype") else np.asarray(a))
             for a in args
@@ -138,7 +139,7 @@ class CompiledTrainStep:
         # as committed device arrays and force a SECOND full trace/compile —
         # minutes on a real chip (ShardedTrainStep already did this)
         optimizer._state = jax.tree.map(
-            lambda a: None if a is None else jax.device_put(a),
+            lambda a: None if a is None else jax.device_put(_lz(a)),
             optimizer._state,
             is_leaf=lambda a: a is None,
         )
@@ -335,9 +336,9 @@ class CompiledTrainStep:
         # jax dispatch is async, so holding the lock here does not serialize
         # device execution.
         with _TRACE_LOCK:
-            param_arrays = [p.data.array for p in self._params]
-            buffer_arrays = [b.data.array for b in self._buffers]
-            opt_state = self.optimizer._state
+            param_arrays = [_lz(p.data.array) for p in self._params]
+            buffer_arrays = [_lz(b.data.array) for b in self._buffers]
+            opt_state = _lz_tree(self.optimizer._state)
             # pass x/y through as-is: jit transfers numpy host arrays itself,
             # and np.asarray on an on-device jax array would force a D2H copy
             loss, new_params, new_buffers, new_opt_state, metrics = self._jitted(
@@ -410,6 +411,6 @@ class CompiledEvalStep:
         # (dead) buffers.  Dispatch is async, so this does not serialize
         # device execution.
         with _TRACE_LOCK:
-            param_arrays = [p.data.array for p in self._params]
-            buffer_arrays = [b.data.array for b in self._buffers]
+            param_arrays = [_lz(p.data.array) for p in self._params]
+            buffer_arrays = [_lz(b.data.array) for b in self._buffers]
             return self._jitted(param_arrays, buffer_arrays, x)

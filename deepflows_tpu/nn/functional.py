@@ -82,6 +82,9 @@ def linear(input: Tensor, weight: Tensor, bias: Optional[Tensor] = None) -> Tens
         and input.ndim == 2
         and str(input.dtype) == "float32"
         and not _is_tracer(input)
+        # lazy mode: the fragment's whole-step XLA program fuses the affine
+        # anyway; the hand-called Pallas kernel would force materialization
+        and not getattr(input.data.array, "_is_lazy", False)
     ):
         return _FusedLinearOp(input, weight, bias)
     affine = input @ weight

@@ -56,7 +56,9 @@ class _JaxFnOp(Tensor):
             raise RuntimeError(
                 "jax_function requires the jax ('tpu') device"
             )
-        arrays = [t.data.array for t in tensors]
+        from ..backend.lazy import force as _lz
+
+        arrays = [_lz(t.data.array) for t in tensors]
         rg = is_grad_enable() and any(t.requires_grad for t in tensors)
         if rg:
             y, vjp = jax.vjp(fn, *arrays)

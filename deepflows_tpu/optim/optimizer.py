@@ -68,6 +68,14 @@ class Optimizer:
                 # tape hygiene, as the reference's Adam does (`adam.py:61-62`)
                 p.children.clear()
                 p.parents.clear()
+        # lazy mode: the optimizer update is the natural step boundary —
+        # flush here (async dispatch) so the device computes THIS step while
+        # Python records the next one (torch/XLA's mark_step placement);
+        # without it, work only dispatches at the next host readback
+        from ..backend import lazy as _lazy
+
+        if _lazy._frag.nodes and _lazy.enabled():
+            _lazy.flush()
 
     def _dispatch_update(self, param_arrays, grad_arrays, state, lr):
         """Eager fast path: when every array lives on the JAX device, run the
@@ -86,6 +94,27 @@ class Optimizer:
         import numpy as np
 
         mask = tuple(g is not None for g in grad_arrays)
+        # lazy mode: record the whole update into the pending fragment so
+        # forward+backward+optimizer flush as ONE compiled program
+        from ..backend.lazy import LazyArray
+
+        if any(isinstance(a, LazyArray) for a in param_arrays):
+            from ..backend import lazy
+
+            rec = self._jit_cache.get(("lazy", mask))
+            if rec is None:
+
+                def rec(params, grads_packed, state, lr):
+                    it = iter(grads_packed)
+                    grads = [next(it) if m else None for m in mask]
+                    return self.pure_update(params, grads, state, lr)
+
+                self._jit_cache[("lazy", mask)] = rec
+            packed = [g for g in grad_arrays if g is not None]
+            return lazy.record_call(
+                rec, (param_arrays, packed, state, np.float32(lr)), {}
+            )
+
         jitted = self._jit_cache.get(mask)
         if jitted is None:
 

@@ -47,6 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..backend import BackendTensor, tpu
+from ..backend.lazy import force as _lz
 from ..nn.modules.module import Module
 from ..nn.parameter import Parameter
 from ..purify import purified_call, purify_fn  # noqa: F401  (re-export)
@@ -141,7 +142,7 @@ class PipelineStack(Module):
         per_stage_bufs = [[b for _, b in s.named_buffers()] for s in stages]
         for i, name in enumerate(names0):
             stacked = jnp.stack(
-                [params[i].data.array for params in per_stage_params]
+                [_lz(params[i].data.array) for params in per_stage_params]
             )
             # the index prefix keeps mangled names collision-free (e.g.
             # 'conv_1.weight' and 'conv.1.weight' both flatten to the same
@@ -157,7 +158,7 @@ class PipelineStack(Module):
         # the EMA)
         for i, name in enumerate(bnames0):
             stacked = jnp.stack(
-                [bufs[i].data.array for bufs in per_stage_bufs]
+                [_lz(bufs[i].data.array) for bufs in per_stage_bufs]
             )
             self.register_buffer(
                 f"stacked_{i}_{name.replace('.', '_')}",
@@ -456,11 +457,11 @@ class PipelinedTrainStep:
         # call sees the committed layout; avoids a second trace)
         dev = tpu()
         for p, sh in zip(self._params, pspec):
-            p.data = BackendTensor._wrap(jax.device_put(p.data.array, sh), dev)
+            p.data = BackendTensor._wrap(jax.device_put(_lz(p.data.array), sh), dev)
         for b, sh in zip(self._buffers, bspec):
-            b.data = BackendTensor._wrap(jax.device_put(b.data.array, sh), dev)
+            b.data = BackendTensor._wrap(jax.device_put(_lz(b.data.array), sh), dev)
         optimizer._state = jax.tree.map(
-            lambda arr, sh: None if arr is None else jax.device_put(arr, sh),
+            lambda arr, sh: None if arr is None else jax.device_put(_lz(arr), sh),
             optimizer._state,
             opt_sh,
             is_leaf=lambda x: x is None,
@@ -567,8 +568,8 @@ class PipelinedTrainStep:
         # and the donated-buffer window; dispatch is async so this does not
         # serialize device execution)
         with _TRACE_LOCK:
-            param_arrays = [p.data.array for p in self._params]
-            buffer_arrays = [b.data.array for b in self._buffers]
+            param_arrays = [_lz(p.data.array) for p in self._params]
+            buffer_arrays = [_lz(b.data.array) for b in self._buffers]
             loss, new_params, new_bufs, new_state = self._jitted(
                 param_arrays, buffer_arrays, self.optimizer._state, lr, x, y
             )
@@ -588,6 +589,6 @@ class PipelinedTrainStep:
         # step deletes the gathered arrays inside its own locked window
         # (dispatch is async, so device execution is not serialized)
         with _TRACE_LOCK:
-            pa = [p.data.array for p in self._params]
-            ba = [b.data.array for b in self._buffers]
+            pa = [_lz(p.data.array) for p in self._params]
+            ba = [_lz(b.data.array) for b in self._buffers]
             return self._eval_jitted(pa, ba, x)

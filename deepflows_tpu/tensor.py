@@ -424,6 +424,8 @@ class Tensor:
             for node in Graph.node_list[start::-1]:
                 grad = node.grad
                 if grad is None:
+                    if not retain_graph and not node.is_leaf:
+                        node._release_saved()
                     continue
                 for parent in node.parents:
                     if not parent.requires_grad:
@@ -439,12 +441,49 @@ class Tensor:
                         parent.grad = parent.grad + add_grad
                 if not node.is_leaf:
                     node.grad = None
+                    if not retain_graph:
+                        # free saved-for-backward refs (torch semantics:
+                        # "saved tensors are freed unless retain_graph") —
+                        # a user-held output no longer pins every forward
+                        # activation's device buffer until the next
+                        # free_graph_all; load-bearing for lazy mode, where
+                        # liveness at flush decides the program's outputs
+                        node._release_saved()
 
         if not retain_graph:
             Graph.free_graph()
 
     def zero_grad(self):
         self.grad = None
+
+    def _release_saved(self):
+        """Drop saved-for-backward references (operand tensors, cached
+        grads, vjp closures) once this op's grad_fn can no longer be called
+        (backward with retain_graph=False).  Without this, a user-held
+        output pins every forward activation through the `_x` chains until
+        the next ``Graph.free_graph_all()`` — the r2 eager-OOM cause at
+        ResNet50-224 scale, and in lazy mode it would make every
+        activation a fragment output."""
+        d = self.__dict__
+        for k in list(d):
+            if not k.startswith("_"):
+                continue
+            v = d[k]
+            if v is None:
+                continue
+            if isinstance(v, (Tensor, BackendTensor)):
+                d[k] = None
+            elif isinstance(v, (tuple, list)) and any(
+                isinstance(e, (Tensor, BackendTensor)) for e in v
+            ):
+                d[k] = None
+            elif k == "_vjp":  # jax_bridge residual closure
+                d[k] = None
+            elif getattr(v, "_is_lazy", False) or (
+                getattr(v, "ndim", None) not in (None, 0)
+                and type(v).__module__.startswith(("jaxlib", "jax", "numpy"))
+            ):
+                d[k] = None  # raw saved device/host arrays (e.g. targets)
 
     # ------------------------------------------------------------- devices
     def to(self, device) -> "Tensor":

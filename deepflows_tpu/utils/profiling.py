@@ -105,8 +105,10 @@ def step_report(step, *example_args) -> dict:
     # deletes the gathered arrays inside its own locked window; lowering
     # re-enters the RLock from this thread, which is fine
     with _TRACE_LOCK:  # a concurrent trace binds tracers into the params
-        param_arrays = [p.data.array for p in step._params]
-        buffer_arrays = [b.data.array for b in step._buffers]
+        from ..backend.lazy import force as _lz
+
+        param_arrays = [_lz(p.data.array) for p in step._params]
+        buffer_arrays = [_lz(b.data.array) for b in step._buffers]
         if hasattr(step, "optimizer"):  # train step
             args = (
                 param_arrays,

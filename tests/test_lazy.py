@@ -1,0 +1,295 @@
+"""LazyTensor deferred-execution mode (`deepflows_tpu/backend/lazy.py`).
+
+The reference framework is eager-only; lazy mode is the TPU-native answer to
+its per-op kernel launches (torch/XLA-style record-then-compile).  These
+tests pin the core contract: identical semantics to eager, one compiled
+program per steady-state step, and graceful per-op fallback for untraceable
+ops.
+"""
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import nn, optim
+from deepflows_tpu.backend import Device
+from deepflows_tpu.backend import lazy
+
+
+@pytest.fixture
+def lazy_mode():
+    lazy.enable()
+    try:
+        yield
+    finally:
+        lazy.disable()
+
+
+dev = Device("tpu")
+
+
+def _cnn():
+    return nn.Sequential(
+        nn.Conv2d(3, 8, 3, padding=1, device=dev),
+        nn.BatchNorm2d(8, device=dev),
+        nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Flatten(),
+        nn.Dropout(0.5),
+        nn.Linear(8 * 4 * 4, 10, device=dev),
+    )
+
+
+def _data(n=16, image=8, classes=10, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        rng.randn(n, 3, image, image).astype(np.float32),
+        rng.randint(0, classes, (n,)),
+    )
+
+
+def _train(steps=6, lazy_on=False, lr_schedule=False):
+    if lazy_on:
+        lazy.enable()
+    try:
+        df.manual_seed(0)
+        m = _cnn()
+        crit = nn.CrossEntropyLoss()
+        opt = optim.Adam(m.parameters(), lr=1e-3)
+        sched = (
+            optim.CosineAnnealingLR(opt, T_max=4) if lr_schedule else None
+        )
+        X, Y = _data()
+        m.train()
+        losses = []
+        for _ in range(steps):
+            loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            if sched is not None:
+                sched.step()
+            losses.append(float(loss.data.numpy()))
+        return losses
+    finally:
+        if lazy_on:
+            lazy.disable()
+
+
+def test_training_matches_eager():
+    """Forward+backward+Adam trajectory identical to eager (modulo XLA
+    fusion-level f32 reassociation)."""
+    eager = _train(lazy_on=False)
+    lazied = _train(lazy_on=True)
+    np.testing.assert_allclose(eager, lazied, rtol=2e-5, atol=2e-5)
+
+
+def test_dropout_stream_matches_eager():
+    """The dropout key stream is derived eagerly in both modes — masks are
+    bit-identical, so (fusion aside) the trajectories coincide."""
+    e = _train(steps=3, lazy_on=False)
+    l = _train(steps=3, lazy_on=True)
+    np.testing.assert_allclose(e, l, rtol=1e-5, atol=1e-5)
+
+
+def test_steady_state_caches_one_program():
+    """After the first iteration, every further step reuses the compiled
+    fragment: compiles stays flat while flushes grow per step."""
+    lazy.enable()
+    try:
+        before = lazy.lazy_stats()
+        _run_steps = 6
+        df.manual_seed(0)
+        m = _cnn()
+        crit = nn.CrossEntropyLoss()
+        opt = optim.Adam(m.parameters(), lr=1e-3)
+        X, Y = _data()
+        m.train()
+        for _ in range(_run_steps):
+            loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            float(loss.data.numpy())
+        after = lazy.lazy_stats()
+        flushes = after["flushes"] - before["flushes"]
+        compiles = after["compiles"] - before["compiles"]
+        assert flushes == _run_steps
+        # first step (init + step) compiles; steady state replays from cache
+        assert compiles <= 2, f"expected <=2 compiles, got {compiles}"
+        assert after["eager_fallback_fragments"] == before["eager_fallback_fragments"]
+    finally:
+        lazy.disable()
+
+
+def test_lr_schedule_does_not_recompile():
+    """lr is a traced scalar input: a changing schedule must not change the
+    fragment signature."""
+    lazy.enable()
+    try:
+        before = lazy.lazy_stats()["compiles"]
+        _train(steps=6, lazy_on=False, lr_schedule=True)  # already enabled
+        compiles = lazy.lazy_stats()["compiles"] - before
+        assert compiles <= 2, f"lr schedule retriggered compilation: {compiles}"
+    finally:
+        lazy.disable()
+
+
+def test_boolean_mask_falls_back_per_op(lazy_mode):
+    """Data-dependent output shapes can't trace — the op runs eagerly, the
+    rest of the fragment machinery keeps working."""
+    t = df.Tensor(np.arange(12, dtype=np.float32).reshape(3, 4), device=dev)
+    before = lazy.lazy_stats()["eager_fallback_ops"]
+    sub = t.data[np.array([True, False, True])]
+    assert sub.shape == (2, 4)
+    assert lazy.lazy_stats()["eager_fallback_ops"] == before + 1
+    np.testing.assert_allclose(
+        sub.numpy(), np.arange(12, dtype=np.float32).reshape(3, 4)[[0, 2]]
+    )
+
+
+def test_compiled_step_interleaves(lazy_mode):
+    """CompiledTrainStep works mid-lazy-session: gathers force pending
+    arrays, the compiled step runs, and lazy eager resumes after."""
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    df.manual_seed(3)
+    m = _cnn()
+    crit = nn.CrossEntropyLoss()
+    opt = optim.Adam(m.parameters(), lr=1e-3)
+    X, Y = _data()
+    m.train()
+    # one lazy eager step
+    loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    step = CompiledTrainStep(m, opt, crit)
+    out = step(X, Y)
+    assert np.isfinite(float(out))
+    # and back to lazy eager
+    loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+    assert np.isfinite(float(loss.data.numpy()))
+
+
+def test_eval_and_accuracy(lazy_mode):
+    from deepflows_tpu.utils import evaluate_accuracy
+    from deepflows_tpu.utils.data import data_loader
+
+    df.manual_seed(0)
+    m = _cnn()
+    X, Y = _data(n=32)
+    m.eval()
+    acc = evaluate_accuracy(m, data_loader(X, Y, batch_size=8), device=dev)
+    assert 0.0 <= acc <= 1.0
+
+
+def test_max_nodes_auto_flush(lazy_mode, monkeypatch):
+    monkeypatch.setattr(lazy, "MAX_NODES", 8)
+    before = lazy.lazy_stats()["flushes"]
+    t = df.Tensor(np.ones((4, 4), np.float32), device=dev)
+    for _ in range(20):
+        t = t * 1.5 + 0.1
+    assert lazy.lazy_stats()["flushes"] > before  # flushed without a readback
+    assert np.isfinite(t.numpy()).all()
+
+
+def test_checkpoint_save_load(lazy_mode, tmp_path):
+    from deepflows_tpu.utils import load_checkpoint, save_checkpoint
+
+    df.manual_seed(0)
+    m = _cnn()
+    crit = nn.CrossEntropyLoss()
+    opt = optim.Adam(m.parameters(), lr=1e-3)
+    X, Y = _data()
+    m.train()
+    loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    path = str(tmp_path / "lazy_ckpt.pkl")
+    save_checkpoint(
+        m, opt, epoch=1, loss=float(loss.data.numpy()), save_path=path
+    )
+
+    df.manual_seed(1)
+    m2 = _cnn()
+    opt2 = optim.Adam(m2.parameters(), lr=1e-3)
+    load_checkpoint(m2, opt2, path)
+    for (n1, p1), (n2, p2) in zip(m2.named_parameters(), m.named_parameters()):
+        np.testing.assert_allclose(
+            np.asarray(p1.data.numpy()), np.asarray(p2.data.numpy()), rtol=1e-6
+        )
+
+
+def test_bf16_scalar_purity(lazy_mode):
+    import jax.numpy as jnp
+
+    t = df.Tensor(
+        np.ones((4, 4), np.float32), device=dev, dtype=jnp.bfloat16
+    )
+    out = t.data * 3.0 + 1.0
+    assert str(out.dtype) == "bfloat16"
+
+
+def test_views_and_setitem(lazy_mode):
+    t = df.Tensor(np.arange(24, dtype=np.float32).reshape(2, 3, 4), device=dev)
+    r = t.data.reshape((6, 4)).permute((1, 0)).broadcast_to((2, 4, 6))
+    assert r.shape == (2, 4, 6)
+    ref = np.broadcast_to(
+        np.arange(24, dtype=np.float32).reshape(6, 4).transpose(1, 0), (2, 4, 6)
+    )
+    np.testing.assert_allclose(r.numpy(), ref)
+    b = t.data
+    b[0, 1] = 99.0
+    assert b.numpy()[0, 1, 0] == 99.0
+
+
+def test_concat_and_comparisons(lazy_mode):
+    a = df.Tensor(np.ones((2, 3), np.float32), device=dev)
+    b = df.Tensor(np.zeros((2, 3), np.float32), device=dev)
+    c = df.concat([a, b], axis=0)
+    assert c.shape == (4, 3)
+    eq = (a.data == 1.0).numpy()
+    np.testing.assert_allclose(eq, np.ones((2, 3), np.float32))
+
+
+def test_disable_materializes():
+    lazy.enable()
+    t = df.Tensor(np.ones((3, 3), np.float32), device=dev)
+    u = t.data * 2.0
+    lazy.disable()
+    assert not lazy.enabled()
+    # the pending value materialized on disable; plain eager works after
+    np.testing.assert_allclose(u.numpy(), 2 * np.ones((3, 3)))
+    v = u * 3.0
+    np.testing.assert_allclose(v.numpy(), 6 * np.ones((3, 3)))
+
+
+def test_reference_script_shape_via_shim(lazy_mode):
+    """A reference-style imperative loop (dispose + free_graph_all, per-batch
+    readback) trains under lazy mode exactly as the shim scripts do."""
+    from deepflows_tpu.tensor import Graph
+
+    df.manual_seed(0)
+    m = _cnn()
+    crit = nn.CrossEntropyLoss()
+    opt = optim.Adam(m.parameters(), lr=1e-3)
+    X, Y = _data(n=32)
+    m.train()
+    losses = []
+    for ep in range(2):
+        for i in range(0, 32, 16):
+            x = df.Tensor(X[i : i + 16], device=dev)
+            y = df.Tensor(Y[i : i + 16], device=dev)
+            out = m(x)
+            loss = crit(out, y)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.data.numpy()))
+            x.dispose()
+            y.dispose()
+        Graph.free_graph_all()
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 1.5
