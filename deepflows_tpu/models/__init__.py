@@ -43,5 +43,11 @@ __all__ = [
 ]
 from .decoding import KVCacheDecoder
 from .engine import InflightEngine, InflightHandle
+from .speculative import SpeculativeDecoder
 
-__all__ += ["KVCacheDecoder", "InflightEngine", "InflightHandle"]
+__all__ += [
+    "KVCacheDecoder",
+    "InflightEngine",
+    "InflightHandle",
+    "SpeculativeDecoder",
+]

@@ -47,6 +47,21 @@ def _mm(x, w):
     return x @ w
 
 
+def _scatter_chunk(cache, layer, new, pos_rows):
+    """Write a g-token chunk's K/V at PER-ROW position windows: cache
+    (layers, B, Hc, L, Dh), new (B, Hc, g, Dh), pos_rows (B, g) int32 ->
+    ``cache[layer, b, h, pos_rows[b, j]] = new[b, h, j]``.  The speculative
+    verify forward's cache write (each row's chunk starts at its own
+    depth)."""
+    import jax.numpy as jnp
+
+    B, Hc = new.shape[0], new.shape[1]
+    i0 = jnp.arange(B)[:, None, None]
+    i1 = jnp.arange(Hc)[None, :, None]
+    i2 = pos_rows[:, None, :]
+    return cache.at[layer, i0, i1, i2].set(new.astype(cache.dtype))
+
+
 def _scatter_step(cache, layer, new, posv):
     """Write one decode step's K/V at PER-SLOT positions: cache
     (layers, S, Hc, L, Dh), new (S, Hc, 1, Dh), posv (S,) int32 ->
@@ -418,6 +433,46 @@ class KVCacheDecoder:
             x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
         x = self._ln(x, params["lnf_w"], params["lnf_b"])
         return self._head(x[:, 0], params), kc, vc
+
+    # ----------------------------------------- multi-token chunk forward
+    def _forward_chunk(self, params, kc, vc, toks, posv, positions):
+        """Forward a g-token chunk per row against the KV cache: toks
+        (B, g) int32, row b's token j sits at sequence position
+        ``posv[b] + j``.  Writes all g cache entries per layer BEFORE
+        attending (so stale speculative entries in the window are
+        overwritten, never attended), causal within the chunk and against
+        the cache.  Returns (logits (B, g, V) f32, kc, vc) — logits[:, j]
+        is the next-token distribution after input j: the speculative
+        VERIFY pass (arXiv:2211.17192's parallel scoring) in one program."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        H = lm.blocks[0].attn.num_heads
+        scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
+        B, g = toks.shape
+        pos_rows = posv[:, None] + jnp.arange(g, dtype=posv.dtype)  # (B, g)
+        x = params["tok"][toks] + params["pos"][0][pos_rows]
+        # query at row position P attends keys at positions <= P
+        mask = positions[None, None, None, :] > pos_rows[:, None, :, None]
+        for li, p in enumerate(params["blocks"]):
+            h = self._ln(x, p["ln1_w"], p["ln1_b"])
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (B, H, g, Dh)
+            kc = _scatter_chunk(kc, li, k_new, pos_rows)
+            vc = _scatter_chunk(vc, li, v_new, pos_rows)
+            s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(mask, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
+            o = o.transpose(0, 2, 1, 3).reshape(B, g, -1)
+            x = x + (_mm(o, p["o_w"]) + p["o_b"])
+            x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
+        x = self._ln(x, params["lnf_w"], params["lnf_b"])
+        E = x.shape[-1]
+        logits = self._head(x.reshape(B * g, E), params)
+        return logits.reshape(B, g, -1), kc, vc
 
     # ------------------------------------------------------------ decode
     def _decode(
@@ -881,6 +936,63 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
         return (
             xf * cos[:, None, None, :] + rot * sin[:, None, None, :]
         ).astype(x.dtype)
+
+    def _forward_chunk(self, params, kc, vc, toks, posv, positions):
+        """Speculative verify forward for the Llama family: g-token chunk
+        per row, per-row RoPE windows, GQA grouped contraction against the
+        ``num_kv_heads``-wide cache.  Same contract as the base
+        ``KVCacheDecoder._forward_chunk``."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        eps = lm.norm.eps
+        scale = 1.0 / np.sqrt(D)
+        B, g = toks.shape
+        pos_rows = posv[:, None] + jnp.arange(g, dtype=posv.dtype)  # (B, g)
+        x = params["tok"][toks]
+        cos = params["rope_cos"][pos_rows]  # (B, g, D) f32
+        sin = params["rope_sin"][pos_rows]
+
+        def rope_chunk(z):  # z (B, heads, g, D), tables (B, g, D)
+            zf = z.astype(jnp.float32)
+            half = z.shape[-1] // 2
+            rot = jnp.concatenate([-zf[..., half:], zf[..., :half]], -1)
+            return (zf * cos[:, None] + rot * sin[:, None]).astype(z.dtype)
+
+        # query at row position P attends keys at positions <= P
+        mask = (
+            positions[None, None, None, None, :]
+            > pos_rows[:, None, None, :, None]
+        )
+        for li, p in enumerate(params["blocks"]):
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k_new, v_new = self._attn_proj(h, p, H)  # (B, */Hkv, g, D)
+            q = rope_chunk(q)
+            k_new = rope_chunk(k_new)
+            kc = _scatter_chunk(kc, li, k_new, pos_rows)
+            vc = _scatter_chunk(vc, li, v_new, pos_rows)
+            qg = q.reshape(B, Hkv, G, g, D)
+            s = (jnp.einsum("bkgqd,bkld->bkgql", qg, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(mask, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bkgql,bkld->bkgqd", attn, vc[li])
+            o = (
+                o.reshape(B, H, g, D)
+                .transpose(0, 2, 1, 3)
+                .reshape(B, g, H * D)
+            )
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        E = x.shape[-1]
+        logits = self._head(x.reshape(B * g, E), params)
+        return logits.reshape(B, g, -1), kc, vc
 
     def _forward_multi(self, params, kc, vc, tok, posv, positions):
         """Per-slot-position decode step (in-flight engine): same math as

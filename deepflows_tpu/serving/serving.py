@@ -41,11 +41,22 @@ class PredictService:
     def __init__(
         self, model, decode_dtype=None, decode_quant=None,
         inflight_slots=None, inflight_chunk: int = 8, inflight_top_k=None,
+        draft_model=None, spec_gamma: int = 4,
     ):
         """``decode_dtype``/``decode_quant`` configure the Generate RPC's
         KV-cache decoder (e.g. ``decode_dtype=jnp.bfloat16,
         decode_quant="int8"`` serves int8-weight decode — the
         weight-bandwidth fast path); Predict is unaffected.
+
+        ``draft_model`` turns on SPECULATIVE DECODING for Generate
+        (``models.SpeculativeDecoder``): the small draft proposes
+        ``spec_gamma`` tokens per round, the served model verifies them in
+        one chunk forward, and the emitted stream is exactly the served
+        model's (greedy output bit-identical to the plain decoder).
+        Requests using ``top_k``/``top_p`` fall back to the one-shot
+        decoder (the acceptance ratio needs full distributions), as does
+        everything when in-flight batching is also configured (the engine
+        wins that routing).
 
         ``inflight_slots=N`` turns on IN-FLIGHT BATCHING for Generate:
         concurrent RPCs share one slot-based decode engine
@@ -65,6 +76,9 @@ class PredictService:
         self._inflight_slots = inflight_slots
         self._inflight_chunk = inflight_chunk
         self._inflight_top_k = inflight_top_k
+        self._draft_model = draft_model
+        self._spec_gamma = spec_gamma
+        self._spec = None
         if isinstance(model, OnnxModel):
             self._step = model
         else:
@@ -120,10 +134,38 @@ class PredictService:
             )
         tokens = self._engine_generate(prompt, new_tokens, sample_kw)
         if tokens is None:
+            tokens = self._speculative_generate(prompt, new_tokens, sample_kw)
+        if tokens is None:
             tokens = self._decoder.generate(prompt, new_tokens, **sample_kw)
         resp = serving_pb2.PredictResp()
         resp.matrix.extend([_to_matrix(tokens.astype(np.float32))])
         return resp
+
+    def _speculative_generate(self, prompt, new_tokens, sample_kw):
+        """Serve a Generate call via draft-propose/target-verify when a
+        draft model is configured and the request is compatible (no
+        top-k/top-p truncation); None falls through to the plain
+        decoder."""
+        if self._draft_model is None or new_tokens < 1:
+            return None
+        if sample_kw.get("top_k") or sample_kw.get("top_p"):
+            return None
+        if self._spec is None:
+            from ..models.speculative import SpeculativeDecoder
+
+            self._spec = SpeculativeDecoder(
+                self._model,
+                self._draft_model,
+                gamma=self._spec_gamma,
+                compute_dtype=self._decode_dtype,
+                quant=self._decode_quant,
+            )
+        return self._spec.generate(
+            prompt,
+            new_tokens,
+            temperature=sample_kw.get("temperature", 0.0),
+            seed=sample_kw.get("seed", 0),
+        )
 
     def _engine_generate(self, prompt, new_tokens, sample_kw):
         """Route a Generate call through the shared in-flight engine when
@@ -178,6 +220,8 @@ class MyDLPWServicer:
         inflight_slots=None,
         inflight_chunk: int = 8,
         inflight_top_k=None,
+        draft_model=None,
+        spec_gamma: int = 4,
     ):
         """Serve either an in-memory model, or a model FILE from disk
         (reference ctor contract `DF_serving/serving/serving.py:25,71-92`:
@@ -220,6 +264,8 @@ class MyDLPWServicer:
             inflight_slots=inflight_slots,
             inflight_chunk=inflight_chunk,
             inflight_top_k=inflight_top_k,
+            draft_model=draft_model,
+            spec_gamma=spec_gamma,
         )
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
         handler = grpc.method_handlers_generic_handler(
