@@ -43,6 +43,7 @@ __all__ = [
 ]
 from .decoding import KVCacheDecoder
 from .engine import InflightEngine, InflightHandle
+from .mixtral import MixtralBlock, MixtralLM
 from .speculative import SpeculativeDecoder
 
 __all__ += [
@@ -50,4 +51,6 @@ __all__ += [
     "InflightEngine",
     "InflightHandle",
     "SpeculativeDecoder",
+    "MixtralLM",
+    "MixtralBlock",
 ]

@@ -84,7 +84,10 @@ class KVCacheDecoder:
         # decoder subclass (serving constructs decoders generically)
         if cls is KVCacheDecoder:
             from .llama import LlamaLM
+            from .mixtral import MixtralLM
 
+            if isinstance(lm, MixtralLM):
+                return super().__new__(MixtralKVCacheDecoder)
             if isinstance(lm, LlamaLM):
                 return super().__new__(LlamaKVCacheDecoder)
         return super().__new__(cls)
@@ -1034,3 +1037,122 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
         x = self._rms(x, params["lnf_w"], eps)
         return self._head(x[:, 0], params), kc, vc
+
+
+class MixtralKVCacheDecoder(LlamaKVCacheDecoder):
+    """KV-cache decoding for ``models.MixtralLM``: the Llama attention
+    machinery (GQA-narrow cache, RoPE, fused qkv) inherited unchanged; the
+    FFN is the top-k-routed SwiGLU expert mixture.  Decode computes ALL
+    experts densely per step — at decode token counts the expert matmuls
+    are tiny (E small, M = tokens-in-flight), so dense-all-experts + a
+    top-k-masked combine is the TPU-friendly form (sparse dispatch pays
+    only at training batch sizes, `nn/modules/moe.py`).  int8 quant applies
+    to the attention/head matrices; expert stacks stay in compute dtype."""
+
+    def _prep_tree(self, tree, _wprep, _cast_leaf):
+        import jax.numpy as jnp
+
+        out = {}
+        for k, v in tree.items():
+            if k == "blocks":
+                nbs = []
+                for blk in v:
+                    nbs.append(
+                        {
+                            "ln1_w": _cast_leaf(blk["ln1_w"]),
+                            "ln2_w": _cast_leaf(blk["ln2_w"]),
+                            "o_w": _wprep(blk["o_w"]),
+                            "qkv_w": _wprep(
+                                jnp.concatenate(
+                                    [blk["q_w"], blk["k_w"], blk["v_w"]],
+                                    axis=1,
+                                )
+                            ),
+                            "router_w": _cast_leaf(blk["router_w"]),
+                            "router_b": blk["router_b"],  # f32 routing
+                            "experts_gate": _cast_leaf(blk["experts_gate"]),
+                            "experts_up": _cast_leaf(blk["experts_up"]),
+                            "experts_down": _cast_leaf(blk["experts_down"]),
+                        }
+                    )
+                out[k] = nbs
+            elif k == "head_w":
+                out[k] = _wprep(v)
+            elif k in ("rope_cos", "rope_sin"):
+                out[k] = v
+            else:
+                out[k] = _cast_leaf(v)
+        return out
+
+    def _gather(self):
+        from ..jit import _TRACE_LOCK
+
+        lm = self.lm
+        with _TRACE_LOCK:
+            blocks = []
+            for blk in lm.blocks:
+                a = blk.attn
+                blocks.append(
+                    dict(
+                        ln1_w=blk.norm1.weight.data.array,
+                        q_w=a.q_proj.weight.data.array,
+                        k_w=a.k_proj.weight.data.array,
+                        v_w=a.v_proj.weight.data.array,
+                        o_w=a.out_proj.weight.data.array,
+                        ln2_w=blk.norm2.weight.data.array,
+                        router_w=blk.moe.router.weight.data.array,
+                        router_b=blk.moe.router.bias.data.array,
+                        experts_gate=blk.moe.experts_gate.data.array,
+                        experts_up=blk.moe.experts_up.data.array,
+                        experts_down=blk.moe.experts_down.data.array,
+                    )
+                )
+            tree = dict(
+                tok=lm.tok_embed.weight.data.array,
+                blocks=blocks,
+                lnf_w=lm.norm.weight.data.array,
+                head_w=lm.head.weight.data.array,
+            )
+        # RoPE tables, identical to the Llama decoder's
+        a0 = lm.blocks[0].attn
+        D = a0.head_dim
+        half = D // 2
+        inv = 1.0 / (
+            a0.rope_theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / D)
+        )
+        ang = np.outer(np.arange(lm.max_len, dtype=np.float64), inv)
+        tree["rope_cos"] = np.concatenate([np.cos(ang)] * 2, -1).astype(
+            np.float32
+        )
+        tree["rope_sin"] = np.concatenate([np.sin(ang)] * 2, -1).astype(
+            np.float32
+        )
+        return tree
+
+    def _mlp(self, h, p):
+        """Top-k-routed SwiGLU expert mixture over (B, T, D) activations:
+        router softmax in f32, top-k mask + renormalise (the Mixtral
+        recipe, k static from the model), dense all-expert compute, gated
+        combine.  Matches ``nn.MoE(swiglu=True, top_k=k)`` numerics."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        B, T, D = h.shape
+        xf = h.reshape(B * T, D)
+        logits = (
+            xf.astype(jnp.float32) @ p["router_w"].astype(jnp.float32)
+            + p["router_b"]
+        )  # (N, E) f32
+        gates = jax.nn.softmax(logits, -1)
+        k = self.lm.top_k
+        E = self.lm.n_experts
+        if k and k < E:
+            kth = lax.top_k(gates, k)[0][..., -1:]
+            kept = jnp.where(gates >= kth, gates, 0.0)
+            gates = kept / jnp.sum(kept, -1, keepdims=True)
+        ge = jax.nn.silu(jnp.einsum("nd,edh->enh", xf, p["experts_gate"]))
+        ue = jnp.einsum("nd,edh->enh", xf, p["experts_up"])
+        oe = jnp.einsum("enh,ehd->end", ge * ue, p["experts_down"])
+        out = jnp.einsum("ne,end->nd", gates.astype(oe.dtype), oe)
+        return out.reshape(B, T, D).astype(h.dtype)

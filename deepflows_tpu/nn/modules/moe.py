@@ -36,6 +36,7 @@ class MoE(Module):
         top_k: int = 0,
         capacity_factor: float = 0.0,
         device=None,
+        swiglu: bool = False,
     ) -> None:
         """``top_k > 0`` enables top-k gating: the softmax gates are masked
         to each token's k largest and renormalised (the standard sparse-MoE
@@ -51,7 +52,13 @@ class MoE(Module):
         ``C = ceil(N/E * capacity_factor)`` tokens per batch (static
         shape), and tokens over capacity are dropped (zero MoE output).
         Compute per expert is ``(E, C, D)`` einsum-dispatched — the true
-        sparse-compute path; mutually exclusive with ``top_k``."""
+        sparse-compute path; mutually exclusive with ``top_k``.
+
+        ``swiglu=True`` makes each expert a bias-free SwiGLU FFN
+        (``down(silu(gate(x)) * up(x))`` — the Mixtral expert recipe;
+        stacked ``experts_gate/up/down``, so ``expert_parallel_rules``
+        shards them unchanged).  Dense/top-k gating only (the Mixtral
+        top-2 semantics ARE the ``top_k`` path)."""
         super().__init__()
         import math
 
@@ -61,6 +68,11 @@ class MoE(Module):
             raise ValueError(f"capacity_factor must be >= 0, got {capacity_factor}")
         if capacity_factor and top_k:
             raise ValueError("capacity_factor and top_k are mutually exclusive")
+        if swiglu and capacity_factor:
+            raise ValueError(
+                "swiglu experts support dense/top-k gating only "
+                "(capacity_factor dispatch is the gelu/relu Switch path)"
+            )
         self.dim, self.hidden, self.n_experts = dim, hidden, n_experts
         self.activation = activation
         self.top_k = top_k
@@ -73,8 +85,20 @@ class MoE(Module):
         self.last_z_loss = None
         self.last_expert_fraction = None
         self.last_dropped_fraction = None
+        self.swiglu = bool(swiglu)
         dev = Device(device) if device else default_accelerator()
         self.router = Linear(dim, n_experts, device=device)
+        if self.swiglu:
+            bound_d, bound_h = 1.0 / math.sqrt(dim), 1.0 / math.sqrt(hidden)
+            for name, shape, bound in (
+                ("experts_gate", (n_experts, dim, hidden), bound_d),
+                ("experts_up", (n_experts, dim, hidden), bound_d),
+                ("experts_down", (n_experts, hidden, dim), bound_h),
+            ):
+                par = Parameter(tensor.empty(shape, device=dev))
+                init.uniform_(par, -bound, bound)
+                self.register_parameter(name, par)
+            return
         self.experts_w1 = Parameter(
             tensor.empty((n_experts, dim, hidden), device=dev)
         )
@@ -115,12 +139,18 @@ class MoE(Module):
         if self.top_k and self.top_k < self.n_experts:
             gates = self._topk_renorm(gates, x.ndim - 1)
         xf = x.reshape(1, N, D)
-        h = xf @ self.experts_w1 + self.experts_b1  # (E, N, H)
-        if self.activation == "gelu":
-            h = F.gelu(h)
+        if self.swiglu:
+            # Mixtral expert: down(silu(gate(x)) * up(x)), bias-free
+            g = F.silu(xf @ self.experts_gate)  # (E, N, H)
+            u = xf @ self.experts_up
+            out_e = (g * u) @ self.experts_down  # (E, N, D)
         else:
-            h = F.relu(h)
-        out_e = h @ self.experts_w2 + self.experts_b2  # (E, N, D)
+            h = xf @ self.experts_w1 + self.experts_b1  # (E, N, H)
+            if self.activation == "gelu":
+                h = F.gelu(h)
+            else:
+                h = F.relu(h)
+            out_e = h @ self.experts_w2 + self.experts_b2  # (E, N, D)
         # combine: contract the expert axis with the gate weights
         g = gates.reshape(N, self.n_experts).transpose(1, 0).reshape(
             self.n_experts, N, 1

@@ -107,11 +107,13 @@ class PredictService:
         forward per token."""
         from ..models.decoding import KVCacheDecoder
         from ..models.llama import LlamaLM
+        from ..models.mixtral import MixtralLM
         from ..models.transformer_lm import TransformerLM
 
-        if not isinstance(self._model, (TransformerLM, LlamaLM)):
+        if not isinstance(self._model, (TransformerLM, LlamaLM, MixtralLM)):
             raise ValueError(
-                "Generate is only served for TransformerLM/LlamaLM models; "
+                "Generate is only served for TransformerLM/LlamaLM/MixtralLM "
+                "models; "
                 f"got {type(self._model).__name__}"
             )
         if self._decoder is None:
