@@ -5,6 +5,7 @@ from .adagrad import Adagrad
 from .adam import Adam
 from .adamw import AdamW
 from .clip import clip_by_global_norm, clip_grad_norm_
+from .ema import ModelEMA
 from .optimizer import Optimizer
 from .rmsprop import RMSprop
 from .scheduler import CosineAnnealingLR, LRScheduler, StepLR, WarmupCosineLR
@@ -24,4 +25,5 @@ __all__ = [
     "WarmupCosineLR",
     "clip_grad_norm_",
     "clip_by_global_norm",
+    "ModelEMA",
 ]

@@ -1,6 +1,7 @@
 from .dataloader import (
     BatchSampler,
     DataLoader,
+    DistributedSampler,
     RandomSampler,
     Sampler,
     SequentialSampler,
@@ -18,6 +19,7 @@ __all__ = [
     "SequentialSampler",
     "RandomSampler",
     "BatchSampler",
+    "DistributedSampler",
     "read_png_images_from_folder",
     "load_image_folder",
 ]

@@ -61,6 +61,72 @@ class RandomSampler(Sampler):
         return iter(self._rng.permutation(len(self.source)).tolist())
 
 
+class DistributedSampler(Sampler):
+    """Per-process shard of the index stream for multi-host training
+    (extension; the reference is single-process).  torch-compatible
+    surface: ``num_replicas``/``rank`` default to the jax process grid
+    (``jax.process_count()`` / ``jax.process_index()``), every replica sees
+    the SAME seeded permutation of one epoch and takes a disjoint
+    rank-strided slice, and ``set_epoch(e)`` reseeds so shuffles differ
+    across epochs while staying identical across ranks.
+
+    ``drop_last=False`` pads the stream to a multiple of ``num_replicas``
+    by wrapping around (every rank yields the same count — collective
+    steps stay shape-aligned); ``drop_last=True`` truncates instead."""
+
+    def __init__(
+        self,
+        source,
+        num_replicas=None,
+        rank=None,
+        shuffle=True,
+        seed=0,
+        drop_last=False,
+    ):
+        super().__init__(source)
+        if num_replicas is None or rank is None:
+            import jax
+
+            num_replicas = jax.process_count() if num_replicas is None else num_replicas
+            rank = jax.process_index() if rank is None else rank
+        if not (0 <= rank < num_replicas):
+            raise ValueError(f"rank {rank} out of range for {num_replicas} replicas")
+        self.num_replicas = int(num_replicas)
+        self.rank = int(rank)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.drop_last = bool(drop_last)
+        self.epoch = 0
+        n = len(source)
+        if self.drop_last:
+            self.num_samples = n // self.num_replicas
+        else:
+            self.num_samples = -(-n // self.num_replicas)  # ceil
+
+    @property
+    def dataset(self):
+        return self.source
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def __iter__(self):
+        n = len(self.source)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        total = self.num_samples * self.num_replicas
+        if total > n:  # wrap-around pad so all ranks yield num_samples
+            order = np.concatenate([order, order[: total - n]])
+        else:
+            order = order[:total]
+        return iter(order[self.rank :: self.num_replicas].tolist())
+
+    def __len__(self):
+        return self.num_samples
+
+
 class BatchSampler(Sampler):
     """Chunk an index stream into lists of ``batch_size``."""
 
