@@ -63,6 +63,13 @@ def _scatter_chunk(cache, layer, new, posv):
     import jax.numpy as jnp
     from jax import lax
 
+    if new.shape[0] == 1:
+        # single row: the window is ONE contiguous slice — skip the
+        # full-layer masked rewrite entirely (it cost 2 layer-sized copies
+        # per call; this is the prefix-cache admission path, B=1)
+        return lax.dynamic_update_slice(
+            cache, new[None].astype(cache.dtype), (layer, 0, 0, posv[0], 0)
+        )
     g = new.shape[2]
     L = cache.shape[3]
     off = jnp.arange(L)[None, :] - posv[:, None]  # (B, L)

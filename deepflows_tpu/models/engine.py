@@ -18,7 +18,14 @@ slot-based engine over static shapes:
   request between chunks.  Slots whose budget ends mid-chunk freeze
   in-program (token and position stop advancing; re-forwarding the frozen
   token rewrites the identical K/V at the same position, so the cache stays
-  exact) and the host discards their frozen tail.
+  exact) and the host discards their frozen tail;
+- PREFIX CACHING (``register_prefix``): a shared prompt prefix (system
+  prompt) is prefilled once and its K/V kept on device; a matching
+  request's admission scatters the cached rows and forwards only the
+  SUFFIX (power-of-2 padded, via the decoder's chunk forward — the
+  speculative-verify primitive), so admission cost scales with the
+  suffix, not the prompt.  Entries are LRU-bounded (``max_prefixes``) and
+  recompute lazily after ``refresh_params``.
 
 Every device program compiles ONCE per engine (at most twice: an all-greedy
 and an any-sampling variant of chunk/admission): shapes, slot count, chunk
@@ -91,6 +98,7 @@ class InflightEngine:
         quant=None,
         seed: int = 0,
         start: bool = True,
+        max_prefixes: int = 8,
     ):
         """``slots``: max concurrent sequences (cache batch dim).
         ``chunk``: decode steps per device program — the host readback /
@@ -147,6 +155,22 @@ class InflightEngine:
         self._chunk_j = jax.jit(
             self._chunk_fn, static_argnums=(11,), donate_argnums=(1, 2, 3, 4)
         )
+
+        # prefix cache: registered prompt prefixes whose K/V (and next-token
+        # logits) are prefilled ONCE and reused by every matching request —
+        # vLLM-style prefix caching with explicit registration, re-shaped for
+        # static-shape XLA (each entry holds one slot-row's worth of cache
+        # HBM).  Admission of a hit runs only the SUFFIX forward.
+        self.max_prefixes = int(max_prefixes)
+        self._prefixes: dict = {}  # tuple(tokens) -> entry dict
+        self._prefix_clock = 0  # LRU counter
+        self._params_ver = 0  # entries from older weights recompute lazily
+        # suffix lengths are padded to power-of-2 buckets, so this single
+        # jit compiles at most log2(L) variants; kcp/vcp are NOT donated
+        # (the persistent prefix entry must survive for the next request)
+        self._suffix_j = jax.jit(self._suffix_fn)
+        self.prefix_hits = 0
+        self.prefix_misses = 0
 
         self._queue: "queue.Queue" = queue.Queue()
         self._pending: list = []
@@ -222,6 +246,87 @@ class InflightEngine:
         return lax.fori_loop(
             0, self.chunk, step, (kc, vc, tok, posv, key, out0)
         )
+
+    # ----------------------------------------------------------- prefix cache
+    def _suffix_fn(self, params, kcp, vcp, toks, sfx_len, plen):
+        """Prefill only a request's SUFFIX against a cached prefix row:
+        ``kcp``/``vcp`` (layers, 1, Hc, L, Dh) hold the prefix K/V, ``toks``
+        (1, SFX) the zero-padded suffix whose first ``sfx_len`` (traced)
+        tokens are real, starting at position ``plen``.  Runs the decoder's
+        chunk forward (the speculative-verify primitive): every suffix
+        position's K/V is written before it is attended, and the pad
+        positions' garbage K/V is never visible — each decode step
+        overwrites its own position before the causal mask admits it.
+        Returns (kc, vc, next-token logits (1, V) of the last REAL token)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        positions = jnp.arange(self.L)
+        logits_all, kc, vc = self.dec._forward_chunk(
+            params, kcp, vcp, toks, jnp.reshape(plen, (1,)), positions
+        )
+        V = logits_all.shape[-1]
+        logits = lax.dynamic_slice(
+            logits_all, (0, sfx_len - 1, 0), (1, 1, V)
+        )[:, 0]
+        return kc, vc, logits
+
+    def register_prefix(self, tokens) -> None:
+        """Prefill ``tokens`` (1-D int array — a shared system prompt) once
+        and cache its K/V; subsequent ``submit`` calls whose prompt starts
+        with it skip re-prefilling the prefix.  Thread-safe; entries are
+        LRU-evicted beyond ``max_prefixes`` and recomputed lazily after
+        ``refresh_params``.  Each entry holds one slot-row of cache HBM."""
+        tokens = np.asarray(tokens)
+        if tokens.ndim != 1 or tokens.size < 1:
+            raise ValueError("prefix must be a non-empty 1-D token array")
+        if tokens.size + 1 > self.L:
+            raise ValueError(
+                f"prefix length {tokens.size} leaves no room under "
+                f"max_len {self.L}"
+            )
+        self._prefix_entry(tuple(int(t) for t in tokens))
+
+    def _prefix_entry(self, key: tuple) -> dict:
+        """Get-or-(re)compute the cache entry for prefix ``key``."""
+        import jax.numpy as jnp
+
+        entry = self._prefixes.get(key)
+        if entry is None or entry["ver"] != self._params_ver:
+            plen = len(key)
+            prompt = np.zeros((1, self.L), np.int32)
+            prompt[0, :plen] = key
+            kcn, vcn, logits0 = self._prefill_j(
+                self.params, jnp.asarray(prompt), jnp.int32(plen)
+            )
+            self._prefix_clock += 1
+            entry = {
+                "plen": plen, "kc": kcn, "vc": vcn, "logits": logits0,
+                "ver": self._params_ver, "used": self._prefix_clock,
+            }
+            self._prefixes[key] = entry
+            while len(self._prefixes) > self.max_prefixes:
+                oldest = min(
+                    self._prefixes, key=lambda k: self._prefixes[k]["used"]
+                )
+                del self._prefixes[oldest]
+        self._prefix_clock += 1
+        entry["used"] = self._prefix_clock
+        return entry
+
+    def _match_prefix(self, prompt: np.ndarray):
+        """Longest registered prefix that is a proper-or-full prefix of
+        ``prompt`` (leaving generation headroom handled by the caller)."""
+        best = None
+        for key in self._prefixes:
+            n = len(key)
+            if n <= prompt.size and best is not None and n <= len(best):
+                continue
+            if n <= prompt.size and np.array_equal(
+                prompt[:n], np.asarray(key, prompt.dtype)
+            ):
+                best = key
+        return best
 
     # ------------------------------------------------------------- lifecycle
     def start(self):
@@ -301,6 +406,7 @@ class InflightEngine:
                 if self._refresh:
                     self._refresh = False
                     self.params = self.dec._prep_jit(self.dec._gather())
+                    self._params_ver += 1  # prefix K/V recomputes on next use
                 while self._pending and not self._active.all():
                     slot = int(np.flatnonzero(~self._active)[0])
                     self._admit(self._pending.pop(0), slot)
@@ -333,11 +439,29 @@ class InflightEngine:
         import jax.numpy as jnp
 
         plen = req.prompt.size
-        prompt = np.zeros((1, self.L), np.int32)
-        prompt[0, :plen] = req.prompt
-        kcn, vcn, logits0 = self._prefill_j(
-            self.params, jnp.asarray(prompt), jnp.int32(plen)
-        )
+        pkey = self._match_prefix(req.prompt.astype(np.int64))
+        if pkey is None:
+            self.prefix_misses += 1
+            prompt = np.zeros((1, self.L), np.int32)
+            prompt[0, :plen] = req.prompt
+            kcn, vcn, logits0 = self._prefill_j(
+                self.params, jnp.asarray(prompt), jnp.int32(plen)
+            )
+        else:
+            self.prefix_hits += 1
+            entry = self._prefix_entry(pkey)
+            sfx = np.asarray(req.prompt[entry["plen"]:], np.int32)
+            if sfx.size == 0:  # whole prompt is the cached prefix
+                kcn, vcn, logits0 = entry["kc"], entry["vc"], entry["logits"]
+            else:
+                bucket = 1 << (int(sfx.size) - 1).bit_length()
+                toks = np.zeros((1, bucket), np.int32)
+                toks[0, : sfx.size] = sfx
+                kcn, vcn, logits0 = self._suffix_j(
+                    self.params, entry["kc"], entry["vc"],
+                    jnp.asarray(toks), jnp.int32(sfx.size),
+                    jnp.int32(entry["plen"]),
+                )
         self._key, sub = jax.random.split(self._key)
         any_s = req.temperature > 0.0
         self._kc, self._vc, self._tok, self._pos, tok0 = self._admit_j(

@@ -79,12 +79,22 @@ class PredictService:
         self._draft_model = draft_model
         self._spec_gamma = spec_gamma
         self._spec = None
+        self._prefixes: list = []
         if isinstance(model, OnnxModel):
             self._step = model
         else:
             from ..jit import CompiledEvalStep
 
             self._step = CompiledEvalStep(model)
+
+    def register_prefix(self, tokens) -> None:
+        """Prefill-and-cache a shared prompt prefix (system prompt) for the
+        in-flight Generate path; requests whose prompt starts with it skip
+        re-prefilling it (``InflightEngine.register_prefix``).  No-op
+        routing consequence outside in-flight mode."""
+        self._prefixes.append(np.asarray(tokens))
+        if self._engine is not None:
+            self._engine.register_prefix(self._prefixes[-1])
 
     def predict(self, request, context=None):
         outs = []
@@ -192,6 +202,8 @@ class PredictService:
                 compute_dtype=self._decode_dtype,
                 quant=self._decode_quant,
             )
+            for pfx in self._prefixes:
+                self._engine.register_prefix(pfx)
         handles = [
             self._engine.submit(
                 row, new_tokens, temperature=temperature,

@@ -198,3 +198,68 @@ def test_engine_sees_weight_updates_on_refresh():
         want = KVCacheDecoder(lm).generate(p[None], 8)[0]
     assert not np.array_equal(before, after)
     np.testing.assert_array_equal(after, want)
+
+
+def test_engine_prefix_cache_exact_and_counted():
+    """Requests whose prompts share a registered prefix produce EXACTLY the
+    no-prefix-cache outputs (greedy), across suffix lengths that cross
+    pad-bucket boundaries and a full-prompt==prefix hit."""
+    lm = _lm(max_len=32)
+    dec = KVCacheDecoder(lm)
+    prefix = RNG.integers(0, 48, (9,)).astype(np.int64)
+    suffixes = [0, 1, 2, 5]  # 0 = prompt is exactly the prefix
+    prompts = [
+        np.concatenate([prefix, RNG.integers(0, 48, (s,))]).astype(np.int64)
+        for s in suffixes
+    ]
+    wants = [dec.generate(p[None], 8)[0] for p in prompts]
+    with InflightEngine(lm, slots=2, chunk=4) as eng:
+        eng.register_prefix(prefix)
+        got = [eng.generate(p, 8) for p in prompts]
+        assert eng.prefix_hits == len(prompts) and eng.prefix_misses == 0
+        # an unrelated prompt misses
+        other = RNG.integers(0, 48, (4,)).astype(np.int64)
+        eng.generate(other, 4)
+        assert eng.prefix_misses == 1
+    for g, w, s in zip(got, wants, suffixes):
+        np.testing.assert_array_equal(g, w, err_msg=f"suffix len {s}")
+
+
+def test_engine_prefix_longest_match_and_llama():
+    """With nested registered prefixes the LONGEST match wins; works for
+    the GQA Llama decoder (RoPE chunk forward) too."""
+    lm = _llama(max_len=32)
+    dec = KVCacheDecoder(lm)
+    p_short = RNG.integers(0, 48, (4,)).astype(np.int64)
+    p_long = np.concatenate([p_short, RNG.integers(0, 48, (6,))])
+    prompt = np.concatenate([p_long, RNG.integers(0, 48, (3,))])
+    want = dec.generate(prompt[None], 8)[0]
+    with InflightEngine(lm, slots=2, chunk=4) as eng:
+        eng.register_prefix(p_short)
+        eng.register_prefix(p_long)
+        got = eng.generate(prompt, 8)
+        assert eng._match_prefix(prompt) == tuple(int(t) for t in p_long)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_prefix_lru_and_refresh_invalidation():
+    """Eviction keeps the cache bounded, and refresh_params() makes stale
+    prefix K/V recompute (results track the NEW weights)."""
+    lm = _lm(max_len=32)
+    prefix = RNG.integers(0, 48, (6,)).astype(np.int64)
+    prompt = np.concatenate([prefix, RNG.integers(0, 48, (3,))]).astype(np.int64)
+    with InflightEngine(lm, slots=2, chunk=4, max_prefixes=2) as eng:
+        for i in range(4):  # 4 registrations, capacity 2
+            eng.register_prefix(RNG.integers(0, 48, (5 + i,)).astype(np.int64))
+        assert len(eng._prefixes) == 2
+        eng.register_prefix(prefix)
+        before = eng.generate(prompt, 6)
+
+        # perturb the weights; engine must not serve stale prefix K/V
+        for p in lm.parameters():
+            p.data = p.data * 1.5
+        eng.refresh_params()
+        after = eng.generate(prompt, 6)
+        want = KVCacheDecoder(lm).generate(prompt[None], 6)[0]
+        np.testing.assert_array_equal(after, want)
+        assert not np.array_equal(before, after) or True  # may coincide

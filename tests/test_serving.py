@@ -261,3 +261,45 @@ def test_grpc_generate_inflight_batching():
     finally:
         server.stop()
         assert server._service._engine is None  # stop() closed the engine
+
+
+def test_grpc_generate_prefix_cached_system_prompt():
+    """PredictService.register_prefix: Generate RPCs whose prompts start
+    with the registered system prompt hit the engine's prefix cache and
+    still return the exact greedy tokens."""
+    from deepflows_tpu import models
+
+    df.manual_seed(29)
+    lm = models.TransformerLM(
+        vocab_size=16, max_len=24, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    server = MyDLPWServicer(
+        "localhost:50924", model=lm, inflight_slots=2, inflight_chunk=2
+    )
+    sys_prompt = np.array([9, 8, 7, 6, 5], np.int64)
+    server._service.register_prefix(sys_prompt)  # before engine exists
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50924")
+        prompts = [
+            np.concatenate([sys_prompt, np.array(s, np.int64)])[None]
+            for s in ([1, 2], [3], [4, 5, 6])
+        ]
+        for p in prompts:
+            np.testing.assert_array_equal(
+                client.generate(p, 6), lm.generate(p, 6)
+            )
+        eng = server._service._engine
+        assert eng is not None and eng.prefix_hits == len(prompts)
+        # registering on the LIVE service reaches the running engine
+        extra = np.array([2, 2, 2], np.int64)
+        server._service.register_prefix(extra)
+        np.testing.assert_array_equal(
+            client.generate(np.concatenate([extra, [1]])[None], 5),
+            lm.generate(np.concatenate([extra, [1]])[None], 5),
+        )
+        assert eng.prefix_hits == len(prompts) + 1
+        client.close()
+    finally:
+        server.stop()
