@@ -44,6 +44,7 @@ __all__ = [
 from .decoding import KVCacheDecoder
 from .engine import InflightEngine, InflightHandle
 from .mixtral import MixtralBlock, MixtralLM
+from .seq2seq import CrossDecoderBlock, Seq2SeqGenerator, Seq2SeqTransformer
 from .speculative import SpeculativeDecoder
 
 __all__ += [
@@ -53,4 +54,7 @@ __all__ += [
     "SpeculativeDecoder",
     "MixtralLM",
     "MixtralBlock",
+    "Seq2SeqTransformer",
+    "Seq2SeqGenerator",
+    "CrossDecoderBlock",
 ]
