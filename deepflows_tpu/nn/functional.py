@@ -143,6 +143,32 @@ class silu(UnaryOperator):
         return grad * (s + x.data * s * (1.0 - s))
 
 
+class topk_mask(UnaryOperator):
+    """0/1 mask selecting each row's top-k entries along the LAST axis
+    (ties at the k-th value keep every tied entry).  Autodiff-constant by
+    design — gradients flow through what the mask multiplies, not the
+    selection (Switch-Transformer routing semantics, `nn/modules/moe.py`).
+    A first-class tape node (rather than a severed constant) so the MoE
+    routing stays input-dependent in exported ONNX graphs (TopK + Greater
+    OrEqual + Cast)."""
+
+    def __init__(self, input: Tensor, k: int):
+        self.k = int(k)
+        super().__init__(input)
+
+    def forward(self, x):
+        d = x.data
+        xp = d.device.xp
+        a = d.array
+        if not (1 <= self.k <= a.shape[-1]):
+            raise ValueError(f"k={self.k} out of range for axis {a.shape[-1]}")
+        kth = xp.sort(a, axis=-1)[..., a.shape[-1] - self.k, None]
+        return BackendTensor._wrap((a >= kth).astype(a.dtype), d.device)
+
+    def grad_fn(self, x, grad):
+        return grad * 0.0  # selection is autodiff-constant
+
+
 class tanh(UnaryOperator):
     def forward(self, x):
         return x.data.tanh()

@@ -160,24 +160,14 @@ class MoE(Module):
 
     def _topk_renorm(self, gates, axis):
         """Mask gates to the per-token top-k and renormalise.  The selection
-        is ONE ``lax.top_k`` on the gate array (no-grad const in the tape —
-        the mask is autodiff-constant, as it should be: gradients flow
-        through the surviving gate values only); exact float ties at the
-        k-th value — measure-zero for a softmax of a linear router — may
-        select an extra expert."""
-        import jax
+        is one :class:`F.topk_mask` tape node (autodiff-constant, as it
+        should be: gradients flow through the surviving gate values only;
+        and a REAL tape node so ONNX export keeps routing input-dependent);
+        exact float ties at the k-th value — measure-zero for a softmax of
+        a linear router — may select an extra expert."""
+        from .. import functional as F
 
-        from ...backend import BackendTensor
-        from ...tensor import Tensor
-
-        arr = gates.data.array
-        kth = jax.lax.top_k(arr, self.top_k)[0][..., -1:]  # (..., 1)
-        # const 0/1 mask built at the array level so its dtype MATCHES the
-        # gates (bf16 purity: a python-scalar cast would promote the whole
-        # downstream combine to f32)
-        sel_arr = (arr >= kth).astype(arr.dtype)
-        mask = Tensor(BackendTensor._wrap(sel_arr, gates.device))
-        kept = gates * mask
+        kept = gates * F.topk_mask(gates, self.top_k)
         return kept / kept.sum(axis, True)
 
     def _record_aux(self, logits, axis):

@@ -344,6 +344,35 @@ class _Exporter:
                 f"get_slice key {key!r} has no ONNX mapping (integer-array "
                 "gather and static slice tuples are supported)"
             )
+        if isinstance(node, F.topk_mask):
+            # routing mask: TopK values -> k-th value -> x >= kth -> float
+            x = self.name_of(node._x)
+            k_name = f"{out}_k"
+            self.graph.initializer.append(
+                _tensor_proto(k_name, np.asarray([node.k], np.int64))
+            )
+            n = self._node("TopK", [x, k_name], f"{out}_vals")
+            n.output.append(f"{out}_idx")  # ONNX TopK has 2 outputs
+            _attr_int(n, "axis", -1)
+            names = []
+            for tag, val in (("starts", node.k - 1), ("ends", node.k),
+                             ("axes", -1)):
+                nm = f"{out}_sl_{tag}"
+                self.graph.initializer.append(
+                    _tensor_proto(nm, np.asarray([val], np.int64))
+                )
+                names.append(nm)
+            self._node("Slice", [f"{out}_vals"] + names, f"{out}_kth")
+            self._node("GreaterOrEqual", [x, f"{out}_kth"], f"{out}_ge")
+            n = self._node("Cast", [f"{out}_ge"], out)
+            _attr_int(n, "to", pb.TensorProto.FLOAT)
+            return
+        if isinstance(node, F.silu):
+            # opset 13 has no Silu: x * sigmoid(x)
+            x = self.name_of(node._x)
+            self._node("Sigmoid", [x], f"{out}_s")
+            self._node("Mul", [x, f"{out}_s"], out)
+            return
         if isinstance(node, T.exp):
             self._node("Exp", [self.name_of(node._x)], out)
             return

@@ -86,7 +86,8 @@ class OnnxModel:
     SUPPORTED = {
         "Conv", "MaxPool", "AveragePool", "GlobalAveragePool", "MatMul",
         "Gemm", "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Relu", "Max",
-        "Min", "Abs", "Exp", "Log", "Reshape", "Transpose", "ReduceMean",
+        "Min", "Abs", "Exp", "Log", "Sigmoid", "Reshape", "Transpose",
+        "TopK", "GreaterOrEqual", "Cast", "ReduceMean",
         "ReduceSum", "ReduceMax", "ReduceMin", "Erf", "Tanh",
         "Gather", "Slice",
         "Concat", "Flatten", "Softmax", "Identity", "Dropout",
@@ -145,6 +146,15 @@ class OnnxModel:
             p = attrs.get("pads", (0, 0, 0, 0))
             assert p[0] == p[2] and p[1] == p[3], f"asymmetric pads {p}"
             return (p[0], p[1])
+
+        def shape_arg(idx):
+            """Shape-like operand (Slice starts/ends, Reshape shape, axes)
+            as RAW numpy int64.  Must bypass the jnp env: with x64 disabled,
+            device_put truncates int64 to int32, so the ONNX open-slice
+            sentinel INT64_MAX silently becomes -1 (= "stop at last-1")."""
+            name = [i for i in n.input if i][idx]
+            raw = self.initializers.get(name)
+            return np.asarray(raw if raw is not None else env[name])
 
         for n in self.nodes:
             a = _attrs(n)
@@ -206,8 +216,36 @@ class OnnxModel:
                 env[o] = jnp.exp(ins[0])
             elif t == "Log":
                 env[o] = jnp.log(ins[0])
+            elif t == "Sigmoid":
+                import jax
+
+                env[o] = jax.nn.sigmoid(ins[0])
+            elif t == "TopK":
+                import jax
+
+                axis = a.get("axis", -1)
+                k = int(shape_arg(1).ravel()[0])
+                moved = axis not in (-1, ins[0].ndim - 1)
+                x0 = jnp.moveaxis(ins[0], axis, -1) if moved else ins[0]
+                vals, idx = jax.lax.top_k(x0, k)
+                if moved:
+                    vals = jnp.moveaxis(vals, -1, axis)
+                    idx = jnp.moveaxis(idx, -1, axis)
+                env[o] = vals
+                if len(n.output) > 1 and n.output[1]:
+                    env[n.output[1]] = idx.astype(jnp.int32)
+            elif t == "GreaterOrEqual":
+                env[o] = ins[0] >= ins[1]
+            elif t == "Cast":
+                to = {
+                    1: jnp.float32, 6: jnp.int32, 7: jnp.int32,  # x64 off
+                    9: jnp.bool_, 10: jnp.float16, 16: jnp.bfloat16,
+                }.get(a.get("to"))
+                if to is None:
+                    raise ValueError(f"Cast to={a.get('to')} unsupported")
+                env[o] = ins[0].astype(to)
             elif t == "Reshape":
-                shape = [int(d) for d in np.asarray(ins[1])]
+                shape = [int(d) for d in shape_arg(1)]
                 shape = [
                     ins[0].shape[i] if d == 0 else d for i, d in enumerate(shape)
                 ]
@@ -221,7 +259,7 @@ class OnnxModel:
                 }[t]
                 axes = a.get("axes")
                 if len(ins) > 1:  # opset-13 ReduceSum: axes as second input
-                    axes = tuple(int(d) for d in np.asarray(ins[1]))
+                    axes = tuple(int(d) for d in shape_arg(1))
                 env[o] = fn(
                     ins[0], axis=axes, keepdims=bool(a.get("keepdims", 1))
                 )
@@ -230,16 +268,23 @@ class OnnxModel:
                     ins[0], ins[1].astype(jnp.int32), axis=a.get("axis", 0)
                 )
             elif t == "Slice":
-                starts = [int(d) for d in np.asarray(ins[1])]
-                ends = [int(d) for d in np.asarray(ins[2])]
+                starts = [int(d) for d in shape_arg(1)]
+                ends = [int(d) for d in shape_arg(2)]
                 axes = (
-                    [int(d) for d in np.asarray(ins[3])]
-                    if len(ins) > 3
+                    [int(d) for d in shape_arg(3)]
+                    if len([i for i in n.input if i]) > 3
                     else list(range(len(starts)))
                 )
                 sl = [slice(None)] * ins[0].ndim
                 for st, en, ax in zip(starts, ends, axes):
-                    sl[ax] = slice(st, None if en >= 2**62 else en)
+                    dim = ins[0].shape[ax]
+                    if st < 0:
+                        st += dim
+                    if en >= dim:  # incl. the INT64_MAX open-slice sentinel
+                        en = None
+                    elif en < 0:  # ONNX negative ends count from the end
+                        en += dim
+                    sl[ax] = slice(st, en)
                 env[o] = ins[0][tuple(sl)]
             elif t == "Erf":
                 from jax.scipy.special import erf as _jerf

@@ -335,3 +335,86 @@ def test_input_slice_exports(tmp_path):
     m.eval()
     ref = m(df.Tensor(x, device="tpu")).numpy()
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_open_ended_slice_roundtrip(tmp_path):
+    """Open-ended slices (`x[:, 4:]`) export with the INT64_MAX ends
+    sentinel; the runtime must not let the x64-disabled jnp conversion
+    truncate it to int32 -1 ("stop at last-1") — regression: the tail
+    element silently vanished from the slice."""
+    from deepflows_tpu import nn
+
+    class Tail(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(8, 8, device="tpu")
+
+        def forward(self, x):
+            return self.lin(x)[:, 4:]
+
+    df.manual_seed(0)
+    m = Tail()
+    x = RNG.standard_normal((3, 8)).astype(np.float32)
+    p = export_onnx(m, x, str(tmp_path / "tail.onnx"))
+    got = OnnxModel(p)(x)
+    assert got.shape == (3, 4)
+    m.eval()
+    ref = m(df.Tensor(x, device="tpu")).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_llama_roundtrip_fresh_input(tmp_path):
+    """LlamaLM (RMSNorm/RoPE/GQA/SwiGLU) exports — silu decomposes to
+    Sigmoid+Mul — and the runtime reproduces logits on tokens NEVER seen
+    at trace time (nothing input-dependent was constant-folded)."""
+    df.manual_seed(0)
+    m = models.LlamaLM(vocab_size=32, dim=32, depth=2, num_heads=2,
+                       num_kv_heads=1, max_len=8, device="tpu")
+    m.eval()
+    xa = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    p = export_onnx(m, xa, str(tmp_path / "llama.onnx"),
+                    batch_dynamic=False)  # trunk merges batch x length
+    assert check_onnx(p)["ops"].get("Sigmoid", 0) > 0
+    xb = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    ref = np.asarray(m(df.Tensor(xb, device="tpu")).data.array)
+    got = OnnxModel(p)(xb.astype(np.int32))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mixtral_roundtrip_routing_not_folded(tmp_path):
+    """MixtralLM export keeps the top-k expert ROUTING input-dependent
+    (TopK + GreaterOrEqual + Cast nodes, F.topk_mask tape op) — fresh
+    tokens route differently than the trace sample; regression: the
+    routing mask was a severed tape constant and got baked into the file."""
+    df.manual_seed(0)
+    m = models.MixtralLM(vocab_size=32, dim=32, depth=2, num_heads=2,
+                         num_kv_heads=1, n_experts=4, max_len=8,
+                         device="tpu")
+    m.eval()
+    xa = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    p = export_onnx(m, xa, str(tmp_path / "mixtral.onnx"),
+                    batch_dynamic=False)
+    ops = check_onnx(p)["ops"]
+    assert ops.get("TopK", 0) == 2 and ops.get("GreaterOrEqual", 0) == 2
+    xb = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    ref = np.asarray(m(df.Tensor(xb, device="tpu")).data.array)
+    got = OnnxModel(p)(xb.astype(np.int32))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_seq2seq_roundtrip_fresh_input(tmp_path):
+    """Seq2SeqTransformer (concatenated src+tgt int input, split by two
+    Slice nodes — one open-ended) exports and the runtime reproduces the
+    decoder logits on fresh tokens."""
+    df.manual_seed(0)
+    m = models.Seq2SeqTransformer(vocab_size=32, src_len=4, tgt_len=4,
+                                  dim=32, enc_depth=1, dec_depth=1,
+                                  num_heads=2, device="tpu")
+    m.eval()
+    xa = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    p = export_onnx(m, xa, str(tmp_path / "s2s.onnx"), batch_dynamic=False)
+    assert check_onnx(p)["ops"].get("Slice", 0) >= 2
+    xb = RNG.integers(0, 32, (2, 8)).astype(np.int64)
+    ref = np.asarray(m(df.Tensor(xb, device="tpu")).data.array)
+    got = OnnxModel(p)(xb.astype(np.int32))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
