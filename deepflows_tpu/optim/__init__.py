@@ -1,11 +1,14 @@
 """optim package (reference: `DeepFlows/optim/`)."""
 
 from .adadelta import Adadelta
+from .adafactor import Adafactor
 from .adagrad import Adagrad
 from .adam import Adam
 from .adamw import AdamW
 from .clip import clip_by_global_norm, clip_grad_norm_
 from .ema import ModelEMA
+from .lion import Lion
+from .muon import Muon
 from .optimizer import Optimizer
 from .rmsprop import RMSprop
 from .scheduler import CosineAnnealingLR, LRScheduler, StepLR, WarmupCosineLR
@@ -19,6 +22,9 @@ __all__ = [
     "RMSprop",
     "Adagrad",
     "Adadelta",
+    "Adafactor",
+    "Lion",
+    "Muon",
     "LRScheduler",
     "StepLR",
     "CosineAnnealingLR",
