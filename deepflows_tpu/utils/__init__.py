@@ -18,6 +18,7 @@ from .model_utils import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from .text import BPETokenizer, LMDataset  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401
 from . import profiling  # noqa: F401,E402

@@ -125,7 +125,9 @@ DASHBOARD_HTML = r"""<!doctype html>
    <div class="row"><label>model</label><select id="cfg-model"></select>
     <label>optimizer</label>
     <select id="cfg-opt"><option>adam</option><option>sgd</option>
-     <option>adagrad</option><option>adadelta</option></select>
+     <option>adagrad</option><option>adadelta</option><option>adamw</option>
+     <option>rmsprop</option><option>adafactor</option><option>lion</option>
+     <option>muon</option></select>
     <label>scheduler</label>
     <select id="cfg-sch"><option>none</option><option>step</option><option>cosine</option></select>
    </div>

@@ -250,6 +250,11 @@ def train_worker(manager: ConnectionManager, state: TrainingState, config: dict)
             "sgd": lambda p: optim.SGD(p, lr=lr, momentum=0.9, weight_decay=wd),
             "adagrad": lambda p: optim.Adagrad(p, lr=lr),
             "adadelta": lambda p: optim.Adadelta(p, lr=lr),
+            "adamw": lambda p: optim.AdamW(p, lr=lr, weight_decay=wd),
+            "rmsprop": lambda p: optim.RMSprop(p, lr=lr, weight_decay=wd),
+            "adafactor": lambda p: optim.Adafactor(p, lr=lr, weight_decay=wd),
+            "lion": lambda p: optim.Lion(p, lr=lr, weight_decay=wd),
+            "muon": lambda p: optim.Muon(p, lr=lr, weight_decay=wd),
         }
         opt = opts.get(opt_name, opts["adam"])(model.parameters())
         epochs = int(config.get("epochs", 3))
