@@ -135,6 +135,9 @@ class KVCacheDecoder:
 
         if quant not in (None, "int8"):
             raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+        from ..nn.lora import assert_no_unmerged_lora
+
+        assert_no_unmerged_lora(lm, "KVCacheDecoder")
         self.lm = lm
         self.compute_dtype = compute_dtype
         self.quant = quant

@@ -166,6 +166,9 @@ class Seq2SeqGenerator:
     def __init__(self, model: Seq2SeqTransformer, compute_dtype=None):
         import jax
 
+        from ..nn.lora import assert_no_unmerged_lora
+
+        assert_no_unmerged_lora(model, "Seq2SeqGenerator")
         self.model = model
         self.compute_dtype = compute_dtype
         self._encode_j = jax.jit(self._encode_cross)
