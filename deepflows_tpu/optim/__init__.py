@@ -11,7 +11,14 @@ from .lion import Lion
 from .muon import Muon
 from .optimizer import Optimizer
 from .rmsprop import RMSprop
-from .scheduler import CosineAnnealingLR, LRScheduler, StepLR, WarmupCosineLR
+from .scheduler import (
+    CosineAnnealingLR,
+    LinearLR,
+    LRScheduler,
+    OneCycleLR,
+    StepLR,
+    WarmupCosineLR,
+)
 from .sgd import SGD
 
 __all__ = [
@@ -29,6 +36,8 @@ __all__ = [
     "StepLR",
     "CosineAnnealingLR",
     "WarmupCosineLR",
+    "LinearLR",
+    "OneCycleLR",
     "clip_grad_norm_",
     "clip_by_global_norm",
     "ModelEMA",

@@ -56,6 +56,64 @@ class CosineAnnealingLR(LRScheduler):
         self.optimizer.lr = lr
 
 
+class LinearLR(LRScheduler):
+    """torch.optim.lr_scheduler.LinearLR semantics (no reference analog):
+    lr ramps linearly from ``base_lr * start_factor`` to
+    ``base_lr * end_factor`` over ``total_iters`` steps, then holds."""
+
+    def __init__(self, optimizer, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5) -> None:
+        super().__init__(optimizer)
+        self.start_factor = float(start_factor)
+        self.end_factor = float(end_factor)
+        self.total_iters = int(total_iters)
+        self.base_lr = optimizer.lr if hasattr(optimizer, "lr") else None
+
+    def step(self):
+        super().step()
+        if self.base_lr is None:
+            return
+        t = min(self.last_epoch, self.total_iters)
+        f = self.start_factor + (self.end_factor - self.start_factor) * (
+            t / max(1, self.total_iters)
+        )
+        self.optimizer.lr = self.base_lr * f
+
+
+class OneCycleLR(LRScheduler):
+    """torch.optim.lr_scheduler.OneCycleLR (cos annealing strategy, no
+    reference analog): lr rises from ``max_lr/div_factor`` to ``max_lr``
+    over the first ``pct_start`` of ``total_steps`` by half-cosine, then
+    anneals to ``max_lr/final_div_factor`` by half-cosine."""
+
+    def __init__(self, optimizer, max_lr: float, total_steps: int,
+                 pct_start: float = 0.3, div_factor: float = 25.0,
+                 final_div_factor: float = 1e4) -> None:
+        super().__init__(optimizer)
+        self.max_lr = float(max_lr)
+        self.total_steps = int(total_steps)
+        self.pct_start = float(pct_start)
+        self.initial_lr = self.max_lr / float(div_factor)
+        self.min_lr = self.initial_lr / float(final_div_factor)
+        self.step()  # torch sets the initial lr at construction
+
+    @staticmethod
+    def _anneal(start, end, pct):
+        return end + (start - end) * (1 + math.cos(math.pi * pct)) / 2
+
+    def step(self):
+        super().step()
+        t = min(self.last_epoch, self.total_steps - 1)
+        # torch's phase split: warmup ends at pct_start*total - 1
+        up = self.pct_start * self.total_steps - 1
+        if t <= up:
+            lr = self._anneal(self.initial_lr, self.max_lr, t / max(1e-9, up))
+        else:
+            down = (t - up) / max(1e-9, (self.total_steps - 1) - up)
+            lr = self._anneal(self.max_lr, self.min_lr, down)
+        self.optimizer.lr = lr
+
+
 class WarmupCosineLR(LRScheduler):
     def __init__(
         self,

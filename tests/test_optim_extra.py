@@ -230,3 +230,57 @@ def test_new_optimizers_checkpoint_roundtrip(tmp_path):
             o.step()
         np.testing.assert_allclose(w.numpy(), w2.numpy(), rtol=1e-6)
         np.testing.assert_allclose(b.numpy(), b2.numpy(), rtol=1e-6)
+
+
+# -------------------------------------------------------------- schedulers
+def test_linear_lr_matches_torch():
+    p = nn.Parameter(Tensor(np.zeros((2,), np.float32)))
+    opt = optim.SGD([p], lr=0.5)
+    sch = optim.LinearLR(opt, start_factor=0.25, end_factor=1.0, total_iters=4)
+    tp = torch.nn.Parameter(torch.zeros(2))
+    topt = torch.optim.SGD([tp], lr=0.5)
+    tsch = torch.optim.lr_scheduler.LinearLR(
+        topt, start_factor=0.25, end_factor=1.0, total_iters=4)
+    ours, theirs = [], []
+    for _ in range(8):
+        sch.step()
+        ours.append(opt.lr)
+        theirs.append(topt.param_groups[0]["lr"])
+        topt.step()
+        tsch.step()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_onecycle_lr_matches_torch():
+    p = nn.Parameter(Tensor(np.zeros((2,), np.float32)))
+    opt = optim.SGD([p], lr=0.1)
+    sch = optim.OneCycleLR(opt, max_lr=1.0, total_steps=10, pct_start=0.3)
+    tp = torch.nn.Parameter(torch.zeros(2))
+    topt = torch.optim.SGD([tp], lr=0.1)
+    tsch = torch.optim.lr_scheduler.OneCycleLR(
+        topt, max_lr=1.0, total_steps=10, pct_start=0.3,
+        anneal_strategy="cos", cycle_momentum=False)
+    ours = [opt.lr]
+    theirs = [topt.param_groups[0]["lr"]]
+    for _ in range(9):
+        sch.step()
+        ours.append(opt.lr)
+        topt.step()
+        tsch.step()
+        theirs.append(topt.param_groups[0]["lr"])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)
+
+
+def test_new_schedulers_state_roundtrip():
+    p = nn.Parameter(Tensor(np.zeros((2,), np.float32)))
+    opt = optim.SGD([p], lr=0.5)
+    sch = optim.OneCycleLR(opt, max_lr=1.0, total_steps=10)
+    for _ in range(4):
+        sch.step()
+    sd = sch.state_dict()
+    opt2 = optim.SGD([p], lr=0.5)
+    sch2 = optim.OneCycleLR(opt2, max_lr=1.0, total_steps=10)
+    sch2.load_state_dict(sd)
+    sch.step()
+    sch2.step()
+    assert abs(opt.lr - opt2.lr) < 1e-12
