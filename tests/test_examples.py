@@ -264,3 +264,26 @@ def test_vit_cifar10_script():
 def test_transformer_lm_script():
     out = run_example("transformer_lm_train.py", "--epochs", "6")
     assert "loss=" in out and "|" in out  # generation demo printed
+
+
+def test_seq2seq_reversal_script():
+    out = run_example("seq2seq_reversal.py", "--epochs", "4", "--steps", "30",
+                      "--batch-size", "32")
+    assert "Seq2SeqTransformer" in out and "seq-exact" in out
+
+
+def test_llama_text_train_script():
+    out = run_example("llama_text_train.py", "--epochs", "2",
+                      "--seq-len", "32", "--vocab", "300")
+    assert "continuation:" in out
+    # loss must fall across epochs
+    losses = [float(l.split("loss")[1].split()[0])
+              for l in out.splitlines() if l.startswith("epoch")]
+    assert losses[-1] < losses[0]
+
+
+def test_lora_finetune_script():
+    out = run_example("lora_finetune.py", "--pretrain-epochs", "1",
+                      "--adapt-epochs", "2", "--rank", "4", timeout=600)
+    assert "LoRA:" in out and "adapter checkpoint" in out
+    assert "merged-model continuation:" in out
