@@ -118,12 +118,33 @@ class PredictService:
         from ..models.decoding import KVCacheDecoder
         from ..models.llama import LlamaLM
         from ..models.mixtral import MixtralLM
+        from ..models.seq2seq import Seq2SeqGenerator, Seq2SeqTransformer
         from ..models.transformer_lm import TransformerLM
 
+        if isinstance(self._model, Seq2SeqTransformer):
+            # encoder-decoder: matrix[0] = (B, Ls) SOURCE ids; the response
+            # is the (B, new_tokens) generated TARGET (greedy; the seq2seq
+            # generator has no sampling path).  matrix[2][3] is reused as
+            # bos_id when present.
+            if self._decoder is None:
+                self._decoder = Seq2SeqGenerator(
+                    self._model, compute_dtype=self._decode_dtype
+                )
+            src = _from_matrix(request.matrix[0]).astype(np.int32)
+            new_tokens = int(_from_matrix(request.matrix[1]).ravel()[0])
+            bos = 0
+            if len(request.matrix) > 2:
+                knobs = _from_matrix(request.matrix[2]).ravel()
+                if len(knobs) > 3:
+                    bos = int(knobs[3])
+            tokens = self._decoder.generate(src, new_tokens, bos_id=bos)
+            resp = serving_pb2.PredictResp()
+            resp.matrix.extend([_to_matrix(tokens.astype(np.float32))])
+            return resp
         if not isinstance(self._model, (TransformerLM, LlamaLM, MixtralLM)):
             raise ValueError(
-                "Generate is only served for TransformerLM/LlamaLM/MixtralLM "
-                "models; "
+                "Generate is only served for TransformerLM/LlamaLM/MixtralLM/"
+                "Seq2SeqTransformer models; "
                 f"got {type(self._model).__name__}"
             )
         if self._decoder is None:
@@ -357,7 +378,9 @@ class PredictClient:
             _to_matrix(np.asarray(prompt, np.float32)),
             _to_matrix(np.asarray([new_tokens], np.float32)),
         ]
-        if temperature and temperature > 0.0:
+        if (temperature and temperature > 0.0) or seed:
+            # seed alone also ships the knobs: greedy decoders ignore it,
+            # and the seq2seq server path reads the slot as bos_id.
             # knobs ride a float32 Matrix: ints above 2^24 would be rounded
             # and the server would decode with a silently different value
             for name, val in (("seed", seed), ("top_k", top_k or 0)):

@@ -303,3 +303,32 @@ def test_grpc_generate_prefix_cached_system_prompt():
         client.close()
     finally:
         server.stop()
+
+
+def test_grpc_generate_seq2seq():
+    """Generate RPC serves the encoder-decoder family: matrix[0] is the
+    SOURCE ids and the response is the generated TARGET (greedy, one
+    scanned decode program server-side); knob slot 4 carries bos_id."""
+    from deepflows_tpu import models
+
+    df.manual_seed(9)
+    m = models.Seq2SeqTransformer(
+        vocab_size=24, src_len=6, tgt_len=6, dim=32, enc_depth=1,
+        dec_depth=1, num_heads=2, device="tpu",
+    )
+    server = MyDLPWServicer("localhost:50931", model=m)
+    server.serve(wait=False)
+    try:
+        client = PredictClient("localhost:50931")
+        src = np.array([[1, 3, 5, 7, 9, 11], [2, 4, 6, 8, 10, 12]], np.int64)
+        out = client.generate(src, 4)
+        want = m.generate(src, 4, bos_id=0)
+        np.testing.assert_array_equal(out, want)
+        assert out.shape == (2, 4)  # target only, not prompt+target
+        # bos_id rides the 4th knob slot
+        out3 = client.generate(src, 4, temperature=0.0, seed=3)
+        want3 = m.generate(src, 4, bos_id=3)
+        np.testing.assert_array_equal(out3, want3)
+        client.close()
+    finally:
+        server.stop()
