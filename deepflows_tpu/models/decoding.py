@@ -99,6 +99,37 @@ def _scatter_step(cache, layer, new, posv):
     return cache.at[layer, i0, i1, i2].set(new[:, :, 0, :].astype(cache.dtype))
 
 
+def _paged_scatter_step(pool, layer, new, tbl, posv, block_size):
+    """Paged-cache write of one decode step: pool
+    (layers, n_blocks, Hc, bs, Dh), new (S, Hc, 1, Dh), tbl (S, nb) int32
+    block table, posv (S,) logical positions -> pool with
+    ``pool[layer, tbl[s, posv[s]//bs], h, posv[s]%bs] = new[s, h, 0]``.
+    Blocks are slot-exclusive (the engine's allocator), so rows never
+    collide; writes from slots whose table points at the reserved null
+    block 0 are dead (masked at read time)."""
+    import jax.numpy as jnp
+
+    S, Hc = new.shape[0], new.shape[1]
+    blk = jnp.take_along_axis(
+        tbl, (posv // block_size)[:, None], axis=1
+    )  # (S, 1)
+    off = (posv % block_size)[:, None]
+    i1 = jnp.arange(Hc)[None, :]
+    return pool.at[layer, blk, i1, off].set(
+        new[:, :, 0, :].astype(pool.dtype)
+    )
+
+
+def _paged_gather(pool, layer, tbl):
+    """Materialize a layer's per-slot K or V view from the paged pool:
+    pool (layers, n_blocks, Hc, bs, Dh) + tbl (S, nb) ->
+    (S, Hc, nb*bs, Dh) — logical position j of slot s lives at
+    ``pool[layer, tbl[s, j//bs], :, j%bs]``."""
+    g = pool[layer][tbl]  # (S, nb, Hc, bs, Dh)
+    S, nb, Hc, bs, Dh = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(S, Hc, nb * bs, Dh)
+
+
 class KVCacheDecoder:
     def __new__(cls, lm, *a, **kw):
         # architecture dispatch: KVCacheDecoder(model) returns the right
@@ -460,6 +491,43 @@ class KVCacheDecoder:
             x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
         x = self._ln(x, params["lnf_w"], params["lnf_b"])
         return self._head(x[:, 0], params), kc, vc
+
+    def _forward_multi_paged(self, params, kp, vp, tbl, tok, posv, positions):
+        """``_forward_multi`` over a PAGED cache: K/V live in a shared
+        block pool (layers, n_blocks, Hc, bs, Dh) addressed through the
+        per-slot block table ``tbl`` (S, nb) — identical math, the write is
+        a block-indirected scatter and attention reads a gathered
+        (S, Hc, nb*bs, Dh) view.  ``positions`` is arange(nb*bs)."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        H = lm.blocks[0].attn.num_heads
+        bs = kp.shape[3]
+        scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
+        x = params["tok"][tok][:, None, :] + params["pos"][0][posv][:, None, :]
+        for li, p in enumerate(params["blocks"]):
+            h = self._ln(x, p["ln1_w"], p["ln1_b"])
+            q, k_new, v_new = self._attn_proj(h, p, H)
+            kp = _paged_scatter_step(kp, li, k_new, tbl, posv, bs)
+            vp = _paged_scatter_step(vp, li, v_new, tbl, posv, bs)
+            kv = _paged_gather(kp, li, tbl)
+            vv = _paged_gather(vp, li, tbl)
+            s = (jnp.einsum("bhqd,bhkd->bhqk", q, kv) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(
+                positions[None, None, None, :] > posv[:, None, None, None],
+                -1e30,
+                s,
+            )
+            attn = jax.nn.softmax(s, -1).astype(vv.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, vv)
+            o = o.transpose(0, 2, 1, 3).reshape(tok.shape[0], 1, -1)
+            x = x + (_mm(o, p["o_w"]) + p["o_b"])
+            x = x + self._mlp(self._ln(x, p["ln2_w"], p["ln2_b"]), p)
+        x = self._ln(x, params["lnf_w"], params["lnf_b"])
+        return self._head(x[:, 0], params), kp, vp
 
     # ----------------------------------------- multi-token chunk forward
     def _forward_chunk(self, params, kc, vc, toks, posv, positions):
@@ -1061,6 +1129,50 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
         x = self._rms(x, params["lnf_w"], eps)
         return self._head(x[:, 0], params), kc, vc
+
+    def _forward_multi_paged(self, params, kp, vp, tbl, tok, posv, positions):
+        """Paged-cache per-slot decode step for the Llama family (RoPE,
+        GQA-narrow pool); same block-table indirection as the base
+        decoder's paged forward."""
+        import jax
+        import jax.numpy as jnp
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        eps = lm.norm.eps
+        bs = kp.shape[3]
+        scale = 1.0 / np.sqrt(D)
+        S = tok.shape[0]
+        x = params["tok"][tok][:, None, :]
+        cos = params["rope_cos"][posv]
+        sin = params["rope_sin"][posv]
+        for li, p in enumerate(params["blocks"]):
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k_new, v_new = self._attn_proj(h, p, H)
+            q = self._rope_rows(q, cos, sin)
+            k_new = self._rope_rows(k_new, cos, sin)
+            kp = _paged_scatter_step(kp, li, k_new, tbl, posv, bs)
+            vp = _paged_scatter_step(vp, li, v_new, tbl, posv, bs)
+            kv = _paged_gather(kp, li, tbl)
+            vv = _paged_gather(vp, li, tbl)
+            qg = q.reshape(S, Hkv, G, D)
+            s = (jnp.einsum("bkgd,bkld->bkgl", qg, kv) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(
+                positions[None, None, None, :] > posv[:, None, None, None],
+                -1e30,
+                s,
+            )
+            attn = jax.nn.softmax(s, -1).astype(vv.dtype)
+            o = jnp.einsum("bkgl,bkld->bkgd", attn, vv)
+            o = o.reshape(S, 1, H * D)
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        return self._head(x[:, 0], params), kp, vp
 
 
 class MixtralKVCacheDecoder(LlamaKVCacheDecoder):

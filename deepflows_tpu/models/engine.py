@@ -99,6 +99,8 @@ class InflightEngine:
         seed: int = 0,
         start: bool = True,
         max_prefixes: int = 8,
+        paged_blocks=None,
+        block_size: int = 16,
     ):
         """``slots``: max concurrent sequences (cache batch dim).
         ``chunk``: decode steps per device program — the host readback /
@@ -132,8 +134,35 @@ class InflightEngine:
         layers = len(lm.blocks)
         cdtype = self.dec.compute_dtype or jnp.float32
         self.params = self.dec._prep_jit(self.dec._gather())
-        self._kc = jnp.zeros((layers, self.S, Hc, self.L, a0.head_dim), cdtype)
-        self._vc = jnp.zeros_like(self._kc)
+        # PAGED mode (``paged_blocks=N``): K/V live in a shared pool of N
+        # (block_size)-token blocks instead of S dense max_len rows — cache
+        # HBM scales with the tokens actually IN FLIGHT, so N can be sized
+        # for the workload's real lengths (admission backpressures when the
+        # pool is exhausted).  Block 0 is the reserved null target of
+        # unallocated table entries (its writes are dead, its reads masked).
+        self.paged = paged_blocks is not None
+        if self.paged:
+            if self.L % int(block_size):
+                raise ValueError(
+                    f"block_size {block_size} must divide max_len {self.L}"
+                )
+            self.bs = int(block_size)
+            self.nb = self.L // self.bs  # table width (logical max blocks)
+            n_pool = int(paged_blocks) + 1
+            if n_pool < 2:
+                raise ValueError("paged_blocks must be >= 1")
+            self._kp = jnp.zeros(
+                (layers, n_pool, Hc, self.bs, a0.head_dim), cdtype
+            )
+            self._vp = jnp.zeros_like(self._kp)
+            self._tbl = np.zeros((self.S, self.nb), np.int32)
+            self._free = list(range(1, n_pool))
+            self._blocks_of = [[] for _ in range(self.S)]
+        else:
+            self._kc = jnp.zeros(
+                (layers, self.S, Hc, self.L, a0.head_dim), cdtype
+            )
+            self._vc = jnp.zeros_like(self._kc)
         self._tok = jnp.zeros((self.S,), jnp.int32)
         self._pos = jnp.zeros((self.S,), jnp.int32)
         self._key = jax.random.key(seed)
@@ -149,12 +178,24 @@ class InflightEngine:
 
         # one compiled prefill for EVERY prompt length: plen is traced
         self._prefill_j = jax.jit(self.dec._prefill)
-        self._admit_j = jax.jit(
-            self._admit_fn, static_argnums=(12,), donate_argnums=(0, 1, 2, 3)
-        )
-        self._chunk_j = jax.jit(
-            self._chunk_fn, static_argnums=(11,), donate_argnums=(1, 2, 3, 4)
-        )
+        if self.paged:
+            self._admit_j = jax.jit(
+                self._admit_paged_fn, static_argnums=(13,),
+                donate_argnums=(0, 1, 2, 3),
+            )
+            self._chunk_j = jax.jit(
+                self._chunk_paged_fn, static_argnums=(12,),
+                donate_argnums=(1, 2, 4, 5),
+            )
+        else:
+            self._admit_j = jax.jit(
+                self._admit_fn, static_argnums=(12,),
+                donate_argnums=(0, 1, 2, 3),
+            )
+            self._chunk_j = jax.jit(
+                self._chunk_fn, static_argnums=(11,),
+                donate_argnums=(1, 2, 3, 4),
+            )
 
         # prefix cache: registered prompt prefixes whose K/V (and next-token
         # logits) are prefilled ONCE and reused by every matching request —
@@ -245,6 +286,75 @@ class InflightEngine:
 
         return lax.fori_loop(
             0, self.chunk, step, (kc, vc, tok, posv, key, out0)
+        )
+
+    # ------------------------------------------------------- paged variants
+    def _admit_paged_fn(
+        self, kp, vp, tok, posv, kcn, vcn, logits0, tbl_row, slot, plen,
+        key, temp, topp, any_sample,
+    ):
+        """Paged admission: scatter the dense (layers, 1, Hc, L, Dh)
+        prefill rows into the slot's pool blocks (``tbl_row`` (nb,) int32;
+        unallocated entries point at null block 0 — dead writes), then the
+        same first-token selection as the dense admit."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        layers, _, Hc, L, Dh = kcn.shape
+        kb = kcn[:, 0].reshape(layers, Hc, self.nb, self.bs, Dh)
+        vb = vcn[:, 0].reshape(layers, Hc, self.nb, self.bs, Dh)
+        kp = kp.at[:, tbl_row].set(
+            kb.transpose(0, 2, 1, 3, 4).astype(kp.dtype)
+        )
+        vp = vp.at[:, tbl_row].set(
+            vb.transpose(0, 2, 1, 3, 4).astype(vp.dtype)
+        )
+        tok0 = self.dec._select_multi(
+            logits0,
+            key,
+            jnp.reshape(temp, (1,)),
+            jnp.reshape(topp, (1,)),
+            jnp.reshape(temp > 0, (1,)),
+            self.top_k,
+            any_sample,
+        )
+        tok = lax.dynamic_update_slice(tok, tok0, (slot,))
+        posv = lax.dynamic_update_slice(
+            posv, jnp.reshape(plen, (1,)).astype(posv.dtype), (slot,)
+        )
+        return kp, vp, tok, posv, tok0
+
+    def _chunk_paged_fn(
+        self, params, kp, vp, tbl, tok, posv, key, active, limit,
+        temp, topp, smask, any_sample,
+    ):
+        """Paged chunk: ``_chunk_fn`` with the block-pool forward (the
+        block table is loop-constant — allocation happens host-side
+        between chunks)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        positions = jnp.arange(self.nb * self.bs)
+        out0 = jnp.zeros((self.S, self.chunk), jnp.int32)
+
+        def step(i, carry):
+            kp, vp, tok, posv, key, out = carry
+            live = jnp.logical_and(active, posv < limit)
+            logits, kp, vp = self.dec._forward_multi_paged(
+                params, kp, vp, tbl, tok, posv, positions
+            )
+            key, sub = jax.random.split(key)
+            nxt = self.dec._select_multi(
+                logits, sub, temp, topp, smask, self.top_k, any_sample
+            )
+            nxt = jnp.where(live, nxt, tok)
+            out = out.at[:, i].set(nxt)
+            posv = jnp.where(live, posv + 1, posv)
+            return kp, vp, nxt, posv, key, out
+
+        return lax.fori_loop(
+            0, self.chunk, step, (kp, vp, tok, posv, key, out0)
         )
 
     # ----------------------------------------------------------- prefix cache
@@ -409,7 +519,9 @@ class InflightEngine:
                     self._params_ver += 1  # prefix K/V recomputes on next use
                 while self._pending and not self._active.all():
                     slot = int(np.flatnonzero(~self._active)[0])
-                    self._admit(self._pending.pop(0), slot)
+                    if not self._admit(self._pending[0], slot):
+                        break  # paged pool exhausted: wait for retirements
+                    self._pending.pop(0)
                 if self._active.any():
                     self._run_chunk()
         except Exception as e:  # fail loudly: resolve every waiter
@@ -434,11 +546,20 @@ class InflightEngine:
             except queue.Empty:
                 return
 
-    def _admit(self, req, slot: int):
+    def _admit(self, req, slot: int) -> bool:
+        """Admit ``req`` into ``slot``.  Returns False (request NOT
+        consumed) when the paged pool lacks the blocks to cover the
+        request's full position range — natural backpressure until a
+        retirement frees blocks."""
         import jax
         import jax.numpy as jnp
 
         plen = req.prompt.size
+        if self.paged:
+            # blocks covering positions [0, plen + new_tokens - 1]
+            n_need = (plen + req.new_tokens - 1) // self.bs + 1
+            if len(self._free) < n_need:
+                return False
         pkey = self._match_prefix(req.prompt.astype(np.int64))
         if pkey is None:
             self.prefix_misses += 1
@@ -464,18 +585,33 @@ class InflightEngine:
                 )
         self._key, sub = jax.random.split(self._key)
         any_s = req.temperature > 0.0
-        self._kc, self._vc, self._tok, self._pos, tok0 = self._admit_j(
-            self._kc, self._vc, self._tok, self._pos, kcn, vcn, logits0,
-            jnp.int32(slot), jnp.int32(plen), sub,
-            jnp.float32(req.temperature), jnp.float32(req.top_p), any_s,
-        )
+        if self.paged:
+            blocks = [self._free.pop() for _ in range(n_need)]
+            tbl_row = np.zeros(self.nb, np.int32)
+            tbl_row[:n_need] = blocks
+            self._kp, self._vp, self._tok, self._pos, tok0 = self._admit_j(
+                self._kp, self._vp, self._tok, self._pos, kcn, vcn,
+                logits0, jnp.asarray(tbl_row), jnp.int32(slot),
+                jnp.int32(plen), sub, jnp.float32(req.temperature),
+                jnp.float32(req.top_p), any_s,
+            )
+            self._tbl[slot] = tbl_row
+            self._blocks_of[slot] = blocks
+        else:
+            self._kc, self._vc, self._tok, self._pos, tok0 = self._admit_j(
+                self._kc, self._vc, self._tok, self._pos, kcn, vcn, logits0,
+                jnp.int32(slot), jnp.int32(plen), sub,
+                jnp.float32(req.temperature), jnp.float32(req.top_p), any_s,
+            )
         t0 = int(np.asarray(tok0)[0])
         req.tokens.append(t0)
         if req.new_tokens == 1 or (
             req.eos_id is not None and t0 == req.eos_id
         ):
             req._finish()
-            return
+            if self.paged:
+                self._release_blocks(slot)
+            return True
         self._slot_req[slot] = req
         self._active[slot] = True
         # the slot's LAST token sits at position plen + new_tokens - 1
@@ -483,15 +619,34 @@ class InflightEngine:
         self._temp[slot] = req.temperature
         self._topp[slot] = req.top_p
         self._smask[slot] = any_s
+        return True
+
+    def _release_blocks(self, slot: int):
+        self._free.extend(self._blocks_of[slot])
+        self._blocks_of[slot] = []
+        self._tbl[slot] = 0
 
     def _run_chunk(self):
-        self._kc, self._vc, self._tok, self._pos, self._key, out = (
-            self._chunk_j(
-                self.params, self._kc, self._vc, self._tok, self._pos,
-                self._key, self._active, self._limit, self._temp,
-                self._topp, self._smask, bool(self._smask[self._active].any()),
+        import jax.numpy as jnp
+
+        if self.paged:
+            self._kp, self._vp, self._tok, self._pos, self._key, out = (
+                self._chunk_j(
+                    self.params, self._kp, self._vp, jnp.asarray(self._tbl),
+                    self._tok, self._pos, self._key, self._active,
+                    self._limit, self._temp, self._topp, self._smask,
+                    bool(self._smask[self._active].any()),
+                )
             )
-        )
+        else:
+            self._kc, self._vc, self._tok, self._pos, self._key, out = (
+                self._chunk_j(
+                    self.params, self._kc, self._vc, self._tok, self._pos,
+                    self._key, self._active, self._limit, self._temp,
+                    self._topp, self._smask,
+                    bool(self._smask[self._active].any()),
+                )
+            )
         out = np.asarray(out)  # ONE readback per chunk
         for slot in np.flatnonzero(self._active):
             req = self._slot_req[slot]
@@ -508,3 +663,5 @@ class InflightEngine:
                 self._slot_req[slot] = None
                 self._active[slot] = False
                 self._smask[slot] = False
+                if self.paged:
+                    self._release_blocks(slot)

@@ -41,6 +41,7 @@ class PredictService:
     def __init__(
         self, model, decode_dtype=None, decode_quant=None,
         inflight_slots=None, inflight_chunk: int = 8, inflight_top_k=None,
+        paged_blocks=None, block_size: int = 16,
         draft_model=None, spec_gamma: int = 4,
     ):
         """``decode_dtype``/``decode_quant`` configure the Generate RPC's
@@ -76,6 +77,8 @@ class PredictService:
         self._inflight_slots = inflight_slots
         self._inflight_chunk = inflight_chunk
         self._inflight_top_k = inflight_top_k
+        self._paged_blocks = paged_blocks
+        self._block_size = block_size
         self._draft_model = draft_model
         self._spec_gamma = spec_gamma
         self._spec = None
@@ -222,6 +225,8 @@ class PredictService:
                 top_k=self._inflight_top_k,
                 compute_dtype=self._decode_dtype,
                 quant=self._decode_quant,
+                paged_blocks=self._paged_blocks,
+                block_size=self._block_size,
             )
             for pfx in self._prefixes:
                 self._engine.register_prefix(pfx)
@@ -255,6 +260,8 @@ class MyDLPWServicer:
         inflight_slots=None,
         inflight_chunk: int = 8,
         inflight_top_k=None,
+        paged_blocks=None,
+        block_size: int = 16,
         draft_model=None,
         spec_gamma: int = 4,
     ):
@@ -299,6 +306,8 @@ class MyDLPWServicer:
             inflight_slots=inflight_slots,
             inflight_chunk=inflight_chunk,
             inflight_top_k=inflight_top_k,
+            paged_blocks=paged_blocks,
+            block_size=block_size,
             draft_model=draft_model,
             spec_gamma=spec_gamma,
         )

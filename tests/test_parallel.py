@@ -421,3 +421,34 @@ def test_sharded_checkpoint_resume_fsdp(tmp_path):
             np.asarray(p1.data.array), np.asarray(p2.data.array),
             rtol=1e-5, atol=1e-6, err_msg=n1,
         )
+
+
+def test_fsdp_muon_matches_replicated():
+    """Muon under ZeRO-3 (dryrun program 10's config): the Newton-Schulz
+    orthogonalization runs on GSPMD-gathered matrices, so FSDP-sharded
+    training must track the replicated step; momentum state follows the
+    param layout (1/8 per device)."""
+    from deepflows_tpu.parallel import fsdp_rules
+
+    def run(fsdp):
+        model = make_model()
+        opt = optim.Muon(model.parameters(), lr=0.02, adamw_lr=1e-3)
+        mesh = make_mesh({"data": 8})
+        rules = fsdp_rules(mesh) if fsdp else None
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh, param_rules=rules
+        )
+        losses = []
+        for i in range(3):
+            x, y = batch(i)
+            losses.append(float(step(x, y)))
+        return losses, [np.asarray(p.data.array) for p in model.parameters()], opt
+
+    l0, p0, _ = run(False)
+    l1, p1, opt1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    for m in opt1._state["m"]:
+        if m is not None and m.size >= 2048:
+            assert m.addressable_shards[0].data.size * 8 == m.size
