@@ -80,7 +80,8 @@ def main(epochs=10, seq_len=64, batch_size=32, vocab=512, lr=0.02,
     prompt = "## Architecture"
     ids = np.asarray([tok.encode(prompt)], np.int64)
     dec = models.KVCacheDecoder(lm)
-    out = dec.generate(ids, 48, temperature=0.8, top_k=40, seed=1)
+    n_gen = min(48, seq_len - ids.shape[1])
+    out = dec.generate(ids, n_gen, temperature=0.8, top_k=40, seed=1)
     print("\nprompt:", prompt)
     print("continuation:", tok.decode(out[0, ids.shape[1]:]))
 
