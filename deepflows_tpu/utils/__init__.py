@@ -18,6 +18,11 @@ from .model_utils import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from .hf_llama import (  # noqa: F401
+    build_llama_from_hf_config,
+    convert_hf_llama,
+    load_hf_llama_state,
+)
 from .text import BPETokenizer, LMDataset  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401
