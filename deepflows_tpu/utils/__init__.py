@@ -20,8 +20,11 @@ from .model_utils import (  # noqa: F401
 )
 from .hf_llama import (  # noqa: F401
     build_llama_from_hf_config,
+    build_mixtral_from_hf_config,
     convert_hf_llama,
+    convert_hf_mixtral,
     load_hf_llama_state,
+    load_hf_mixtral_state,
 )
 from .text import BPETokenizer, LMDataset  # noqa: F401
 from .trainer import Trainer  # noqa: F401

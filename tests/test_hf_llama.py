@@ -113,3 +113,41 @@ def test_hf_llama_converted_model_serves():
     out = dec.generate(ids, 5)
     want = ours.generate(ids, 5)
     np.testing.assert_array_equal(out, want)
+
+
+def _hf_mixtral(vocab=64, dim=32, layers=2, heads=4, kv=2, inter=64,
+                experts=4, topk=2):
+    torch.manual_seed(1)
+    cfg = transformers.MixtralConfig(
+        vocab_size=vocab, hidden_size=dim, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv, max_position_embeddings=16,
+        num_local_experts=experts, num_experts_per_tok=topk,
+        tie_word_embeddings=False,
+    )
+    return transformers.MixtralForCausalLM(cfg).eval()
+
+
+def test_hf_mixtral_logits_match():
+    """Mixtral port: stacked-expert SwiGLU + top-2 routing reproduce
+    transformers' logits (softmax-then-topk-renorm == HF's
+    topk-then-softmax by order preservation)."""
+    from deepflows_tpu.utils.hf_llama import convert_hf_mixtral
+
+    hf = _hf_mixtral()
+    ours = convert_hf_mixtral(hf, device="tpu")
+    _logits_match(hf, ours, atol=5e-4)
+
+
+def test_hf_mixtral_missing_expert_errors():
+    from deepflows_tpu.utils.hf_llama import (
+        build_mixtral_from_hf_config,
+        load_hf_mixtral_state,
+    )
+
+    hf = _hf_mixtral(layers=1)
+    ours = build_mixtral_from_hf_config(hf.config, device="tpu")
+    sd = dict(hf.state_dict())
+    sd.pop("model.layers.0.block_sparse_moe.experts.2.w1.weight")
+    with pytest.raises(KeyError, match="experts.2.w1"):
+        load_hf_mixtral_state(ours, sd)
