@@ -282,11 +282,15 @@ def binary_cross_entropy(
     return _reduce(loss, reduction)
 
 
-def _maybe_one_hot(target: Tensor, input: Tensor, dim: int = 1) -> Tensor:
+def _maybe_one_hot(target: Tensor, input: Tensor, dim: int = 1,
+                   mask=None) -> Tensor:
     """Accept integer class-index targets by one-hotting them on device (the
     reference required pre-one-hot float targets).  The class axis of the
     one-hot is placed at ``dim`` to match the logits layout (torch-layout
-    ``(B, C, H, W)`` targets ``(B, H, W)`` included)."""
+    ``(B, C, H, W)`` targets ``(B, H, W)`` included).  ``mask`` (same shape
+    as the integer target, 0/1) zeroes whole one-hot rows — the
+    ``ignore_index`` mechanism: an all-zero target row contributes zero
+    loss."""
     if not isinstance(target, Tensor):
         target = Tensor(target, device=input.device)
     if target.ndim == input.ndim and target.shape == input.shape:
@@ -296,6 +300,8 @@ def _maybe_one_hot(target: Tensor, input: Tensor, dim: int = 1) -> Tensor:
         oh = input.device.mod.one_hot(
             target.data.array, num_classes, dtype=input.dtype
         )
+        if mask is not None:
+            oh = oh * mask[..., None].astype(oh.dtype)
         if input.ndim > 1 and dim != input.ndim - 1:
             # one_hot appends the class axis LAST; move it to ``dim``
             perm = list(range(input.ndim - 1))
@@ -332,7 +338,8 @@ class _SoftmaxXentOp(Tensor):
 
 
 def cross_entropy(
-    input: Tensor, target: Tensor, reduction: str = "mean", dim=None
+    input: Tensor, target: Tensor, reduction: str = "mean", dim=None,
+    ignore_index=None,
 ) -> Tensor:
     """Stable log-softmax cross-entropy vs one-hot (or integer) target;
     'mean' divides by the batch size (reference `functional.py:104-115`).
@@ -348,7 +355,13 @@ def cross_entropy(
     coinciding dims (e.g. ``(B, 32, 32, 32)`` segmentation logits with 32
     classes) would otherwise silently softmax over the LAST axis instead
     of the class axis — rank >3 class-last inputs must opt in with an
-    explicit ``dim=-1`` (ADVICE r2)."""
+    explicit ``dim=-1`` (ADVICE r2).
+
+    ``ignore_index`` (torch semantics; integer targets only): positions
+    whose target equals it contribute ZERO loss, and ``'mean'`` divides by
+    the count of non-ignored positions — the SFT prompt-masking / padded-
+    batch mechanism.  Trace-safe: the valid count may be a traced scalar
+    inside compiled steps."""
     seq_shape = None
     auto_ok = input.ndim == 3 if dim is None else dim in (-1, input.ndim - 1)
     if input.ndim > 2 and auto_ok:
@@ -376,21 +389,54 @@ def cross_entropy(
     if dim is None:
         dim = 1
     if seq_shape is not None and reduction == "none":
-        flat = cross_entropy(input, target, "none", dim)
+        flat = cross_entropy(input, target, "none", dim,
+                             ignore_index=ignore_index)
         return flat.reshape(seq_shape)
     dim = dim % input.ndim if input.ndim else 0
-    target = _maybe_one_hot(target, input, dim)
+    valid = None
+    if ignore_index is not None:
+        raw = (
+            target.data.array if isinstance(target, Tensor)
+            else np.asarray(target)
+        )
+        if raw.ndim == input.ndim and tuple(raw.shape) == tuple(input.shape):
+            raise ValueError(
+                "ignore_index requires integer class-index targets"
+            )
+        valid = raw != ignore_index
+        # ignored ids -> class 0 for the one-hot; the row is zeroed by mask
+        target = _maybe_one_hot(raw * valid, input, dim, mask=valid)
+    else:
+        target = _maybe_one_hot(target, input, dim)
+
+    def _mean_by_valid(loss_sum):
+        n_valid = valid.sum()
+        if hasattr(n_valid, "aval"):  # traced under jit
+            import jax.numpy as jnp
+
+            n_t = Tensor(BackendTensor._wrap(
+                jnp.maximum(n_valid, 1).astype(jnp.float32), input.device
+            ))
+            return loss_sum / n_t
+        return loss_sum * (1.0 / max(int(n_valid), 1))
+
     if (
         input.ndim == 2
         and dim == 1
         and reduction in ("mean", "sum")
         and not target.requires_grad
     ):
+        if valid is not None and reduction == "mean":
+            return _mean_by_valid(
+                _SoftmaxXentOp(input, target.data.array, "sum")
+            )
         return _SoftmaxXentOp(input, target.data.array, reduction)
     m = tensor.max(input, dim, True)
     shifted = input - m
     log_sum_exp = tensor.log(tensor.sum(tensor.exp(shifted), dim, True))
     nll = -(shifted - log_sum_exp) * target
+    if valid is not None and reduction == "mean":
+        return _mean_by_valid(tensor.sum(nll))
     if reduction == "mean":
         # divide by the number of POSITIONS (all non-class axes): for 2-D
         # this is the batch size (reference `functional.py:113`); for

@@ -45,8 +45,19 @@ class BCELoss(_Loss):
 
 
 class CrossEntropyLoss(_Loss):
+    """``ignore_index`` (torch semantics, integer targets only): those
+    positions contribute zero loss and 'mean' divides by the non-ignored
+    count — the SFT prompt-masking / padded-batch mechanism."""
+
+    def __init__(self, reduction: str = "mean", ignore_index=None) -> None:
+        super().__init__(reduction)
+        self.ignore_index = ignore_index
+
     def forward(self, input: Tensor, target: Tensor) -> Tensor:
-        return F.cross_entropy(input, target, reduction=self.reduction)
+        return F.cross_entropy(
+            input, target, reduction=self.reduction,
+            ignore_index=self.ignore_index,
+        )
 
 
 class LMHeadCrossEntropy(_Loss):

@@ -484,3 +484,71 @@ def test_relu6_matches_torch():
     tout.sum().backward()
     np.testing.assert_allclose(out.numpy(), tout.detach().numpy(), rtol=1e-6)
     np.testing.assert_allclose(xt.grad.numpy(), tx.grad.numpy(), rtol=1e-6)
+
+
+# ---------------------------------------------------------- ignore_index
+def test_cross_entropy_ignore_index_matches_torch():
+    """ignore_index semantics vs torch: zero loss at ignored positions,
+    'mean' divides by the non-ignored count — 2-D fast path and the
+    (B, L, V) sequence path, plus gradients."""
+    import torch
+
+    rng = np.random.default_rng(4)
+    logits = rng.standard_normal((6, 5)).astype(np.float32)
+    tgt = np.array([1, -100, 3, -100, 0, 2])
+
+    x = Tensor(logits.copy(), device="tpu", requires_grad=True)
+    loss = F.cross_entropy(x, tgt, ignore_index=-100)
+    loss.backward()
+
+    tx = torch.tensor(logits, requires_grad=True)
+    tl = torch.nn.functional.cross_entropy(
+        tx, torch.tensor(tgt), ignore_index=-100
+    )
+    tl.backward()
+    np.testing.assert_allclose(float(loss.numpy()), float(tl), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(x.grad.array), tx.grad.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+    # sequence path (B, L, V) + reduction none: zeros at ignored positions
+    seq = rng.standard_normal((2, 4, 5)).astype(np.float32)
+    stgt = np.array([[1, 2, -1, 3], [-1, -1, 0, 4]])
+    sx = Tensor(seq.copy(), device="tpu")
+    per = F.cross_entropy(sx, stgt, reduction="none", ignore_index=-1)
+    per = np.asarray(per.data.array)
+    assert per.shape == (2, 4)
+    np.testing.assert_allclose(per[0, 2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(per[1, :2], 0.0, atol=1e-7)
+    mean = float(F.cross_entropy(sx, stgt, ignore_index=-1).numpy())
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(seq).reshape(8, 5), torch.tensor(stgt).reshape(8),
+        ignore_index=-1,
+    )
+    np.testing.assert_allclose(mean, float(want), rtol=1e-5)
+
+
+def test_cross_entropy_ignore_index_in_compiled_step():
+    """The valid count is a traced scalar inside CompiledTrainStep — an
+    LM step with prompt-masked targets trains, and masking the prompt
+    changes the loss vs unmasked."""
+    from deepflows_tpu import models, optim
+    from deepflows_tpu.jit import CompiledTrainStep
+
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=16, max_len=8, dim=32, depth=1,
+                              num_heads=2, device="tpu")
+    opt = optim.Adam(lm.parameters(), lr=1e-3)
+    step = CompiledTrainStep(lm, opt, nn.CrossEntropyLoss(ignore_index=-1))
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 16, (4, 8)).astype(np.int64)
+    y = rng.integers(0, 16, (4, 8)).astype(np.int64)
+    y[:, :4] = -1  # mask the "prompt" half
+    l1 = float(step(x, y))
+    l2 = float(step(x, y))
+    assert np.isfinite(l1) and l2 < l1 + 1e-3
+
+    # all-ignored batch: loss is exactly 0 (divide-by-count clamps at 1)
+    y_all = np.full_like(y, -1)
+    l0 = float(step(x, y_all))
+    assert l0 == 0.0
