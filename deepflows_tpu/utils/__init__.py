@@ -26,7 +26,7 @@ from .hf_llama import (  # noqa: F401
     load_hf_llama_state,
     load_hf_mixtral_state,
 )
-from .text import BPETokenizer, LMDataset  # noqa: F401
+from .text import BPETokenizer, LMDataset, SFTDataset  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 from .visual import Animator  # noqa: F401
 from . import profiling  # noqa: F401,E402

@@ -160,6 +160,56 @@ class BPETokenizer:
         return tok
 
 
+class SFTDataset(Dataset):
+    """Supervised fine-tuning pairs: each (prompt, response) example
+    becomes fixed-length ``(input_ids, labels)`` where labels are the
+    next-token targets with PROMPT positions (and padding) set to
+    ``ignore_index`` — pair with
+    ``nn.CrossEntropyLoss(ignore_index=...)`` so the loss trains only the
+    response tokens.
+
+    Layout per example (right-padded to ``seq_len`` with pad_id):
+    ``input = prompt + response(+eos)``, truncated to seq_len+1;
+    ``labels[t] = input[t+1]`` for response positions, else ignore_index.
+    """
+
+    def __init__(self, pairs, tokenizer: BPETokenizer, seq_len: int,
+                 ignore_index: int = -100):
+        self.tokenizer = tokenizer
+        self.seq_len = int(seq_len)
+        self.ignore_index = int(ignore_index)
+        pad = tokenizer.pad_id if tokenizer.pad_id >= 0 else 0
+        xs, ys = [], []
+        for prompt, response in pairs:
+            p = tokenizer.encode(prompt)
+            r = tokenizer.encode(response)
+            if tokenizer.eos_id >= 0:
+                r = r + [tokenizer.eos_id]
+            toks = (p + r)[: self.seq_len + 1]
+            if len(p) >= len(toks):  # response fully truncated away
+                continue
+            x = np.full(self.seq_len, pad, np.int64)
+            y = np.full(self.seq_len, self.ignore_index, np.int64)
+            n = len(toks) - 1
+            x[:n] = toks[:-1]
+            # labels: next token, only where the PREDICTED token is part
+            # of the response (positions len(p)-1 .. n-1 predict toks[len(p)..])
+            lo = len(p) - 1
+            y[lo:n] = toks[lo + 1 : n + 1]
+            xs.append(x)
+            ys.append(y)
+        if not xs:
+            raise ValueError("no usable (prompt, response) pairs")
+        self.inputs = np.stack(xs)
+        self.labels = np.stack(ys)
+
+    def __len__(self):
+        return len(self.inputs)
+
+    def __getitem__(self, idx):
+        return self.inputs[idx], self.labels[idx]
+
+
 class LMDataset(Dataset):
     """Next-token LM dataset over a packed token stream.
 

@@ -88,3 +88,56 @@ def test_lm_trains_on_tokenized_text():
         ys = np.stack([ds[i][1] for i in idx])
         loss = float(step(xs, ys))
     assert loss < 0.5 * np.log(tok.vocab_size), loss
+
+
+def test_sft_dataset_masks_prompt():
+    """SFTDataset: labels carry next-token targets only over the response
+    span; prompt and padding are ignore_index — pairs with
+    CrossEntropyLoss(ignore_index=) for response-only training."""
+    from deepflows_tpu.utils.text import SFTDataset
+
+    tok = BPETokenizer().train(CORPUS, vocab_size=280)
+    pairs = [("what is a fox?", " a quick brown animal"),
+             ("what jumps?", " the fox jumps")]
+    ds = SFTDataset(pairs, tok, seq_len=32)
+    assert len(ds) == 2
+    x, y = ds[0]
+    assert x.shape == (32,) and y.shape == (32,)
+    p_ids = tok.encode(pairs[0][0])
+    full = p_ids + tok.encode(pairs[0][1]) + [tok.eos_id]
+    # prompt positions (before len(p)-1) are masked
+    assert (y[: len(p_ids) - 1] == -100).all()
+    # response span: labels equal the shifted input
+    n = len(full) - 1
+    np.testing.assert_array_equal(y[len(p_ids) - 1 : n],
+                                  full[len(p_ids) : n + 1])
+    # padding masked
+    assert (y[n:] == -100).all()
+    assert y[n - 1] == tok.eos_id  # last supervised target is eos
+
+
+def test_sft_dataset_trains_response_only():
+    """End-to-end: SFT batch through CompiledTrainStep with
+    ignore_index loss; the supervised loss falls."""
+    from deepflows_tpu import models
+    from deepflows_tpu.jit import CompiledTrainStep
+    from deepflows_tpu.utils.text import SFTDataset
+
+    tok = BPETokenizer().train(CORPUS, vocab_size=280)
+    pairs = [("Q: color of fox? A:", " brown"),
+             ("Q: speed of fox? A:", " quick"),
+             ("Q: dog state? A:", " lazy")] * 4
+    ds = SFTDataset(pairs, tok, seq_len=16)
+    df.manual_seed(0)
+    lm = models.TransformerLM(vocab_size=tok.vocab_size, max_len=16, dim=48,
+                              depth=2, num_heads=2, device="tpu")
+    opt = optim.Adam(lm.parameters(), lr=3e-3)
+    step = CompiledTrainStep(
+        lm, opt, nn.CrossEntropyLoss(ignore_index=-100)
+    )
+    xs = ds.inputs
+    ys = ds.labels
+    first = float(step(xs, ys))
+    for _ in range(40):
+        last = float(step(xs, ys))
+    assert last < 0.2 * first, (first, last)
