@@ -47,6 +47,18 @@ def _mm(x, w):
     return x @ w
 
 
+def _invalid_keys(pos_keys, pos_q, window):
+    """Attention-mask predicate for decode forwards: key positions beyond
+    the query (causal) or, with sliding-window attention, further than
+    ``window - 1`` behind it.  Operands arrive pre-broadcast."""
+    import jax.numpy as jnp
+
+    m = pos_keys > pos_q
+    if window:
+        m = jnp.logical_or(m, pos_keys <= pos_q - window)
+    return m
+
+
 def _scatter_chunk(cache, layer, new, posv):
     """Write a g-token chunk's K/V at per-row CONTIGUOUS position windows:
     cache (layers, B, Hc, L, Dh), new (B, Hc, g, Dh), posv (B,) int32 ->
@@ -172,6 +184,8 @@ class KVCacheDecoder:
         self.lm = lm
         self.compute_dtype = compute_dtype
         self.quant = quant
+        # sliding-window (Mistral) models: band-mask every decode forward
+        self.window = getattr(lm.blocks[0].attn, "window", None)
         self._prefill_jit = jax.jit(self._prefill, static_argnums=(2,))
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
@@ -404,6 +418,10 @@ class KVCacheDecoder:
         x = params["tok"][prompt] + params["pos"][:, :L]
         scale = 1.0 / np.sqrt(lm.blocks[0].attn.head_dim)
         causal = jnp.triu(jnp.full((L, L), -1e30, jnp.float32), k=1)
+        if self.window:
+            causal = causal + jnp.tril(
+                jnp.full((L, L), -1e30, jnp.float32), k=-self.window
+            )
         ks, vs = [], []
         for p in params["blocks"]:
             h = self._ln(x, p["ln1_w"], p["ln1_b"])
@@ -447,7 +465,11 @@ class KVCacheDecoder:
             s = (jnp.einsum("bhqd,bhkd->bhqk", q, kc[li]) * scale).astype(
                 jnp.float32
             )
-            s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
+            s = jnp.where(
+                _invalid_keys(positions[None, None, None, :], pos,
+                              self.window),
+                -1e30, s,
+            )
             attn = jax.nn.softmax(s, -1).astype(vc.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, vc[li])
             o = o.transpose(0, 2, 1, 3).reshape(tok.shape[0], 1, -1)
@@ -480,7 +502,10 @@ class KVCacheDecoder:
                 jnp.float32
             )
             s = jnp.where(
-                positions[None, None, None, :] > posv[:, None, None, None],
+                _invalid_keys(
+                    positions[None, None, None, :],
+                    posv[:, None, None, None], self.window,
+                ),
                 -1e30,
                 s,
             )
@@ -517,7 +542,10 @@ class KVCacheDecoder:
                 jnp.float32
             )
             s = jnp.where(
-                positions[None, None, None, :] > posv[:, None, None, None],
+                _invalid_keys(
+                    positions[None, None, None, :],
+                    posv[:, None, None, None], self.window,
+                ),
                 -1e30,
                 s,
             )
@@ -549,7 +577,10 @@ class KVCacheDecoder:
         pos_rows = posv[:, None] + jnp.arange(g, dtype=posv.dtype)  # (B, g)
         x = params["tok"][toks] + params["pos"][0][pos_rows]
         # query at row position P attends keys at positions <= P
-        mask = positions[None, None, None, :] > pos_rows[:, None, :, None]
+        mask = _invalid_keys(
+            positions[None, None, None, :], pos_rows[:, None, :, None],
+            self.window,
+        )
         for li, p in enumerate(params["blocks"]):
             h = self._ln(x, p["ln1_w"], p["ln1_b"])
             q, k_new, v_new = self._attn_proj(h, p, H)  # (B, H, g, Dh)
@@ -956,6 +987,10 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
         B = x.shape[0]
         scale = 1.0 / np.sqrt(D)
         causal = jnp.triu(jnp.full((L, L), -1e30, jnp.float32), k=1)
+        if self.window:
+            causal = causal + jnp.tril(
+                jnp.full((L, L), -1e30, jnp.float32), k=-self.window
+            )
         cos, sin = params["rope_cos"], params["rope_sin"]
         ks, vs = [], []
         for p in params["blocks"]:
@@ -1010,7 +1045,11 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             s = (jnp.einsum("bkgd,bkld->bkgl", qg, kc[li]) * scale).astype(
                 jnp.float32
             )
-            s = jnp.where(positions[None, None, None, :] > pos, -1e30, s)
+            s = jnp.where(
+                _invalid_keys(positions[None, None, None, :], pos,
+                              self.window),
+                -1e30, s,
+            )
             attn = jax.nn.softmax(s, -1).astype(vc.dtype)
             o = jnp.einsum("bkgl,bkld->bkgd", attn, vc[li])
             o = o.reshape(N, 1, H * D)
@@ -1060,8 +1099,10 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
 
         # query at row position P attends keys at positions <= P
         mask = (
-            positions[None, None, None, None, :]
-            > pos_rows[:, None, None, :, None]
+            _invalid_keys(
+                positions[None, None, None, None, :],
+                pos_rows[:, None, None, :, None], self.window,
+            )
         )
         for li, p in enumerate(params["blocks"]):
             h = self._rms(x, p["ln1_w"], eps)
@@ -1118,7 +1159,10 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
                 jnp.float32
             )
             s = jnp.where(
-                positions[None, None, None, :] > posv[:, None, None, None],
+                _invalid_keys(
+                    positions[None, None, None, :],
+                    posv[:, None, None, None], self.window,
+                ),
                 -1e30,
                 s,
             )
@@ -1162,7 +1206,10 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
                 jnp.float32
             )
             s = jnp.where(
-                positions[None, None, None, :] > posv[:, None, None, None],
+                _invalid_keys(
+                    positions[None, None, None, :],
+                    posv[:, None, None, None], self.window,
+                ),
                 -1e30,
                 s,
             )

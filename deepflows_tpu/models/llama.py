@@ -26,14 +26,14 @@ class LlamaBlock(nn.Module):
 
     def __init__(
         self, dim, num_heads, num_kv_heads, hidden, device=None,
-        remat=False, flash=None, rope_theta=10000.0,
+        remat=False, flash=None, rope_theta=10000.0, window=None,
     ):
         super().__init__()
         self.norm1 = nn.RMSNorm(dim, device=device)
         self.attn = nn.MultiheadAttention(
             dim, num_heads, bias=False, causal=True, device=device,
             flash=flash, num_kv_heads=num_kv_heads, rope=True,
-            rope_theta=rope_theta,
+            rope_theta=rope_theta, window=window,
         )
         self.norm2 = nn.RMSNorm(dim, device=device)
         self.gate = nn.Linear(dim, hidden, bias=False, device=device)
@@ -67,6 +67,7 @@ class LlamaLM(nn.Module):
         device=None,
         remat: bool = False,
         flash=None,
+        window=None,
     ):
         super().__init__()
         Device(device) if device else default_accelerator()
@@ -83,6 +84,7 @@ class LlamaLM(nn.Module):
                 LlamaBlock(
                     dim, num_heads, num_kv_heads, hidden, device=device,
                     remat=remat, flash=flash, rope_theta=rope_theta,
+                    window=window,
                 )
                 for _ in range(depth)
             ]

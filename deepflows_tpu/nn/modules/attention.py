@@ -39,6 +39,7 @@ class MultiheadAttention(Module):
         num_kv_heads=None,
         rope: bool = False,
         rope_theta: float = 10000.0,
+        window=None,
     ) -> None:
         """``causal=True`` applies the autoregressive mask (position i may
         attend to j <= i) — the decoder/LM attention variant.
@@ -101,6 +102,20 @@ class MultiheadAttention(Module):
         self._rope_cache = {}  # (L, dtype) -> (cos, sin) numpy (L, D)
         self.attn_drop = Dropout(dropout) if dropout > 0 else None
         self.causal = causal
+        if window is not None:
+            # sliding-window (Mistral-style) attention: position i attends
+            # to j in (i - window, i].  Causal-only; the flash/ring fast
+            # paths have no band support, so they are rejected/disabled.
+            if not causal:
+                raise ValueError("window requires causal=True")
+            if int(window) < 1:
+                raise ValueError("window must be >= 1")
+            if flash is True or ring is not None:
+                raise ValueError(
+                    "window is not supported with flash/ring attention"
+                )
+            flash = False
+        self.window = None if window is None else int(window)
         self.flash = flash
         self.ring = tuple(ring) if ring is not None else None
         self._flash_fn = None
@@ -323,12 +338,17 @@ class MultiheadAttention(Module):
         from ...backend import BackendTensor
         from ...tensor import Tensor
 
-        key = (L, Lk, str(scores.dtype))
+        key = (L, Lk, str(scores.dtype), self.window)
         arr = self._mask_cache.get(key)
         if arr is None:
             # build with NUMPY: jnp ops inside a jit trace are staged
             # (omnistaging) and a cached tracer would leak across traces
             arr = np.triu(np.full((L, Lk), -1e9, np.float32), k=1)
+            if self.window is not None:
+                # band limit: key j is visible only while i - j < window
+                arr = arr + np.tril(
+                    np.full((L, Lk), -1e9, np.float32), k=-self.window
+                )
             if "bfloat16" in str(scores.dtype):
                 import jax.numpy as jnp
 

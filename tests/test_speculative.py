@@ -20,6 +20,18 @@ from deepflows_tpu.models import KVCacheDecoder, SpeculativeDecoder
 V = 61
 
 
+@pytest.fixture(autouse=True)
+def _clean():
+    # the module fixture's m.eval() flips the GLOBAL grad flag (reference
+    # semantics) — restore it so suites running after this file (any
+    # non-alphabetical selection) still build tapes
+    yield
+    from deepflows_tpu import Graph
+
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
 @pytest.fixture(scope="module")
 def lms():
     df.manual_seed(0)

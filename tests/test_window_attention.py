@@ -1,0 +1,123 @@
+"""Sliding-window (Mistral-style) attention: MultiheadAttention(window=W)
+band-masks the causal attention, LlamaLM(window=) threads it through the
+family, and every KV-cache decode path (one-shot, chunked verify,
+in-flight engine) reproduces the tape forward's windowed logits."""
+
+import numpy as np
+import pytest
+
+import deepflows_tpu as df
+from deepflows_tpu import Graph, Tensor, models, nn
+from deepflows_tpu.models.decoding import KVCacheDecoder
+from deepflows_tpu.models.engine import InflightEngine
+
+RNG = np.random.default_rng(41)
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    Graph.free_graph_all()
+    df.set_grad_enabled(True)
+
+
+def test_window_ge_length_equals_full_causal():
+    df.manual_seed(0)
+    full = nn.MultiheadAttention(16, 2, causal=True, device="tpu",
+                                 flash=False)
+    df.manual_seed(0)
+    win = nn.MultiheadAttention(16, 2, causal=True, window=8, device="tpu",
+                                flash=False)
+    x = Tensor(RNG.standard_normal((2, 8, 16)).astype(np.float32),
+               device="tpu")
+    a = np.asarray(full(x).data.array)
+    b = np.asarray(win(x).data.array)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_window_one_attends_self_only():
+    """window=1: each position sees only itself, so the output is the
+    position-wise out_proj(v_proj(x)) — a closed-form check of the band."""
+    df.manual_seed(1)
+    m = nn.MultiheadAttention(16, 2, causal=True, window=1, device="tpu",
+                              flash=False)
+    x = Tensor(RNG.standard_normal((2, 6, 16)).astype(np.float32),
+               device="tpu")
+    got = np.asarray(m(x).data.array)
+    want = np.asarray(m.out_proj(m.v_proj(x)).data.array)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_window_changes_long_range():
+    df.manual_seed(2)
+    full = nn.MultiheadAttention(16, 2, causal=True, device="tpu",
+                                 flash=False)
+    df.manual_seed(2)
+    win = nn.MultiheadAttention(16, 2, causal=True, window=3, device="tpu",
+                                flash=False)
+    x = Tensor(RNG.standard_normal((1, 8, 16)).astype(np.float32),
+               device="tpu")
+    a = np.asarray(full(x).data.array)
+    b = np.asarray(win(x).data.array)
+    np.testing.assert_allclose(a[0, :3], b[0, :3], rtol=1e-5)  # inside band
+    assert np.abs(a[0, 4:] - b[0, 4:]).max() > 1e-4  # band bites later
+
+
+def test_window_validation():
+    with pytest.raises(ValueError, match="causal"):
+        nn.MultiheadAttention(16, 2, window=4, device="tpu")
+    with pytest.raises(ValueError, match=">= 1"):
+        nn.MultiheadAttention(16, 2, causal=True, window=0, device="tpu")
+    with pytest.raises(ValueError, match="flash"):
+        nn.MultiheadAttention(16, 2, causal=True, window=4, flash=True,
+                              device="tpu")
+
+
+def _wllama(window, seed=9):
+    df.manual_seed(seed)
+    return models.LlamaLM(
+        vocab_size=48, max_len=16, dim=32, depth=2, num_heads=4,
+        num_kv_heads=2, device="tpu", window=window,
+    )
+
+
+def test_windowed_llama_decode_matches_tape():
+    """KV-cache greedy decode of a windowed Llama equals the tape
+    forward's greedy chain (prefill + per-step band masks all agree),
+    and differs from the un-windowed model's decode."""
+    lm = _wllama(window=4)
+    prompt = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+    dec = KVCacheDecoder(lm)
+    got = dec.generate(prompt, 8)
+
+    # reference: greedy via the tape forward (window mask included)
+    from deepflows_tpu.autograd import no_grad
+
+    lm.eval()
+    cur = prompt.copy()
+    with no_grad():
+        for _ in range(8):
+            logits = np.asarray(lm(Tensor(cur, device="tpu")).data.array)
+            nxt = logits[:, cur.shape[1] - 1].argmax(-1)
+            cur = np.concatenate([cur, nxt[:, None]], 1)
+    np.testing.assert_array_equal(got, cur)
+
+    full = _wllama(window=None)  # same seed -> same weights
+    np.testing.assert_array_equal(
+        np.asarray([int(p.numpy().ravel()[0]) for p in full.parameters()]),
+        np.asarray([int(p.numpy().ravel()[0]) for p in lm.parameters()]),
+    )
+    other = KVCacheDecoder(full).generate(prompt, 8)
+    assert not np.array_equal(got, other)
+
+
+def test_windowed_engine_matches_one_shot():
+    lm = _wllama(window=4, seed=11)
+    dec = KVCacheDecoder(lm)
+    prompts = [RNG.integers(0, 48, (p,)).astype(np.int64) for p in (3, 6)]
+    wants = [dec.generate(p[None], 7)[0] for p in prompts]
+    with InflightEngine(lm, slots=2, chunk=3) as eng:
+        got = [h.result(timeout=120) for h in
+               [eng.submit(p, 7) for p in prompts]]
+    for g, w in zip(got, wants):
+        np.testing.assert_array_equal(g, w)
