@@ -55,6 +55,8 @@ def build_llama_from_hf_config(cfg, max_len: Optional[int] = None,
         mlp_ratio=cfg.intermediate_size / dim,
         rope_theta=float(getattr(cfg, "rope_theta", 10000.0)),
         device=device,
+        # Mistral configs carry sliding_window (None on plain Llama)
+        window=getattr(cfg, "sliding_window", None),
     )
     eps = float(getattr(cfg, "rms_norm_eps", 1e-6))
     for blk in model.blocks:

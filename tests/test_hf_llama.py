@@ -151,3 +151,21 @@ def test_hf_mixtral_missing_expert_errors():
     sd.pop("model.layers.0.block_sparse_moe.experts.2.w1.weight")
     with pytest.raises(KeyError, match="experts.2.w1"):
         load_hf_mixtral_state(ours, sd)
+
+
+def test_hf_mistral_sliding_window_logits_match():
+    """MistralForCausalLM ports through the Llama converter (same weight
+    names) with sliding_window threaded into the band-masked attention;
+    seq > window so the band actually bites, and logits still match."""
+    torch.manual_seed(2)
+    cfg = transformers.MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=16, sliding_window=4,
+        tie_word_embeddings=False,
+    )
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    hf._attn_implementation = "eager"  # sdpa may ignore sliding_window
+    ours = convert_hf_llama(hf, device="tpu")
+    assert ours.blocks[0].attn.window == 4
+    _logits_match(hf, ours, atol=5e-4)
