@@ -18,6 +18,11 @@ from .model_utils import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from .hf_gpt2 import (  # noqa: F401
+    build_gpt2_from_hf_config,
+    convert_hf_gpt2,
+    load_hf_gpt2_state,
+)
 from .hf_llama import (  # noqa: F401
     build_llama_from_hf_config,
     build_mixtral_from_hf_config,

@@ -169,3 +169,45 @@ def test_hf_mistral_sliding_window_logits_match():
     ours = convert_hf_llama(hf, device="tpu")
     assert ours.blocks[0].attn.window == 4
     _logits_match(hf, ours, atol=5e-4)
+
+
+def test_hf_gpt2_logits_match():
+    """GPT-2 ports into TransformerLM: Conv1D (in,out) weights load
+    untransposed, fused c_attn splits into q/k/v, the tied head
+    transposes the token table, and the converter swaps in tanh-GELU
+    (gelu_new) — logits match transformers' forward."""
+    from deepflows_tpu.utils.hf_gpt2 import convert_hf_gpt2
+
+    torch.manual_seed(3)
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=16, n_embd=32, n_layer=2, n_head=4,
+    )
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    ours = convert_hf_gpt2(hf, device="tpu")
+    _logits_match(hf, ours, atol=5e-4)
+
+
+def test_hf_gpt2_decode_and_errors():
+    from deepflows_tpu import models
+    from deepflows_tpu.utils.hf_gpt2 import (
+        build_gpt2_from_hf_config,
+        convert_hf_gpt2,
+        load_hf_gpt2_state,
+    )
+
+    torch.manual_seed(4)
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=16, n_embd=32, n_layer=1, n_head=2,
+    )
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    ours = convert_hf_gpt2(hf, device="tpu")
+    ids = np.random.default_rng(2).integers(0, 64, (2, 4)).astype(np.int64)
+    out = models.KVCacheDecoder(ours).generate(ids, 5)
+    want = ours.generate(ids, 5)
+    np.testing.assert_array_equal(out, want)
+
+    sd = dict(hf.state_dict())
+    sd.pop("transformer.ln_f.bias")
+    fresh = build_gpt2_from_hf_config(hf.config, device="tpu")
+    with pytest.raises(KeyError, match="ln_f.bias"):
+        load_hf_gpt2_state(fresh, sd)
