@@ -189,6 +189,13 @@ class KVCacheDecoder:
         self._prefill_jit = jax.jit(self._prefill, static_argnums=(2,))
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
+        # streaming (ring-buffer) decode for sliding-window models; the
+        # method exists on the Llama-family subclasses (_stream_ok)
+        self._rope_len = 0
+        if hasattr(self, "_decode_stream"):
+            self._decode_stream_jit = jax.jit(
+                self._decode_stream, static_argnums=(4, 7, 9)
+            )
         self._select_jit = jax.jit(self._select, static_argnums=(3, 5))
         # static: n_steps, num_beams, eos_id (baked into the frozen row)
         self._beam_jit = jax.jit(self._beam, static_argnums=(4, 5, 6))
@@ -808,11 +815,22 @@ class KVCacheDecoder:
         if plen < 1:
             raise ValueError("prompt must have at least one token")
         L = self.lm.max_len
-        if plen + new_tokens > L:
+        stream = plen + new_tokens > L
+        if stream and not (
+            getattr(self, "_stream_ok", False)
+            and self.window
+            and self.window <= L
+            and plen <= L
+        ):
             raise ValueError(
                 f"prompt_len {plen} + new_tokens {new_tokens} exceeds "
-                f"max_len {L}; use TransformerLM.generate for sliding-window"
+                f"max_len {L}; streaming decode needs a sliding-window "
+                "Llama-family model (window <= max_len, prompt <= max_len)"
             )
+        if stream:
+            # RoPE tables must cover every ABSOLUTE position generated;
+            # bucket to a power of two so compile count stays logarithmic
+            self._rope_len = 1 << (plen + new_tokens - 1).bit_length()
         do_sample = temperature is not None and temperature > 0.0
         if not do_sample:
             temperature = None  # keep the greedy program free of dead args
@@ -830,10 +848,13 @@ class KVCacheDecoder:
         key, sub = jax.random.split(key)
         tok0 = self._select_jit(logits0, sub, temp, top_k, tp, do_sample)
         # tok0 is the token at position plen (first generated)
-        tokens, _ = self._decode_jit(
+        decode = self._decode_stream_jit if stream else self._decode_jit
+        tokens, _ = decode(
             params, (kc, vc), tok0, np.int32(plen), new_tokens,
             key, temp, top_k, tp, do_sample,
         )
+        if stream:
+            self._rope_len = 0  # back to max_len tables for normal calls
         # single host readback for the whole generation
         out = np.asarray(tokens)
         return np.concatenate([idx, out.astype(idx.dtype)], 1)
@@ -919,7 +940,8 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
         inv = 1.0 / (
             a0.rope_theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / D)
         )
-        ang = np.outer(np.arange(lm.max_len, dtype=np.float64), inv)
+        n_pos = max(lm.max_len, getattr(self, "_rope_len", 0))
+        ang = np.outer(np.arange(n_pos, dtype=np.float64), inv)
         tree["rope_cos"] = np.concatenate([np.cos(ang)] * 2, -1).astype(
             np.float32
         )
@@ -991,7 +1013,8 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             causal = causal + jnp.tril(
                 jnp.full((L, L), -1e30, jnp.float32), k=-self.window
             )
-        cos, sin = params["rope_cos"], params["rope_sin"]
+        # tables may extend past L for streaming decode; prefill covers [0, L)
+        cos, sin = params["rope_cos"][:L], params["rope_sin"][:L]
         ks, vs = [], []
         for p in params["blocks"]:
             h = self._rms(x, p["ln1_w"], eps)
@@ -1057,6 +1080,103 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
         x = self._rms(x, params["lnf_w"], eps)
         return self._head(x[:, 0], params), kc, vc
+
+    _stream_ok = True  # rope extrapolates; learned positions cannot
+
+    def _forward_one_ring(self, params, kc, vc, tok, pos, positions):
+        """``_forward_one`` over a RING cache: the cache's position axis
+        (length C = max_len) holds the last C absolute positions, the
+        write lands at ``pos % C`` (clobbering abs position pos - C, which
+        a window <= C guarantee puts outside the attention band), and the
+        mask reconstructs each slot's ABSOLUTE position — so a
+        sliding-window model streams past max_len with O(C) cache HBM."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        lm = self.lm
+        a0 = lm.blocks[0].attn
+        H, Hkv, D = a0.num_heads, a0.num_kv_heads, a0.head_dim
+        G = H // Hkv
+        eps = lm.norm.eps
+        scale = 1.0 / np.sqrt(D)
+        C = kc.shape[3]
+        N = tok.shape[0]
+        slot = lax.rem(pos, C)
+        # slot j holds absolute position pos - ((pos - j) mod C); slots
+        # not yet written come out negative and are masked
+        abs_pos = pos - lax.rem(
+            lax.rem(pos - positions, C) + C, C
+        )
+        invalid = jnp.logical_or(
+            _invalid_keys(abs_pos[None, None, None, :], pos, self.window),
+            (abs_pos < 0)[None, None, None, :],
+        )
+        x = params["tok"][tok][:, None, :]
+        cos = lax.dynamic_slice(params["rope_cos"], (pos, 0), (1, D))
+        sin = lax.dynamic_slice(params["rope_sin"], (pos, 0), (1, D))
+        for li, p in enumerate(params["blocks"]):
+            h = self._rms(x, p["ln1_w"], eps)
+            q, k_new, v_new = self._attn_proj(h, p, H)
+            q = self._rope(q, cos, sin)
+            k_new = self._rope(k_new, cos, sin)
+            kc = lax.dynamic_update_slice(kc, k_new[None], (li, 0, 0, slot, 0))
+            vc = lax.dynamic_update_slice(vc, v_new[None], (li, 0, 0, slot, 0))
+            qg = q.reshape(N, Hkv, G, D)
+            s = (jnp.einsum("bkgd,bkld->bkgl", qg, kc[li]) * scale).astype(
+                jnp.float32
+            )
+            s = jnp.where(invalid, -1e30, s)
+            attn = jax.nn.softmax(s, -1).astype(vc.dtype)
+            o = jnp.einsum("bkgl,bkld->bkgd", attn, vc[li])
+            o = o.reshape(N, 1, H * D)
+            x = x + _mm(o, p["o_w"])
+            x = x + self._mlp(self._rms(x, p["ln2_w"], eps), p)
+        x = self._rms(x, params["lnf_w"], eps)
+        return self._head(x[:, 0], params), kc, vc
+
+    def _decode_stream(
+        self, params, caches, tok0, pos0, n_steps,
+        key=None, temperature=None, top_k=None, top_p=None, do_sample=False,
+    ):
+        """``_decode`` with the ring forward: one fori_loop over
+        ``_forward_one_ring`` so generation runs past max_len (the
+        sliding window keeps attention exact; cache stays O(max_len))."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        kc0, vc0 = caches
+        C = kc0.shape[3]
+        B = kc0.shape[1]
+        tokens0 = jnp.zeros((B, n_steps), jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(tok0)
+        positions = jnp.arange(C)
+        key0 = jax.random.key(0) if key is None else key
+
+        def step(i, carry):
+            kc, vc, tokens, pos, k = carry
+            tok = tokens[:, i]
+            logits, kc, vc = self._forward_one_ring(
+                params, kc, vc, tok, pos, positions
+            )
+            k, sub = jax.random.split(k)
+            nxt = self._select(
+                logits, sub, temperature, top_k, top_p, do_sample
+            )
+            tokens = lax.cond(
+                i + 1 < n_steps,
+                lambda t: t.at[:, i + 1].set(nxt),
+                lambda t: t,
+                tokens,
+            )
+            return kc, vc, tokens, pos + 1, k
+
+        kc, vc, tokens, _, _ = lax.fori_loop(
+            0, n_steps, step, (kc0, vc0, tokens0, pos0, key0)
+        )
+        return tokens, (kc, vc)
+
 
     @staticmethod
     def _rope_rows(x, cos, sin):
@@ -1303,7 +1423,8 @@ class MixtralKVCacheDecoder(LlamaKVCacheDecoder):
         inv = 1.0 / (
             a0.rope_theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / D)
         )
-        ang = np.outer(np.arange(lm.max_len, dtype=np.float64), inv)
+        n_pos = max(lm.max_len, getattr(self, "_rope_len", 0))
+        ang = np.outer(np.arange(n_pos, dtype=np.float64), inv)
         tree["rope_cos"] = np.concatenate([np.cos(ang)] * 2, -1).astype(
             np.float32
         )

@@ -121,3 +121,45 @@ def test_windowed_engine_matches_one_shot():
                [eng.submit(p, 7) for p in prompts]]
     for g, w in zip(got, wants):
         np.testing.assert_array_equal(g, w)
+
+
+def test_streaming_decode_past_max_len():
+    """Ring-buffer streaming: a sliding-window Llama generates BEYOND
+    max_len (O(max_len) cache, absolute-position masking, extended rope
+    tables).  The stream's prefix must bit-match the standard decoder
+    while positions are still inside the ring (they are the same math
+    until the first wrap), and the tail must stay sane."""
+    lm = _wllama(window=4, seed=13)  # max_len 16
+    prompt = RNG.integers(0, 48, (2, 5)).astype(np.int64)
+    dec = KVCacheDecoder(lm)
+    std = dec.generate(prompt, 11)  # exactly fills max_len
+    out = dec.generate(prompt, 30)  # 5 + 30 = 35 > max_len 16
+    assert out.shape == (2, 35)
+    np.testing.assert_array_equal(out[:, :16], std)  # identical pre-wrap
+    assert (out >= 0).all() and (out < 48).all()
+    # the decoder works normally again after a streaming call
+    np.testing.assert_array_equal(dec.generate(prompt, 11), std)
+
+
+def test_streaming_decode_rejected_without_window():
+    lm = _wllama(window=None, seed=13)
+    dec = KVCacheDecoder(lm)
+    prompt = RNG.integers(0, 48, (1, 4)).astype(np.int64)
+    with pytest.raises(ValueError, match="sliding-window"):
+        dec.generate(prompt, 30)
+
+
+def test_streaming_matches_big_context_twin():
+    """Ground truth: the same weights built with max_len LARGE enough to
+    hold the whole stream (no ring wrap) — a windowed model's outputs
+    must not depend on the cache size, only on the window."""
+    lm_small = _wllama(window=4, seed=17)  # max_len 16 -> ring wraps
+    df.manual_seed(17)
+    lm_big = models.LlamaLM(
+        vocab_size=48, max_len=48, dim=32, depth=2, num_heads=4,
+        num_kv_heads=2, device="tpu", window=4,
+    )  # same init stream -> same weights
+    prompt = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+    want = KVCacheDecoder(lm_big).generate(prompt, 34)  # fits, no wrap
+    got = KVCacheDecoder(lm_small).generate(prompt, 34)  # wraps twice
+    np.testing.assert_array_equal(got, want)
