@@ -163,3 +163,43 @@ def test_streaming_matches_big_context_twin():
     want = KVCacheDecoder(lm_big).generate(prompt, 34)  # fits, no wrap
     got = KVCacheDecoder(lm_small).generate(prompt, 34)  # wraps twice
     np.testing.assert_array_equal(got, want)
+
+
+def test_windowed_mha_matches_torch_banded_sdpa():
+    """Differential: our MHA(window=W) against a hand-built torch
+    attention with the equivalent band mask and OUR projection weights —
+    forward and input gradients agree."""
+    import torch
+
+    df.manual_seed(5)
+    D, H, W, L, B = 16, 2, 3, 7, 2
+    m = nn.MultiheadAttention(D, H, causal=True, window=W, device="tpu",
+                              flash=False)
+    x = RNG.standard_normal((B, L, D)).astype(np.float32)
+
+    xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+    out = m(xt)
+    out.sum().backward()
+    got = np.asarray(out.data.array)
+    ggrad = np.asarray(xt.grad.array)
+
+    def w_of(lin):
+        return torch.tensor(np.asarray(lin.weight.data.array))
+
+    def b_of(lin):
+        return torch.tensor(np.asarray(lin.bias.data.array))
+
+    tx = torch.tensor(x, requires_grad=True)
+    q = (tx @ w_of(m.q_proj) + b_of(m.q_proj)).reshape(B, L, H, D // H).transpose(1, 2)
+    k = (tx @ w_of(m.k_proj) + b_of(m.k_proj)).reshape(B, L, H, D // H).transpose(1, 2)
+    v = (tx @ w_of(m.v_proj) + b_of(m.v_proj)).reshape(B, L, H, D // H).transpose(1, 2)
+    i = torch.arange(L)[:, None]
+    j = torch.arange(L)[None, :]
+    band = (j <= i) & (i - j < W)
+    s = (q @ k.transpose(-1, -2)) / np.sqrt(D // H)
+    s = s.masked_fill(~band, float("-inf"))
+    o = (torch.softmax(s, -1) @ v).transpose(1, 2).reshape(B, L, D)
+    o = o @ w_of(m.out_proj) + b_of(m.out_proj)
+    o.sum().backward()
+    np.testing.assert_allclose(got, o.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ggrad, tx.grad.numpy(), rtol=1e-3, atol=1e-5)
