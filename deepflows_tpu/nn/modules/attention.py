@@ -110,11 +110,10 @@ class MultiheadAttention(Module):
                 raise ValueError("window requires causal=True")
             if int(window) < 1:
                 raise ValueError("window must be >= 1")
-            if flash is True or ring is not None:
+            if ring is not None:
                 raise ValueError(
-                    "window is not supported with flash/ring attention"
+                    "window is not supported with ring attention"
                 )
-            flash = False
         self.window = None if window is None else int(window)
         self.flash = flash
         self.ring = tuple(ring) if ring is not None else None
@@ -205,7 +204,9 @@ class MultiheadAttention(Module):
 
                 def _flash(qa, ka, va):
                     # positional args only: custom_vjp rejects kwargs
-                    return flash_attention(qa, ka, va, causal)
+                    return flash_attention(
+                        qa, ka, va, causal, None, None, None, self.window
+                    )
 
                 self._flash_fn = jax_function(_flash)
             out = self._flash_fn(q, k, v)  # (B, H, L, D)
@@ -254,7 +255,9 @@ class MultiheadAttention(Module):
                 causal = self.causal
 
                 def _flash(qa, ka, va):
-                    return flash_attention(qa, ka, va, causal)
+                    return flash_attention(
+                        qa, ka, va, causal, None, None, None, self.window
+                    )
 
                 self._flash_fn = jax_function(_flash)
             out = self._flash_fn(q, k, v)

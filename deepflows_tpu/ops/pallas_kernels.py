@@ -694,7 +694,7 @@ _LSE_LANES = 8
 
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale, nk, bq, bk, causal, lk,
+    *, scale, nk, bq, bk, causal, lk, window,
 ):
     i, j = pl.program_id(1), pl.program_id(2)
 
@@ -704,8 +704,14 @@ def _flash_fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # causal: whole blocks strictly above the diagonal contribute nothing
+    # causal: whole blocks strictly above the diagonal contribute
+    # nothing; with a sliding window, blocks entirely BELOW the band
+    # (every kpos <= every qpos - window) skip too
     needed = True if not causal else (j * bk <= i * bq + bq - 1)
+    if causal and window:
+        needed = jnp.logical_and(
+            needed, j * bk + bk - 1 >= i * bq - (window - 1)
+        )
 
     @pl.when(needed)
     def _():
@@ -719,6 +725,8 @@ def _flash_fwd_kernel(
         if causal:
             qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_or(mask, kpos > qpos)
+            if window:
+                mask = jnp.logical_or(mask, kpos <= qpos - window)
         s = jnp.where(mask, _NEG_INF, s)
         m_prev = m_ref[:, 0:1]  # (bq, 1)
         l_prev = l_ref[:, 0:1]
@@ -748,7 +756,7 @@ def _flash_fwd_kernel(
 
 def _flash_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
-    *, scale, nk, bq, bk, causal, lk,
+    *, scale, nk, bq, bk, causal, lk, window,
 ):
     i, j = pl.program_id(1), pl.program_id(2)
 
@@ -757,6 +765,10 @@ def _flash_dq_kernel(
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     needed = True if not causal else (j * bk <= i * bq + bq - 1)
+    if causal and window:
+        needed = jnp.logical_and(
+            needed, j * bk + bk - 1 >= i * bq - (window - 1)
+        )
 
     @pl.when(needed)
     def _():
@@ -770,6 +782,8 @@ def _flash_dq_kernel(
         if causal:
             qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_or(mask, kpos > qpos)
+            if window:
+                mask = jnp.logical_or(mask, kpos <= qpos - window)
         s = jnp.where(mask, _NEG_INF, s)
         p = jnp.exp(s - lse_ref[0][:, 0:1])  # (bq, bk); masked -> 0
         dp = jax.lax.dot_general(
@@ -788,7 +802,7 @@ def _flash_dq_kernel(
 
 def _flash_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale, nq, bq, bk, causal, lk,
+    dk_acc, dv_acc, *, scale, nq, bq, bk, causal, lk, window,
 ):
     # grid: (BH, nk, nq) — q blocks iterate fastest; one (dk, dv) pair
     # accumulates per KV block
@@ -800,6 +814,10 @@ def _flash_dkv_kernel(
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     needed = True if not causal else (qi * bq + bq - 1 >= j * bk)
+    if causal and window:
+        needed = jnp.logical_and(
+            needed, qi * bq <= j * bk + bk - 1 + (window - 1)
+        )
 
     @pl.when(needed)
     def _():
@@ -817,6 +835,8 @@ def _flash_dkv_kernel(
         if causal:
             qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_or(mask, kpos > qpos)
+            if window:
+                mask = jnp.logical_or(mask, kpos <= qpos - window)
         s = jnp.where(mask, _NEG_INF, s)
         p = jnp.exp(s - lse_ref[0][:, 0:1])  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
@@ -854,7 +874,7 @@ def _flash_blocks(lq, lk, block_q, block_k):
     return bq, bk
 
 
-def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
+def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k, window):
     """q,k,v: (BH, L, D) -> (out (BH, L, D), lse (BH, Lqp) f32)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
@@ -876,7 +896,7 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_fwd_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
-            causal=causal, lk=lk,
+            causal=causal, lk=lk, window=window,
         ),
         grid=(bh, nq, nk),
         in_specs=[blk_q, blk_kv, blk_kv],
@@ -900,7 +920,8 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
     return out[:, :lq, :d], lse[:, :, 0]
 
 
-def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
+def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q,
+                    block_k, window):
     bh, lq, d = q.shape
     lk = k.shape[1]
     bq, bk = _flash_blocks(lq, lk, block_q, block_k)
@@ -933,7 +954,7 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     dq = pl.pallas_call(
         functools.partial(
             _flash_dq_kernel, scale=scale, nk=nk, bq=bq, bk=bk,
-            causal=causal, lk=lk,
+            causal=causal, lk=lk, window=window,
         ),
         grid=(bh, nq, nk),
         in_specs=[blk_q, blk_kv, blk_kv, blk_q, row_q, row_q],
@@ -952,7 +973,7 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_dkv_kernel, scale=scale, nq=nq, bq=bq, bk=bk,
-            causal=causal, lk=lk,
+            causal=causal, lk=lk, window=window,
         ),
         grid=(bh, nk, nq),
         in_specs=[blk_q2, blk_kv2, blk_kv2, blk_q2, row_q2, row_q2],
@@ -974,9 +995,10 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q, block_k):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention(
-    q, k, v, causal=False, sm_scale=None, block_q=None, block_k=None
+    q, k, v, causal=False, sm_scale=None, block_q=None, block_k=None,
+    window=None,
 ):
     """Tiled online-softmax attention: softmax(QK^T * scale [+ causal]) @ V.
 
@@ -984,21 +1006,26 @@ def flash_attention(
     backward recomputes them per block from the saved log-sum-exp.  Pads
     L to block multiples and D to the 128-lane tile (masked, sliced back).
     """
-    out, _ = _flash_attention_fwd(q, k, v, causal, sm_scale, block_q, block_k)
+    out, _ = _flash_attention_fwd(
+        q, k, v, causal, sm_scale, block_q, block_k, window
+    )
     return out
 
 
-def _flash_attention_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+def _flash_attention_fwd(q, k, v, causal, sm_scale, block_q, block_k,
+                         window):
     b, h, lq, d = q.shape
     scale = (1.0 / (d ** 0.5)) if sm_scale is None else sm_scale
     q3 = q.reshape(b * h, lq, d)
     k3 = k.reshape(b * h, k.shape[2], d)
     v3 = v.reshape(b * h, v.shape[2], d)
-    out, lse = _flash_fwd_impl(q3, k3, v3, causal, scale, block_q, block_k)
+    out, lse = _flash_fwd_impl(q3, k3, v3, causal, scale, block_q,
+                               block_k, window)
     return out.reshape(b, h, lq, d), (q, k, v, out.reshape(b, h, lq, d), lse)
 
 
-def _flash_attention_bwd(causal, sm_scale, block_q, block_k, res, g):
+def _flash_attention_bwd(causal, sm_scale, block_q, block_k, window,
+                         res, g):
     q, k, v, out, lse = res
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -1014,6 +1041,7 @@ def _flash_attention_bwd(causal, sm_scale, block_q, block_k, res, g):
         scale,
         block_q,
         block_k,
+        window,
     )
     return (
         dq.reshape(b, h, lq, d),

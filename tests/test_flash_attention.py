@@ -159,3 +159,69 @@ def test_lm_trains_with_flash():
     losses = [float(step(x, y)) for _ in range(8)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+# ------------------------------------------------------- sliding window
+def _naive_window(q, k, v, window, scale=None):
+    d = q.shape[-1]
+    scale = (1.0 / np.sqrt(d)) if scale is None else scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    lq, lk = q.shape[2], k.shape[2]
+    i = np.arange(lq)[:, None]
+    j = np.arange(lk)[None, :]
+    band = (j <= i) & (i - j < window)
+    s = jnp.where(jnp.asarray(band), s, -np.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("window,shape,blocks", [
+    (8, (2, 2, 64, 32), (16, 16)),   # band spans/skips whole blocks
+    (3, (1, 2, 40, 16), (16, 16)),   # band inside one block
+    (64, (1, 2, 48, 16), (16, 16)),  # window >= L == plain causal
+])
+def test_flash_window_forward_matches_naive(window, shape, blocks):
+    q, k, v = _rand(shape), _rand(shape), _rand(shape)
+    got = flash_attention(q, k, v, True, None, blocks[0], blocks[1], window)
+    want = _naive_window(q, k, v, window)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_flash_window_grads_match_naive():
+    shape = (1, 2, 48, 16)
+    q, k, v = _rand(shape), _rand(shape), _rand(shape)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, True, None, 16, 16, 5) ** 2).sum()
+
+    def f_naive(q, k, v):
+        return (_naive_window(q, k, v, 5) ** 2).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_mha_flash_window_matches_naive_path():
+    """MultiheadAttention(flash=True, window=W) ≡ the naive banded path
+    (tape-level, incl. backward through the module)."""
+    x = _rand((2, 24, 32))
+
+    def run(flash):
+        df.manual_seed(3)
+        m = nn.MultiheadAttention(32, 4, causal=True, window=6,
+                                  flash=flash, device="tpu")
+        xt = Tensor(x.copy(), device="tpu", requires_grad=True)
+        out = m(xt)
+        (out * out).sum().backward()
+        return np.asarray(out.data.array), np.asarray(xt.grad.array)
+
+    o1, g1 = run(False)
+    o2, g2 = run(True)
+    np.testing.assert_allclose(o2, o1, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-3, atol=5e-5)
