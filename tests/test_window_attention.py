@@ -68,9 +68,9 @@ def test_window_validation():
         nn.MultiheadAttention(16, 2, window=4, device="tpu")
     with pytest.raises(ValueError, match=">= 1"):
         nn.MultiheadAttention(16, 2, causal=True, window=0, device="tpu")
-    with pytest.raises(ValueError, match="flash"):
-        nn.MultiheadAttention(16, 2, causal=True, window=4, flash=True,
-                              device="tpu")
+    # flash + window is SUPPORTED (banded Pallas kernel); ring is not
+    nn.MultiheadAttention(16, 2, causal=True, window=4, flash=True,
+                          device="tpu")
 
 
 def _wllama(window, seed=9):
