@@ -339,7 +339,7 @@ class _SoftmaxXentOp(Tensor):
 
 def cross_entropy(
     input: Tensor, target: Tensor, reduction: str = "mean", dim=None,
-    ignore_index=None,
+    ignore_index=None, label_smoothing: float = 0.0,
 ) -> Tensor:
     """Stable log-softmax cross-entropy vs one-hot (or integer) target;
     'mean' divides by the batch size (reference `functional.py:104-115`).
@@ -361,7 +361,11 @@ def cross_entropy(
     whose target equals it contribute ZERO loss, and ``'mean'`` divides by
     the count of non-ignored positions — the SFT prompt-masking / padded-
     batch mechanism.  Trace-safe: the valid count may be a traced scalar
-    inside compiled steps."""
+    inside compiled steps.
+
+    ``label_smoothing`` (torch semantics): the one-hot target blends with
+    the uniform distribution, ``(1 - eps) * onehot + eps / C`` — applied
+    after ignore_index masking so ignored rows stay exactly zero."""
     seq_shape = None
     auto_ok = input.ndim == 3 if dim is None else dim in (-1, input.ndim - 1)
     if input.ndim > 2 and auto_ok:
@@ -390,7 +394,8 @@ def cross_entropy(
         dim = 1
     if seq_shape is not None and reduction == "none":
         flat = cross_entropy(input, target, "none", dim,
-                             ignore_index=ignore_index)
+                             ignore_index=ignore_index,
+                             label_smoothing=label_smoothing)
         return flat.reshape(seq_shape)
     dim = dim % input.ndim if input.ndim else 0
     valid = None
@@ -408,6 +413,23 @@ def cross_entropy(
         target = _maybe_one_hot(raw * valid, input, dim, mask=valid)
     else:
         target = _maybe_one_hot(target, input, dim)
+    if label_smoothing:
+        C = input.shape[dim]
+        smooth = target * (1.0 - label_smoothing) + label_smoothing / C
+        if valid is not None:
+            # keep ignored rows all-zero (their one-hot row is zero, but
+            # the additive eps/C term would resurrect them)
+            from ..backend import BackendTensor as _BT
+
+            vm = valid
+            # broadcast valid over the class axis at ``dim``
+            expand = list(vm.shape)
+            expand.insert(dim, 1)
+            mask_t = Tensor(_BT._wrap(
+                vm.reshape(expand).astype("float32"), input.device
+            ))
+            smooth = smooth * mask_t
+        target = smooth
 
     def _mean_by_valid(loss_sum):
         n_valid = valid.sum()

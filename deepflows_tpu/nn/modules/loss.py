@@ -49,14 +49,17 @@ class CrossEntropyLoss(_Loss):
     positions contribute zero loss and 'mean' divides by the non-ignored
     count — the SFT prompt-masking / padded-batch mechanism."""
 
-    def __init__(self, reduction: str = "mean", ignore_index=None) -> None:
+    def __init__(self, reduction: str = "mean", ignore_index=None,
+                 label_smoothing: float = 0.0) -> None:
         super().__init__(reduction)
         self.ignore_index = ignore_index
+        self.label_smoothing = float(label_smoothing)
 
     def forward(self, input: Tensor, target: Tensor) -> Tensor:
         return F.cross_entropy(
             input, target, reduction=self.reduction,
             ignore_index=self.ignore_index,
+            label_smoothing=self.label_smoothing,
         )
 
 

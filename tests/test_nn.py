@@ -552,3 +552,49 @@ def test_cross_entropy_ignore_index_in_compiled_step():
     y_all = np.full_like(y, -1)
     l0 = float(step(x, y_all))
     assert l0 == 0.0
+
+
+def test_cross_entropy_label_smoothing_matches_torch():
+    """label_smoothing semantics vs torch (2-D fast path + gradients),
+    and combined with ignore_index (ignored rows stay exactly zero)."""
+    import torch
+
+    rng = np.random.default_rng(9)
+    logits = rng.standard_normal((6, 5)).astype(np.float32)
+    tgt = np.array([1, 4, 3, 0, 0, 2])
+
+    x = Tensor(logits.copy(), device="tpu", requires_grad=True)
+    loss = F.cross_entropy(x, tgt, label_smoothing=0.1)
+    loss.backward()
+    tx = torch.tensor(logits, requires_grad=True)
+    tl = torch.nn.functional.cross_entropy(
+        tx, torch.tensor(tgt), label_smoothing=0.1
+    )
+    tl.backward()
+    np.testing.assert_allclose(float(loss.numpy()), float(tl), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(x.grad.array), tx.grad.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+    tgt2 = np.array([1, -100, 3, -100, 0, 2])
+    ours = float(F.cross_entropy(
+        Tensor(logits.copy(), device="tpu"), tgt2,
+        ignore_index=-100, label_smoothing=0.1,
+    ).numpy())
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(tgt2),
+        ignore_index=-100, label_smoothing=0.1,
+    )
+    np.testing.assert_allclose(ours, float(want), rtol=1e-5)
+
+    # sequence path (B, L, V)
+    seq = rng.standard_normal((2, 4, 5)).astype(np.float32)
+    stgt = rng.integers(0, 5, (2, 4))
+    ours = float(F.cross_entropy(
+        Tensor(seq.copy(), device="tpu"), stgt, label_smoothing=0.2
+    ).numpy())
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(seq).reshape(8, 5), torch.tensor(stgt).reshape(8),
+        label_smoothing=0.2,
+    )
+    np.testing.assert_allclose(ours, float(want), rtol=1e-5)
