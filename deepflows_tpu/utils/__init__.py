@@ -1,7 +1,13 @@
 """utils package (reference: `DeepFlows/utils/`)."""
 
 from . import data  # noqa: F401
-from .evaluate import Accumulator, accuracy, evaluate_accuracy, softmax  # noqa: F401
+from .evaluate import (  # noqa: F401
+    Accumulator,
+    accuracy,
+    evaluate_accuracy,
+    softmax,
+    topk_accuracy,
+)
 from .model_configs import (  # noqa: F401
     IMAGENET_STATS,
     MOBILENET_V1_CONFIG,

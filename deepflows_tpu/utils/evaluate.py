@@ -32,6 +32,24 @@ def accuracy(y_hat, y):
     return float((y_hat.astype(np.int64) == y.astype(np.int64)).sum())
 
 
+def topk_accuracy(y_hat, y, k: int = 5):
+    """Count of targets appearing in the top-k predictions (the ImageNet
+    top-5 convention; no reference analog).  ``y_hat`` is (N, C) logits or
+    probabilities, ``y`` integer class indices or one-hot."""
+    if isinstance(y_hat, Tensor):
+        y_hat = y_hat.numpy()
+    if isinstance(y, Tensor):
+        y = y.numpy()
+    y_hat = np.asarray(y_hat)
+    y = np.asarray(y)
+    if y.ndim > 1 and y.shape[-1] > 1:
+        y = y.argmax(axis=-1)
+    if k >= y_hat.shape[-1]:
+        return float(len(y))
+    topk = np.argpartition(-y_hat, k, axis=-1)[..., :k]
+    return float((topk == y.astype(np.int64)[..., None]).any(-1).sum())
+
+
 @no_grad()
 def evaluate_accuracy(model, data_iter, device=None):
     """Mean accuracy of ``model`` over an iterable of (x, y) numpy batches

@@ -598,3 +598,19 @@ def test_cross_entropy_label_smoothing_matches_torch():
         label_smoothing=0.2,
     )
     np.testing.assert_allclose(ours, float(want), rtol=1e-5)
+
+
+def test_topk_accuracy():
+    from deepflows_tpu.utils import topk_accuracy
+
+    logits = np.array([
+        [5.0, 4.0, 3.0, 0.0],   # top-2 = {0, 1}
+        [0.0, 1.0, 2.0, 3.0],   # top-2 = {2, 3}
+        [9.0, 0.0, 8.0, 7.0],   # top-2 = {0, 2}
+    ])
+    y = np.array([1, 0, 2])
+    assert topk_accuracy(logits, y, k=1) == 0.0
+    assert topk_accuracy(logits, y, k=2) == 2.0
+    assert topk_accuracy(logits, y, k=4) == 3.0
+    one_hot = np.eye(4)[y]
+    assert topk_accuracy(logits, one_hot, k=2) == 2.0
