@@ -204,6 +204,10 @@ class InflightEngine:
         # HBM).  Admission of a hit runs only the SUFFIX forward.
         self.max_prefixes = int(max_prefixes)
         self._prefixes: dict = {}  # tuple(tokens) -> entry dict
+        # register_prefix runs on user/serving threads while the engine
+        # loop iterates/mutates the same dict (_match_prefix,
+        # _prefix_entry): all access goes through this lock
+        self._prefix_lock = threading.Lock()
         self._prefix_clock = 0  # LRU counter
         self._params_ver = 0  # entries from older weights recompute lazily
         # suffix lengths are padded to power-of-2 buckets, so this single
@@ -398,37 +402,42 @@ class InflightEngine:
         self._prefix_entry(tuple(int(t) for t in tokens))
 
     def _prefix_entry(self, key: tuple) -> dict:
-        """Get-or-(re)compute the cache entry for prefix ``key``."""
+        """Get-or-(re)compute the cache entry for prefix ``key``.
+        Serialised on ``_prefix_lock`` — callers are both user threads
+        (``register_prefix``) and the engine loop (``_admit``)."""
         import jax.numpy as jnp
 
-        entry = self._prefixes.get(key)
-        if entry is None or entry["ver"] != self._params_ver:
-            plen = len(key)
-            prompt = np.zeros((1, self.L), np.int32)
-            prompt[0, :plen] = key
-            kcn, vcn, logits0 = self._prefill_j(
-                self.params, jnp.asarray(prompt), jnp.int32(plen)
-            )
-            self._prefix_clock += 1
-            entry = {
-                "plen": plen, "kc": kcn, "vc": vcn, "logits": logits0,
-                "ver": self._params_ver, "used": self._prefix_clock,
-            }
-            self._prefixes[key] = entry
-            while len(self._prefixes) > self.max_prefixes:
-                oldest = min(
-                    self._prefixes, key=lambda k: self._prefixes[k]["used"]
+        with self._prefix_lock:
+            entry = self._prefixes.get(key)
+            if entry is None or entry["ver"] != self._params_ver:
+                plen = len(key)
+                prompt = np.zeros((1, self.L), np.int32)
+                prompt[0, :plen] = key
+                kcn, vcn, logits0 = self._prefill_j(
+                    self.params, jnp.asarray(prompt), jnp.int32(plen)
                 )
-                del self._prefixes[oldest]
-        self._prefix_clock += 1
-        entry["used"] = self._prefix_clock
-        return entry
+                self._prefix_clock += 1
+                entry = {
+                    "plen": plen, "kc": kcn, "vc": vcn, "logits": logits0,
+                    "ver": self._params_ver, "used": self._prefix_clock,
+                }
+                self._prefixes[key] = entry
+                while len(self._prefixes) > self.max_prefixes:
+                    oldest = min(
+                        self._prefixes, key=lambda k: self._prefixes[k]["used"]
+                    )
+                    del self._prefixes[oldest]
+            self._prefix_clock += 1
+            entry["used"] = self._prefix_clock
+            return entry
 
     def _match_prefix(self, prompt: np.ndarray):
         """Longest registered prefix that is a proper-or-full prefix of
         ``prompt`` (leaving generation headroom handled by the caller)."""
         best = None
-        for key in self._prefixes:
+        with self._prefix_lock:
+            keys = list(self._prefixes)
+        for key in keys:
             n = len(key)
             if n <= prompt.size and best is not None and n <= len(best):
                 continue
@@ -575,7 +584,7 @@ class InflightEngine:
             if sfx.size == 0:  # whole prompt is the cached prefix
                 kcn, vcn, logits0 = entry["kc"], entry["vc"], entry["logits"]
             else:
-                bucket = 1 << (int(sfx.size) - 1).bit_length()
+                bucket = self._suffix_bucket(int(sfx.size), entry["plen"])
                 toks = np.zeros((1, bucket), np.int32)
                 toks[0, : sfx.size] = sfx
                 kcn, vcn, logits0 = self._suffix_j(
@@ -620,6 +629,18 @@ class InflightEngine:
         self._topp[slot] = req.top_p
         self._smask[slot] = any_s
         return True
+
+    def _suffix_bucket(self, sfx_size: int, plen: int) -> int:
+        """Padded width for a prefix-hit's suffix forward: power-of-2 (so
+        ``_suffix_j`` compiles at most log2(L) variants) CAPPED at the
+        cache headroom past the prefix.  The cap matters: the B=1 scatter
+        in ``_forward_chunk`` writes the WHOLE bucket at start=plen with
+        one ``dynamic_update_slice``, and XLA clamps an out-of-range start
+        to L-bucket — which would shift every real suffix row and corrupt
+        cached prefix rows.  Always >= sfx_size because
+        prompt + new_tokens <= L is validated at submit."""
+        bucket = 1 << (sfx_size - 1).bit_length()
+        return min(bucket, self.L - plen)
 
     def _release_blocks(self, slot: int):
         self._free.extend(self._blocks_of[slot])

@@ -206,8 +206,11 @@ def load_lora_state_dict(model: Module, sd: Dict[str, np.ndarray]) -> None:
                     raise ValueError(
                         f"{key}: shape {arr.shape} != {tuple(p.shape)}"
                     )
+                # preserve the parameter's dtype (bf16 adapters must stay
+                # bf16 — an unconditional f32 cast would silently promote
+                # the adapter matmuls and downstream activations)
                 p.data = BackendTensor(
-                    arr.astype(np.float32), device=p.device
+                    arr, device=p.device, dtype=p.data.dtype
                 )
                 found.add(key)
     extra = set(sd) - found

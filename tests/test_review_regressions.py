@@ -518,3 +518,127 @@ def test_cross_entropy_4d_torch_layout_not_auto_flattened():
         torch.tensor(logits).reshape(-1, C), torch.tensor(target).reshape(-1)
     )
     np.testing.assert_allclose(float(got_last.numpy()), float(want_last), rtol=1e-5)
+
+
+def test_engine_prefix_suffix_bucket_capped_at_max_len():
+    """ADVICE r3 (high): a prefix hit whose padded suffix bucket would
+    extend past max_len used to let XLA clamp the B=1 cache scatter start
+    to L-bucket, shifting every suffix K/V row and corrupting cached
+    prefix rows (measured: rows plen-1..L-1 wrong, logits off by 2e-2 —
+    enough to corrupt generations but not always flip a tiny model's
+    greedy argmax, so this asserts on the CACHE and logits directly).
+    L=32, prefix 25, suffix 5 -> bucket 8, 25+8 > 32."""
+    import jax.numpy as jnp
+    from deepflows_tpu.models.engine import InflightEngine
+
+    df.manual_seed(11)
+    lm = models.TransformerLM(
+        vocab_size=48, max_len=32, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    RNG2 = np.random.default_rng(99)
+    prefix = RNG2.integers(0, 48, (25,)).astype(np.int64)
+    prompt = np.concatenate(
+        [prefix, RNG2.integers(0, 48, (5,))]
+    ).astype(np.int64)
+    eng = InflightEngine(lm, slots=2, chunk=2, start=False)
+    full = np.zeros((1, eng.L), np.int32)
+    full[0, :30] = prompt
+    kf, vf, lf = eng._prefill_j(eng.params, jnp.asarray(full), jnp.int32(30))
+    entry = eng._prefix_entry(tuple(int(t) for t in prefix))
+    sfx = np.asarray(prompt[25:], np.int32)
+    bucket = 1 << (int(sfx.size) - 1).bit_length()
+    assert entry["plen"] + bucket > eng.L  # the overflow regime
+    bucket = eng._suffix_bucket(int(sfx.size), entry["plen"])  # _admit's path
+    assert entry["plen"] + bucket <= eng.L and bucket >= sfx.size
+    toks = np.zeros((1, bucket), np.int32)
+    toks[0, : sfx.size] = sfx
+    kcn, vcn, l0 = eng._suffix_j(
+        eng.params, entry["kc"], entry["vc"], jnp.asarray(toks),
+        jnp.int32(sfx.size), jnp.int32(entry["plen"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(l0), np.asarray(lf), atol=1e-5,
+        err_msg="suffix-path logits diverge from full prefill",
+    )
+    np.testing.assert_allclose(
+        np.asarray(kcn)[:, :, :, :30], np.asarray(kf)[:, :, :, :30],
+        atol=1e-5, err_msg="suffix-path K cache rows shifted/corrupted",
+    )
+    # end-to-end through the live engine too
+    dec = models.decoding.KVCacheDecoder(lm)
+    want = dec.generate(prompt[None], 2)[0]
+    with InflightEngine(lm, slots=2, chunk=2) as eng2:
+        eng2.register_prefix(prefix)
+        got = eng2.generate(prompt, 2)
+        assert eng2.prefix_hits == 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_register_prefix_concurrent_with_loop():
+    """ADVICE r3 (medium): register_prefix from a user thread while the
+    engine loop iterates/mutates the prefix dict (with LRU eviction
+    churning it) must not blow up the loop with 'dict changed size during
+    iteration'; results stay exactly the one-shot decoder's."""
+    import queue as _q
+    import threading
+    from deepflows_tpu.models.engine import InflightEngine
+
+    df.manual_seed(12)
+    lm = models.TransformerLM(
+        vocab_size=48, max_len=24, dim=32, depth=2, num_heads=2,
+        device="tpu", flash=False,
+    )
+    dec = models.decoding.KVCacheDecoder(lm)
+    prompts = [RNG.integers(0, 48, (6,)).astype(np.int64) for _ in range(6)]
+    wants = [dec.generate(p[None], 4)[0] for p in prompts]
+    errs: "_q.Queue" = _q.Queue()
+    with InflightEngine(lm, slots=2, chunk=2, max_prefixes=2) as eng:
+        stop = threading.Event()
+
+        def hammer():
+            i = 0
+            try:
+                while not stop.is_set():
+                    eng.register_prefix(
+                        np.array([i % 48, (i + 1) % 48], np.int64)
+                    )
+                    i += 1
+            except Exception as e:  # surfaced to the main thread
+                errs.put(e)
+
+        t = threading.Thread(target=hammer, daemon=True)
+        t.start()
+        try:
+            got = [eng.generate(p, 4) for p in prompts]
+        finally:
+            stop.set()
+            t.join(timeout=30)
+    assert errs.empty(), f"register_prefix raised: {errs.get()}"
+    for g, w in zip(got, wants):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_lora_load_preserves_bf16_dtype():
+    """ADVICE r3 (low): restoring adapters into a bf16 model must keep the
+    adapter parameters bf16 (an unconditional f32 cast silently promoted
+    the adapter matmuls)."""
+    import ml_dtypes
+    from deepflows_tpu.nn.lora import (
+        LoRALinear, load_lora_state_dict, lora_state_dict,
+    )
+
+    df.manual_seed(13)
+    m = LoRALinear(nn.Linear(8, 8, device="tpu"), r=2).bfloat16()
+    assert np.asarray(m.lora_A.data.array).dtype == ml_dtypes.bfloat16
+    sd = lora_state_dict(m)
+    df.manual_seed(14)
+    m2 = LoRALinear(nn.Linear(8, 8, device="tpu"), r=2).bfloat16()
+    load_lora_state_dict(m2, sd)
+    for slot in ("lora_A", "lora_B"):
+        p = getattr(m2, slot)
+        assert np.asarray(p.data.array).dtype == ml_dtypes.bfloat16, slot
+    np.testing.assert_array_equal(
+        np.asarray(m2.lora_A.data.array, np.float32),
+        np.asarray(m.lora_A.data.array, np.float32),
+    )
