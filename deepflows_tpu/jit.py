@@ -98,7 +98,10 @@ class CompiledTrainStep:
         into N microbatches and forward+backward runs as a ``lax.scan``
         (activation memory is one microbatch's worth), gradients are
         averaged, and ONE optimizer update fires — large effective batches
-        in fixed HBM.  The reported loss is the microbatch mean.  BatchNorm
+        in fixed HBM.  The reported loss is the microbatch mean; a
+        ``metrics_fn`` composes with accumulation (computed per microbatch
+        and averaged — equal-size microbatches make a rate metric equal
+        its big-batch value).  BatchNorm
         statistics are per-microbatch (running stats EMA chains N times per
         step, like N sequential small steps); dropout draws fresh masks per
         microbatch."""
@@ -111,8 +114,6 @@ class CompiledTrainStep:
         self.accum_steps = int(accum_steps)
         if self.accum_steps < 1:
             raise ValueError("accum_steps must be >= 1")
-        if self.accum_steps > 1 and metrics_fn is not None:
-            raise ValueError("metrics_fn is not supported with accum_steps > 1")
 
         self._device = tpu()
         if not self._device.enabled():
@@ -194,7 +195,10 @@ class CompiledTrainStep:
             def fwd_bwd(xb, yb):
                 """One microbatch forward+backward on a fresh tape; params
                 and buffers are read from their current bindings.  Returns
-                (loss array, grads list with None for no-grad params, out)."""
+                (loss array, grads list with None for no-grad params,
+                metrics pytree of arrays or None) — metrics are computed
+                INSIDE so the accumulation scan can emit them per
+                microbatch."""
                 Graph.node_list = []
                 for p in self._params:
                     p.grad = None
@@ -215,13 +219,20 @@ class CompiledTrainStep:
                         None if g is None else g.astype(jnp.float32)
                         for g in grads
                     ]
-                return loss.data.array, grads, out
+                m = None
+                if self.metrics_fn is not None:
+                    m = jax.tree.map(
+                        lambda v: v.data.array if isinstance(v, Tensor) else v,
+                        self.metrics_fn(out, yt),
+                    )
+                return loss.data.array, grads, m
 
             if self.accum_steps == 1:
-                loss_arr, grads, out = fwd_bwd(x_in, y)
+                loss_arr, grads, metrics = fwd_bwd(x_in, y)
             else:
-                loss_arr, grads = self._accumulated(x_in, y, fwd_bwd, jnp)
-                out = None
+                loss_arr, grads, metrics = self._accumulated(
+                    x_in, y, fwd_bwd, jnp
+                )
             if self.grad_transform is not None:
                 grads = self.grad_transform(grads)
             opt_params = [param_arrays[i] for i in self._opt_index]
@@ -240,12 +251,6 @@ class CompiledTrainStep:
                 else b.data.array
                 for b, orig in zip(self._buffers, saved_buffers)
             ]
-            metrics = None
-            if self.metrics_fn is not None and out is not None:
-                m = self.metrics_fn(out, Tensor(BackendTensor._wrap(y, dev)))
-                metrics = jax.tree.map(
-                    lambda v: v.data.array if isinstance(v, Tensor) else v, m
-                )
             loss_out = loss_arr
             if cd is not None:
                 loss_out = loss_out.astype(jnp.float32)
@@ -281,7 +286,7 @@ class CompiledTrainStep:
         xm = x.reshape((n, micro) + x.shape[1:])
         ym = y.reshape((n, micro) + y.shape[1:])
         step_key = df_random.get_trace_key()
-        loss0, grads0, _ = fwd_bwd(xm[0], ym[0])
+        loss0, grads0, metrics0 = fwd_bwd(xm[0], ym[0])
         buf0 = [b.data.array for b in self._buffers]
         dev = self._device
 
@@ -291,15 +296,15 @@ class CompiledTrainStep:
             for b, arr in zip(self._buffers, bufs):
                 b.data = BackendTensor._wrap(arr, dev)
             df_random.set_trace_key(jax.random.fold_in(step_key, k))
-            loss_k, grads_k, _ = fwd_bwd(xb, yb)
+            loss_k, grads_k, metrics_k = fwd_bwd(xb, yb)
             new_acc = [
                 None if a is None else a + g
                 for a, g in zip(grads_acc, grads_k)
             ]
             new_bufs = [b.data.array for b in self._buffers]
-            return (new_acc, new_bufs, k + 1), loss_k
+            return (new_acc, new_bufs, k + 1), (loss_k, metrics_k)
 
-        (grads_fin, bufs_fin, _), losses = lax.scan(
+        (grads_fin, bufs_fin, _), (losses, metrics_ys) = lax.scan(
             body, (grads0, buf0, jnp.int32(1)), (xm[1:], ym[1:])
         )
         # the body left the global trace key bound to a scan-local tracer;
@@ -314,7 +319,14 @@ class CompiledTrainStep:
         scale = (1.0 / n) if mean_like else 1.0
         grads = [None if g is None else g * scale for g in grads_fin]
         loss = (loss0 + losses.sum()) * scale
-        return loss, grads
+        # metrics: mean across microbatches (equal-size microbatches, so a
+        # rate metric like accuracy-in-step equals the big-batch value)
+        metrics = None
+        if metrics0 is not None:
+            metrics = jax.tree.map(
+                lambda m0, ms: (m0 + ms.sum(0)) / n, metrics0, metrics_ys
+            )
+        return loss, grads, metrics
 
     # ------------------------------------------------------------------
     def __call__(self, x, y):

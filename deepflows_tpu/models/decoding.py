@@ -633,6 +633,12 @@ class KVCacheDecoder:
 
         key0 = jax.random.key(0) if key is None else key
 
+        # the carried `tokens` buffer is exempt from the axon carried-
+        # output-buffer miscompile (seq2seq._decode's note): each step
+        # READS `tokens[:, i]` — a true loop-carried dependency, unlike
+        # the write-only carry that broke.  Verified on the real chip at
+        # B=32 against a host-stepped reference (r4,
+        # tools/chip_verify_loops.py).
         def step(i, carry):
             kc, vc, tokens, pos, k = carry
             tok = tokens[:, i]

@@ -201,7 +201,16 @@ class SpeculativeDecoder:
             else:
                 x_tok = jnp.argmax(l_at, -1).astype(jnp.int32)
 
-            # ---- commit: d_1..d_acc_len then x_tok, masked per row
+            # ---- commit: d_1..d_acc_len then x_tok, masked per row.
+            # This while_loop CARRIES the output `tokens` buffer — the
+            # shape seq2seq._decode documents as miscomputing on the axon
+            # platform for a WRITE-ONLY carried buffer.  This loop is
+            # exempt because every write READS the carried buffer
+            # (`tokens[rows, col]` inside the where), a true loop-carried
+            # data dependency the aliasing lowering cannot elide;
+            # verified on the real chip at B=32: greedy speculative
+            # output bit-matches the one-shot decoder's (r4, see
+            # tools/chip_verify_loops.py).
             for j in range(g + 1):
                 val = jnp.where(
                     j < acc_len,

@@ -270,3 +270,46 @@ def test_gradient_accumulation_rejects_ragged_batch():
     y = np.zeros(8, np.int32)
     with pytest.raises(ValueError, match="divisible"):
         step(x, y)
+
+
+def test_metrics_fn_composes_with_accum_steps():
+    """VERDICT r3 #8: metrics_fn + accum_steps>1 used to raise; now the
+    metric accumulates across microbatches (mean of equal-size
+    microbatches) and equals the big-batch step's fused metric."""
+    def metrics(out, yt):
+        pred = out.argmax(1)
+        return {"acc": (pred.data.array == yt.data.array).mean()}
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((32, 12)).astype(np.float32)
+    y = rng.integers(0, 4, 32).astype(np.int32)
+
+    def build():  # BN-free: microbatch BN statistics differ by design
+        df.manual_seed(9)
+        m = nn.Sequential(
+            nn.Linear(12, 16, device="tpu"), nn.ReLU(),
+            nn.Linear(16, 4, device="tpu"),
+        )
+        return m, optim.SGD(m.parameters(), lr=0.05, momentum=0.9)
+
+    m1, o1 = build()
+    m2, o2 = build()
+    big = CompiledTrainStep(m1, o1, nn.CrossEntropyLoss(), metrics_fn=metrics)
+    acc = CompiledTrainStep(
+        m2, o2, nn.CrossEntropyLoss(), metrics_fn=metrics, accum_steps=4
+    )
+    for _ in range(3):
+        lb = float(big(x, y))
+        la = float(acc(x, y))
+        np.testing.assert_allclose(la, lb, rtol=2e-5)
+        np.testing.assert_allclose(
+            float(acc._last_metrics["acc"]),
+            float(big._last_metrics["acc"]),
+            atol=1e-6,
+        )
+    # params stayed in lockstep (the accumulated update == big-batch update)
+    for p1, p2 in zip(m1.parameters(), m2.parameters()):
+        np.testing.assert_allclose(
+            np.asarray(p1.data.array), np.asarray(p2.data.array), rtol=2e-5,
+            atol=1e-6,
+        )
