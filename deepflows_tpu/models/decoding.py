@@ -186,7 +186,11 @@ class KVCacheDecoder:
         self.quant = quant
         # sliding-window (Mistral) models: band-mask every decode forward
         self.window = getattr(lm.blocks[0].attn, "window", None)
-        self._prefill_jit = jax.jit(self._prefill, static_argnums=(2,))
+        # plen is TRACED (the engine always jitted this fn that way): ONE
+        # compiled prefill serves every prompt length — through the
+        # tunnel a compile costs minutes, so serving varied prompt
+        # lengths must not compile per length (VERDICT r3 #6)
+        self._prefill_jit = jax.jit(self._prefill)
         # static: n_steps, top_k (lax.top_k needs a static k), do_sample
         self._decode_jit = jax.jit(self._decode, static_argnums=(4, 7, 9))
         # streaming (ring-buffer) decode for sliding-window models; the
@@ -611,14 +615,25 @@ class KVCacheDecoder:
     def _decode(
         self, params, caches, tok0, pos0, n_steps,
         key=None, temperature=None, top_k=None, top_p=None, do_sample=False,
+        n_live=None,
     ):
-        """Decode ``n_steps`` tokens in ONE fori_loop program — greedy by
-        default, or sampled (temperature / top-k / top-p) with the PRNG key
-        split per step inside the loop.
+        """Decode tokens in ONE fori_loop program — greedy by default, or
+        sampled (temperature / top-k / top-p) with the PRNG key split per
+        step inside the loop.
 
         caches: (k, v) each (layers, B, H, max_len, Dh); ``tok0`` the first
         generated token (from prefill); ``pos0`` its position.  Returns
-        (tokens (B, n_steps) incl. tok0, final caches)."""
+        (tokens (B, n_steps) incl. tok0, final caches).
+
+        ``n_steps`` (STATIC) is the token-buffer width; ``n_live``
+        (TRACED, default n_steps) is the actual trip count.  ``generate``
+        buckets n_steps to a power of two and passes the requested length
+        as n_live: the program compiles per BUCKET (log2(max_len)
+        variants), runs exactly n_live steps (no wasted decode compute),
+        and the caller truncates the buffer.  Step i's token depends only
+        on steps < i, so outputs are bit-identical to an exact-width
+        program — including sampled draws (the key chain splits per
+        step, independent of the buffer width)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -655,8 +670,9 @@ class KVCacheDecoder:
             )
             return kc, vc, tokens, pos + 1, k
 
+        upper = n_steps if n_live is None else n_live
         kc, vc, tokens, _, _ = lax.fori_loop(
-            0, n_steps, step, (kc0, vc0, tokens0, pos0, key0)
+            0, upper, step, (kc0, vc0, tokens0, pos0, key0)
         )
         return tokens, (kc, vc)
 
@@ -855,14 +871,18 @@ class KVCacheDecoder:
         tok0 = self._select_jit(logits0, sub, temp, top_k, tp, do_sample)
         # tok0 is the token at position plen (first generated)
         decode = self._decode_stream_jit if stream else self._decode_jit
+        # static buffer bucketed to a power of two, traced trip count:
+        # the decode program compiles per BUCKET, not per new_tokens
+        # (log2(max_len) variants total; VERDICT r3 #6)
+        bucket = 1 << (new_tokens - 1).bit_length()
         tokens, _ = decode(
-            params, (kc, vc), tok0, np.int32(plen), new_tokens,
-            key, temp, top_k, tp, do_sample,
+            params, (kc, vc), tok0, np.int32(plen), bucket,
+            key, temp, top_k, tp, do_sample, np.int32(new_tokens),
         )
         if stream:
             self._rope_len = 0  # back to max_len tables for normal calls
         # single host readback for the whole generation
-        out = np.asarray(tokens)
+        out = np.asarray(tokens)[:, :new_tokens]
         return np.concatenate([idx, out.astype(idx.dtype)], 1)
 
 
@@ -1144,10 +1164,12 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
     def _decode_stream(
         self, params, caches, tok0, pos0, n_steps,
         key=None, temperature=None, top_k=None, top_p=None, do_sample=False,
+        n_live=None,
     ):
         """``_decode`` with the ring forward: one fori_loop over
         ``_forward_one_ring`` so generation runs past max_len (the
-        sliding window keeps attention exact; cache stays O(max_len))."""
+        sliding window keeps attention exact; cache stays O(max_len)).
+        Same static-buffer/traced-trip-count bucketing as ``_decode``."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -1178,8 +1200,9 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             )
             return kc, vc, tokens, pos + 1, k
 
+        upper = n_steps if n_live is None else n_live
         kc, vc, tokens, _, _ = lax.fori_loop(
-            0, n_steps, step, (kc0, vc0, tokens0, pos0, key0)
+            0, upper, step, (kc0, vc0, tokens0, pos0, key0)
         )
         return tokens, (kc, vc)
 

@@ -299,3 +299,35 @@ def test_beam_search_rejects_bad_args():
         dec.generate_beam(idx, 0)
     with pytest.raises(ValueError):
         dec.generate_beam(idx, 100)
+
+
+def test_decoder_compile_counts_bucketed():
+    """VERDICT r3 #6: serving varied (prompt_len, new_tokens) pairs must
+    not compile per pair — plen is traced (ONE prefill program) and the
+    decode buffer is bucketed to powers of two with a traced trip count
+    (one program per bucket).  Outputs are unchanged: a shorter request
+    is a bit-exact prefix of a longer one (greedy AND sampled — the key
+    chain splits per step, independent of the buffer width)."""
+    lm = _lm(max_len=32)
+    dec = KVCacheDecoder(lm)
+    outs = {}
+    for plen in (3, 5, 9):
+        prompt = RNG.integers(0, 48, (2, plen)).astype(np.int64)
+        for n in (4, 5, 7, 8):
+            outs[(plen, n)] = dec.generate(prompt, n)
+        # shorter greedy request == prefix of the longer (same bucket or not)
+        np.testing.assert_array_equal(
+            outs[(plen, 5)], outs[(plen, 8)][:, : plen + 5]
+        )
+        np.testing.assert_array_equal(
+            outs[(plen, 4)], outs[(plen, 7)][:, : plen + 4]
+        )
+    assert dec._prefill_jit._cache_size() == 1  # every plen, one program
+    # greedy decode: buckets {4, 8} -> exactly 2 programs
+    assert dec._decode_jit._cache_size() == 2
+    # sampled: same bucketing, draws unchanged by buffer width
+    prompt = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+    s5 = dec.generate(prompt, 5, temperature=0.8, seed=3)
+    s8 = dec.generate(prompt, 8, temperature=0.8, seed=3)
+    np.testing.assert_array_equal(s5, s8[:, : 6 + 5])
+    assert dec._prefill_jit._cache_size() == 1

@@ -452,3 +452,68 @@ def test_fsdp_muon_matches_replicated():
     for m in opt1._state["m"]:
         if m is not None and m.size >= 2048:
             assert m.addressable_shards[0].data.size * 8 == m.size
+
+
+def test_sharded_checkpoint_elastic_restore_across_mesh_shapes(tmp_path):
+    """VERDICT r3 #7 — ELASTIC resume: FSDP/ZeRO-sharded training state
+    saved on one mesh shape restores on ANOTHER (8->4 and 4->8 devices)
+    and resumes to the uninterrupted trajectory.  Works because
+    save_checkpoint gathers shards to host numpy (mesh-agnostic layout)
+    and ShardedTrainStep re-sharded-places onto whatever mesh it gets."""
+    from deepflows_tpu.parallel import fsdp_rules
+    from deepflows_tpu.utils.model_utils import load_checkpoint, save_checkpoint
+
+    def fresh(mesh):
+        model = make_model()
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh,
+            param_rules=fsdp_rules(mesh),
+        )
+        return model, opt, step
+
+    def restore(ck, mesh):
+        model = make_model()
+        opt = optim.Adam(model.parameters(), lr=1e-3)
+        load_checkpoint(model, opt, ck)
+        step = ShardedTrainStep(
+            model, opt, nn.CrossEntropyLoss(), mesh,
+            param_rules=fsdp_rules(mesh),
+        )
+        return model, opt, step
+
+    import jax as _jax
+
+    for n_save, n_resume in ((8, 4), (4, 8)):
+        mesh_a = make_mesh({"data": n_save}, _jax.devices()[:n_save])
+        mesh_b = make_mesh({"data": n_resume}, _jax.devices()[:n_resume])
+
+        # uninterrupted reference: 4 steps on the SAVE mesh
+        model_ref, _, step_ref = fresh(mesh_a)
+        losses_ref = [float(step_ref(*batch(i))) for i in range(4)]
+
+        # 2 steps on mesh_a, save, restore on mesh_b, 2 more steps
+        model_s, opt_s, step_s = fresh(mesh_a)
+        for i in range(2):
+            float(step_s(*batch(i)))
+        ck = str(tmp_path / f"elastic_{n_save}to{n_resume}.pkl")
+        save_checkpoint(model_s, opt_s, epoch=2, save_path=ck)
+        model_r, opt_r, step_r = restore(ck, mesh_b)
+        losses_r = [float(step_r(*batch(i))) for i in range(2, 4)]
+
+        np.testing.assert_allclose(
+            losses_ref[2:], losses_r, rtol=1e-5, atol=1e-6,
+            err_msg=f"{n_save}->{n_resume} loss trajectory diverged",
+        )
+        for (n1, p1), (_, p2) in zip(
+            model_ref.named_parameters(), model_r.named_parameters()
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p1.data.array), np.asarray(p2.data.array),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"{n_save}->{n_resume} {n1}",
+            )
+        # the restored params really live FSDP-sharded on the NEW mesh
+        lin_w = model_r[5].weight.data.array  # (512, 32): dim0 shards
+        assert lin_w.sharding.spec[0] == "data"
+        assert len(lin_w.sharding.device_set) == n_resume
