@@ -365,6 +365,7 @@ class PipelinedTrainStep:
         grad_transform: Optional[Callable] = None,
         compute_dtype=None,
         param_rules: Optional[Callable] = None,
+        schedule: str = "gpipe",
     ):
         """``compute_dtype=jnp.bfloat16`` runs the pipelined forward +
         backward in bf16 (stacked master weights, gradients as seen by the
@@ -377,7 +378,33 @@ class PipelinedTrainStep:
         and is prefixed with the ``pipe`` axis on the stacked leading dim —
         e.g. a Linear rule ``P(None, 'model')`` shards each stage's
         out-features over ``model`` while stages stay split over ``pipe``.
-        ``name`` is the template-stage parameter name."""
+        ``name`` is the template-stage parameter name.
+
+        ``schedule`` selects the microbatch schedule:
+
+        - ``"gpipe"`` (default): all-forward scan, ``jax.grad`` reverse —
+          per-stage activation residuals are saved for every in-flight
+          microbatch, so peak activation memory scales with **M**.
+        - ``"1f1b"``: one-forward-one-backward — the step is THREE scans
+          (forward-only warmup of ``S-1`` ticks; ``M`` steady ticks doing one
+          forward AND one backward stage-apply each; ``S-1`` drain ticks,
+          backward only) with gradients accumulated *inside* the scan, so no
+          scan carry is ever saved for reverse-mode.  Each stage stashes only
+          its in-flight microbatch INPUTS in a ring buffer of
+          ``min(2S-1, M)`` slots and recomputes the stage forward under
+          ``jax.vjp`` at backward time (Megatron-style per-stage recompute):
+          peak activation memory scales with **S**, independent of M.  Tick
+          count is ``M + 2(S-1)`` with two stage-applies on the steady ticks
+          — the same ``(S-1)/(M+S-1)`` bubble fraction as GPipe (1F1B's win
+          is memory, not bubble), paying ~fwd/3 extra FLOPs for the
+          recompute.  The loss is computed per-microbatch inside the scan
+          (the (M, b, vocab) logits buffer GPipe materialises never exists),
+          so ``criterion`` must be a per-sample mean (or sum) reduction —
+          every standard loss.  Same PipelineStack/pre/post/compute_dtype/
+          param_rules surface as GPipe."""
+        if schedule not in ("gpipe", "1f1b"):
+            raise ValueError(f"unknown schedule {schedule!r}")
+        self.schedule = schedule
         if pipe_axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {pipe_axis!r}")
         if mesh.shape[pipe_axis] != stack.n_stages:
@@ -470,8 +497,9 @@ class PipelinedTrainStep:
         batch_sh = NamedSharding(mesh, P(data_axis))
         in_sh = (pspec, bspec, opt_sh, rep, batch_sh, batch_sh)
         out_sh = (rep, pspec, bspec, opt_sh)
+        step_fn = self._pure_step if schedule == "gpipe" else self._pure_step_1f1b
         self._jitted = jax.jit(
-            self._pure_step,
+            step_fn,
             in_shardings=in_sh,
             out_shardings=out_sh,
             donate_argnums=(0, 1, 2) if donate else (),
@@ -542,6 +570,227 @@ class PipelinedTrainStep:
 
         (loss, new_bufs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             param_arrays
+        )
+        if self.grad_transform is not None:
+            grads = self.grad_transform(grads)
+        new_params, new_state = self.optimizer.pure_update(
+            param_arrays, grads, opt_state, lr
+        )
+        return loss, new_params, new_bufs, new_state
+
+    @property
+    def bubble_fraction(self) -> float:
+        """Idle fraction of the schedule grid, ``(S-1)/(M+S-1)`` — identical
+        for both schedules (non-interleaved 1F1B matches GPipe's bubble; its
+        win is the M-independent activation memory).  The 1F1B path
+        additionally pays ~fwd/3 extra FLOPs for per-stage recompute."""
+        S, M = self.stack.n_stages, self.n_micro
+        return (S - 1) / (M + S - 1)
+
+    def _pure_step_1f1b(self, param_arrays, buffer_arrays, opt_state, lr, x, y):
+        """One-forward-one-backward schedule: three scans (warmup / steady /
+        drain) with hand-rolled per-stage ``jax.vjp`` backward and in-scan
+        gradient accumulation — no reverse-mode through the scan, so peak
+        activation memory is bounded by the ``min(2S-1, M)``-slot input
+        stash per stage instead of GPipe's M saved microbatch residuals.
+
+        Tick ``t`` (global grid, ``t in [0, M+2S-2)``): stage ``s`` runs the
+        FORWARD of microbatch ``t-s`` (where ``0 <= t-s < M``) and the
+        BACKWARD of microbatch ``t-2S+2+s`` (where valid).  The last stage
+        finishes microbatch ``w = t-(S-1)`` and starts its backward in the
+        SAME tick (loss + head vjp computed in-scan, so the (M, b, vocab)
+        logits buffer never materialises).  Ring-slot safety: backward of
+        microbatch ``m`` at stage ``s`` (tick ``m+2S-2-s``) strictly precedes
+        the slot's reuse by ``m+W`` (tick ``m+W+s``) iff ``W >= 2S-1``; with
+        ``M <= 2S-2`` slots are never reused.
+        """
+        import jax.numpy as jnp
+        from jax import lax
+
+        S = self.stack.n_stages
+        M = self.n_micro
+        cd = self.compute_dtype
+        mesh, pipe_axis, data_axis = self.mesh, self.pipe_axis, self.data_axis
+        buffered = bool(self._buffers)
+        stage_fn = self._stage_fn
+
+        def _constrain(v, spec):
+            return lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
+
+        x_in = (
+            x.astype(cd)
+            if cd is not None and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else x
+        )
+        pre_m, stack_m, post_m = self._split(param_arrays)
+        if cd is not None:
+            pre_run = [p.astype(cd) for p in pre_m]
+            stack_run = [p.astype(cd) for p in stack_m]
+            post_run = [p.astype(cd) for p in post_m]
+        else:
+            pre_run, stack_run, post_run = list(pre_m), list(stack_m), list(post_m)
+
+        vjp_pre = None
+        if self._pre_fn is not None:
+            x1, vjp_pre = jax.vjp(lambda pa: self._pre_fn(pa, x_in), pre_run)
+        else:
+            x1 = x_in
+        B = x1.shape[0]
+        if B % M:
+            raise ValueError(f"batch {B} not divisible by n_micro {M}")
+        b = B // M
+        x_micro = x1.reshape((M, b) + x1.shape[1:])
+        y_micro = y.reshape((M, b) + y.shape[1:])
+        feat = x_micro.shape[1:]
+
+        act_spec = P(pipe_axis, data_axis)
+        micro_spec = P(None, data_axis)
+        stash_spec = P(None, pipe_axis, data_axis)
+        sidx = jnp.arange(S, dtype=jnp.int32)
+        # ring capacity 2S-1 regardless of M: with this W, EVERY write to a
+        # slot (valid or bubble) provably precedes any pending read of it —
+        # a smaller W=M ring would let a bubble write clobber a pending slot
+        # within one tick (write runs before the same tick's read)
+        W = 2 * S - 1
+        track_dx = self._pre_fn is not None
+
+        def head_loss(post_p, yy, yt):
+            out = self._post_fn(post_p, yy) if self._post_fn is not None else yy
+            return self._criterion(out, yt)
+
+        fstate0 = jnp.broadcast_to(x_micro[0], (S,) + feat).astype(x_micro.dtype)
+        stash0 = jnp.broadcast_to(x_micro[0], (W, S) + feat).astype(x_micro.dtype)
+        bstate0 = jnp.zeros((S,) + feat, x_micro.dtype)
+        outs_dx0 = (
+            jnp.zeros((M,) + feat, x_micro.dtype) if track_dx else None
+        )
+        dstack0 = [jnp.zeros(a.shape, a.dtype) for a in stack_m]
+        dpost0 = [jnp.zeros(a.shape, a.dtype) for a in post_m]
+        loss0 = jnp.zeros((), jnp.float32)
+
+        def body(carry, t, do_fwd, do_head, do_bwd):
+            fstate, bstate, stash, bufs, outs_dx, dstack, dpost, loss_acc = carry
+            y_all = None
+            if do_fwd:
+                inj = x_micro[jnp.clip(t, 0, M - 1)]
+                fstate = fstate.at[0].set(inj)
+                fstate = _constrain(fstate, act_spec)
+                # stash each stage's INPUT; unmasked writes are safe (ring
+                # slots are proven free above; bubble values are real-data-
+                # derived so recomputes on them stay finite)
+                stash = stash.at[jnp.mod(t - sidx, W), sidx].set(fstate)
+                stash = _constrain(stash, stash_spec)
+                if buffered:
+                    y_all, newb = jax.vmap(stage_fn, in_axes=(0, 0, 0))(
+                        stack_run, bufs, fstate
+                    )
+                    svalid = (t - sidx >= 0) & (t - sidx < M)
+                    bufs = [
+                        jnp.where(
+                            svalid.reshape((S,) + (1,) * (b_.ndim - 1)), nb, b_
+                        )
+                        for b_, nb in zip(bufs, newb)
+                    ]
+                    bufs = [_constrain(b_, P(pipe_axis)) for b_ in bufs]
+                else:
+                    y_all = jax.vmap(stage_fn, in_axes=(0, 0))(stack_run, fstate)
+                y_all = _constrain(y_all, act_spec)
+            if do_head:
+                # steady phase only: w = t-(S-1) is exactly in [0, M)
+                w = jnp.clip(t - (S - 1), 0, M - 1)
+                yw = y_all[S - 1]
+                yt = y_micro[w]
+                if self._post_fn is not None:
+                    lval, vjp_h = jax.vjp(
+                        lambda pp, aa: head_loss(pp, aa, yt), post_run, yw
+                    )
+                    dpost_w, dyw = vjp_h(jnp.asarray(1.0 / M, lval.dtype))
+                    dpost = [
+                        d + c.astype(d.dtype) for d, c in zip(dpost, dpost_w)
+                    ]
+                else:
+                    lval, vjp_h = jax.vjp(lambda aa: head_loss(None, aa, yt), yw)
+                    (dyw,) = vjp_h(jnp.asarray(1.0 / M, lval.dtype))
+                loss_acc = loss_acc + lval.astype(jnp.float32) / M
+                bstate = bstate.at[S - 1].set(dyw.astype(bstate.dtype))
+                bstate = _constrain(bstate, act_spec)
+            if do_bwd:
+                mb = t - 2 * S + 2 + sidx
+                bvalid = (mb >= 0) & (mb < M)
+                xin = stash[jnp.mod(mb, W), sidx]
+
+                def stage_vjp(p_s, b_s, xx, dy):
+                    f = (
+                        (lambda pp, xq: stage_fn(pp, b_s, xq)[0])
+                        if buffered
+                        else stage_fn
+                    )
+                    _, vjp_f = jax.vjp(f, p_s, xx)
+                    return vjp_f(dy)
+
+                dp_all, dx_all = jax.vmap(stage_vjp, in_axes=(0, 0, 0, 0))(
+                    stack_run, bufs, xin, bstate
+                )
+                dstack = [
+                    d
+                    + jnp.where(
+                        bvalid.reshape((S,) + (1,) * (dp.ndim - 1)), dp, 0
+                    ).astype(d.dtype)
+                    for d, dp in zip(dstack, dp_all)
+                ]
+                dx_all = _constrain(dx_all, act_spec)
+                if track_dx:
+                    m0 = t - 2 * S + 2
+                    v0 = (m0 >= 0) & (m0 < M)
+                    m0c = jnp.clip(m0, 0, M - 1)
+                    outs_dx = outs_dx.at[m0c].set(
+                        jnp.where(v0, dx_all[0], outs_dx[m0c])
+                    )
+                    outs_dx = _constrain(outs_dx, micro_spec)
+                bstate = jnp.roll(dx_all, -1, axis=0)
+                bstate = _constrain(bstate, act_spec)
+            if do_fwd:
+                fstate = jnp.roll(y_all, 1, axis=0)
+                fstate = _constrain(fstate, act_spec)
+            return (
+                fstate, bstate, stash, bufs, outs_dx, dstack, dpost, loss_acc
+            ), None
+
+        from functools import partial
+
+        carry = (
+            fstate0, bstate0, stash0, list(buffer_arrays),
+            outs_dx0, dstack0, dpost0, loss0,
+        )
+        if S > 1:  # warmup: forward only
+            carry, _ = lax.scan(
+                partial(body, do_fwd=True, do_head=False, do_bwd=False),
+                carry,
+                jnp.arange(S - 1, dtype=jnp.int32),
+            )
+        carry, _ = lax.scan(  # steady: one forward + one backward per tick
+            partial(body, do_fwd=True, do_head=True, do_bwd=True),
+            carry,
+            jnp.arange(S - 1, M + S - 1, dtype=jnp.int32),
+        )
+        if S > 1:  # drain: backward only
+            carry, _ = lax.scan(
+                partial(body, do_fwd=False, do_head=False, do_bwd=True),
+                carry,
+                jnp.arange(M + S - 1, M + 2 * S - 2, dtype=jnp.int32),
+            )
+        _, _, _, bufs, outs_dx, dstack, dpost, loss = carry
+
+        if vjp_pre is not None:
+            (dpre_run,) = vjp_pre(outs_dx.reshape((B,) + feat[1:]))
+            dpre = [g.astype(m.dtype) for g, m in zip(dpre_run, pre_m)]
+        else:
+            dpre = []
+        grads = dpre + list(dstack) + list(dpost)
+        new_bufs = (
+            [nb.astype(b_.dtype) for nb, b_ in zip(bufs, buffer_arrays)]
+            if cd is not None
+            else list(bufs)
         )
         if self.grad_transform is not None:
             grads = self.grad_transform(grads)
