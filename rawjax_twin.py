@@ -251,15 +251,148 @@ def adam_update(params, grads, opt, t, lr, weight_decay=0.0,
     return new_params, {"m": m, "v": v}
 
 
+# ------------------------------------------------------------ transformer LM
+# Naive-attention twin of models.TransformerLM (pre-norm blocks, separate
+# q/k/v/out projections with bias, exact GELU MLP, learned pos table, LN
+# head): what a competent raw-JAX user writes without custom kernels — the
+# materialized causal softmax and the (B*L, V) logits + log-softmax CE.
+# The framework side counters with the Pallas flash-attention kernel and
+# the fused LM-head CE; vs_rawjax isolates that kernel-level win.
+
+
+def _linear_init(key, i, o):
+    bound = 1.0 / np.sqrt(i)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (i, o), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (o,), jnp.float32, -bound, bound),
+    }
+
+
+def _ln_init(dim):
+    return {"g": jnp.ones((dim,), jnp.float32), "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_transformer_lm(key, vocab, max_len, dim, depth, mlp_ratio=4.0):
+    ks = jax.random.split(key, 2 + depth)
+    hidden = int(dim * mlp_ratio)
+    blocks = []
+    for d in range(depth):
+        bk = jax.random.split(ks[2 + d], 6)
+        blocks.append({
+            "ln1": _ln_init(dim),
+            "q": _linear_init(bk[0], dim, dim),
+            "k": _linear_init(bk[1], dim, dim),
+            "v": _linear_init(bk[2], dim, dim),
+            "o": _linear_init(bk[3], dim, dim),
+            "ln2": _ln_init(dim),
+            "fc1": _linear_init(bk[4], dim, hidden),
+            "fc2": _linear_init(bk[5], hidden, dim),
+        })
+    return {
+        "tok": jax.random.normal(ks[0], (vocab, dim), jnp.float32),
+        "pos": jnp.zeros((1, max_len, dim), jnp.float32),
+        "blocks": blocks,
+        "lnf": _ln_init(dim),
+        "head": _linear_init(ks[1], dim, vocab),
+    }
+
+
+def layernorm(x, p, eps=1e-5):
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) * lax.rsqrt(v + eps) * p["g"] + p["b"]
+
+
+def _lin(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def transformer_lm_apply(params, tokens, heads, compute_dtype=None):
+    cd = compute_dtype
+
+    def cast(t):
+        return t.astype(cd) if cd is not None else t
+
+    p = jax.tree.map(cast, params)
+    B, L = tokens.shape
+    D = p["tok"].shape[1]
+    hd = D // heads
+    x = p["tok"][tokens] + p["pos"][:, :L]
+    mask = jnp.tril(jnp.ones((L, L), bool))
+    neg = jnp.asarray(-1e9 if cd is None else -3e38, x.dtype)
+    for blk in p["blocks"]:
+        h = layernorm(x, blk["ln1"])
+        q = _lin(h, blk["q"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+        k = _lin(h, blk["k"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+        v = _lin(h, blk["v"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd).astype(np.float32)
+        scores = jnp.where(mask, scores, neg)
+        att = jax.nn.softmax(scores, axis=-1)
+        o = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, D)
+        x = x + _lin(o, blk["o"])
+        h = layernorm(x, blk["ln2"])
+        x = x + _lin(jax.nn.gelu(_lin(h, blk["fc1"]), approximate=False),
+                     blk["fc2"])
+    x = layernorm(x, p["lnf"])
+    return _lin(x, p["head"])
+
+
 # ---------------------------------------------------------------- train step
 
 
 def make_train_step(model_name, batch_size, image_size=None, num_classes=10,
-                    compute_dtype=None, lr=5e-3, weight_decay=5e-4, seed=0):
+                    compute_dtype=None, lr=5e-3, weight_decay=5e-4, seed=0,
+                    lm_cfg=None):
     """Build (step_fn, params, state, opt, x, y).  step_fn signature:
     (params, state, opt, t:int32, x, y) -> (loss, params, state, opt) —
-    jitted with params/state/opt donated."""
+    jitted with params/state/opt donated.  ``lm_cfg``: dict(seq_len, vocab,
+    dim, depth, heads) for ``model_name="transformer_lm"``."""
     key = jax.random.PRNGKey(seed)
+    if model_name == "transformer_lm":
+        cfg = {"seq_len": 1024, "vocab": 8192, "dim": 2048, "depth": 8,
+               "heads": 16}
+        cfg.update(lm_cfg or {})
+        params = init_transformer_lm(
+            key, cfg["vocab"], cfg["seq_len"], cfg["dim"], cfg["depth"]
+        )
+        heads = cfg["heads"]
+
+        def apply_fn(params, state, x, compute_dtype=None):
+            return (
+                transformer_lm_apply(params, x, heads, compute_dtype),
+                state,
+            )
+
+        state = {}
+        needs_key = False
+        opt = adam_init(params)
+        base_key = jax.random.PRNGKey(7)
+
+        def loss_fn(params, state, x, y, key):
+            logits, new_state = apply_fn(params, state, x,
+                                         compute_dtype=compute_dtype)
+            V = logits.shape[-1]
+            return cross_entropy(
+                logits.reshape(-1, V), y.reshape(-1)
+            ), new_state
+
+        def step(params, state, opt, t, x, y):
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, None)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            new_params, new_opt = adam_update(
+                params, grads, opt, t.astype(jnp.float32) + 1.0, lr,
+                weight_decay,
+            )
+            return loss, new_params, new_state, new_opt
+
+        jitted = jax.jit(step, donate_argnums=(0, 1, 2))
+        rng = np.random.default_rng(seed)
+        x = rng.integers(0, cfg["vocab"], (batch_size, cfg["seq_len"]))
+        y = rng.integers(0, cfg["vocab"], (batch_size, cfg["seq_len"]))
+        return jitted, params, state, opt, x.astype(np.int32), y.astype(np.int32)
     if model_name == "cifar10_cnn":
         image_size = image_size or 32
         params, state = init_cifar10_cnn(key, num_classes)
