@@ -39,6 +39,20 @@ the array operand's dtype (the tape's bf16-purity rule), so a changing
 learning rate or epsilon does NOT change the fragment signature — schedulers
 never retrigger compilation.
 
+Structural replay (r3 VERDICT item 3 — the torch/XLA LazyIR-hash idea):
+full recording costs ~64 µs/op of Python (arg walking, skeleton hashing,
+node/weakref construction) — ~69 ms/step on ResNet50's 1076-op tape, the
+whole gap to ``jit.CompiledTrainStep``.  After a fragment flushes through a
+compiled runner it is promoted to a *template*; the next step's ops are
+matched against the template cursor with cheap identity/static compares
+(`_fast_record`: no skeleton build, no aval-cache hash, no Node allocation),
+and the flush feeds the new leaves straight to the cached runner.  A
+mismatch clones the matched prefix into a normal fragment (`_fast_leave`)
+and recording continues unchanged — semantics never depend on the fast
+path, only step latency does.  Up to ``_MAX_TEMPLATES`` recent step
+structures are kept so train/eval phase changes re-match instead of
+re-recording.
+
 Enable with ``deepflows_tpu.lazy.enable()`` (or ``DEEPFLOWS_LAZY=1`` in the
 environment); ``disable()`` materializes pending work and restores plain
 eager dispatch.
@@ -158,12 +172,286 @@ _frag = _Fragment()
 _runner_cache = {}  # structural key -> compiled replay (or "eager" marker)
 _aval_cache = {}  # (fn, skeleton, in_avals) -> (out_avals, treedef)
 _stats = {"nodes": 0, "flushes": 0, "compiles": 0, "eager_fallback_ops": 0,
-          "eager_fallback_fragments": 0}
+          "eager_fallback_fragments": 0, "fast_ops": 0, "fast_flushes": 0,
+          "fast_fallbacks": 0}
 
 
 def lazy_stats() -> dict:
     """Counters for tests/diagnostics (cumulative since import)."""
     return dict(_stats)
+
+
+# ------------------------------------------------------- structural replay
+_MAX_TEMPLATES = int(os.environ.get("DEEPFLOWS_LAZY_TEMPLATES", "4"))
+
+
+class _Template:
+    """A flushed fragment promoted to a replayable step structure.  Holds
+    the recorded nodes (protos reference each other by object identity, so
+    the node list is self-contained), the per-slot leaf avals, the sig (for
+    prefix-clone fallback), and compiled runners keyed by live-output
+    index — a step whose live outputs differ (e.g. the user kept an extra
+    intermediate) compiles its own subset program once."""
+
+    __slots__ = ("nodes", "sig", "leaf_avals", "runners")
+
+    def __init__(self, frag):
+        self.nodes = frag.nodes
+        self.sig = frag.sig
+        self.leaf_avals = frag.leaf_avals
+        self.runners = {}
+
+
+class _FastState:
+    """Cursor state for one step being matched against a template."""
+
+    __slots__ = ("tpl", "cursor", "leaves", "outs")
+
+    def __init__(self, tpl):
+        self.tpl = tpl
+        self.cursor = 0
+        self.leaves = []  # slot-indexed concrete arrays (prefix-contiguous)
+        self.outs = []  # per matched node: tuple of weakrefs to outputs
+
+
+_templates = []  # MRU-ordered, capped at _MAX_TEMPLATES
+_fast = None  # active _FastState, or None (normal recording)
+_MISS = object()
+_SCALAR_CACHE = {}  # (type, value, dtype) -> 0-d np array (see _coerce)
+
+
+def _tree_unflatten(treedef, leaves):
+    global _tree_unflatten
+    from jax.tree_util import tree_unflatten as tu
+
+    _tree_unflatten = tu  # rebind: later calls skip the import machinery
+    return tu(treedef, leaves)
+
+
+def _match_arg(proto, val, fast):
+    """Does ``val`` fill the same structural role as ``proto`` did in the
+    template step?  Assigns concrete leaves into ``fast.leaves`` by the
+    template's slot index as a side effect (rolled back by the caller on a
+    miss).  _Leaf/_Ref are namedtuples — they must be tested before the
+    generic tuple branch."""
+    tp = type(proto)
+    if tp is _Leaf:
+        if isinstance(val, LazyArray):
+            raw = val._value
+            if raw is None:
+                return False  # pending where the template had a concrete
+        elif _is_traced(val):
+            raw = val
+        else:
+            return False
+        idx = proto.idx
+        leaves = fast.leaves
+        if idx == len(leaves):
+            a = fast.tpl.leaf_avals[idx]
+            if np.shape(raw) != a.shape:
+                return False
+            dt = getattr(raw, "dtype", None)
+            if dt != a.dtype:
+                return False
+            leaves.append(raw)
+            return True
+        if idx < len(leaves):
+            # template shared this slot (same array object seen twice):
+            # the new step must exhibit the same sharing
+            return leaves[idx] is raw
+        return False  # out-of-order first encounter: different structure
+    if tp is _Ref:
+        return (
+            isinstance(val, LazyArray)
+            and val._value is None
+            and val._node is proto.node
+            and val._pos == proto.pos
+        )
+    if isinstance(proto, (list, tuple)):
+        if type(val) is not tp or len(val) != len(proto):
+            return False
+        for p, v in zip(proto, val):
+            if not _match_arg(p, v, fast):
+                return False
+        return True
+    if isinstance(proto, dict):
+        if type(val) is not dict or list(val) != list(proto):
+            return False
+        for k in proto:
+            if not _match_arg(proto[k], val[k], fast):
+                return False
+        return True
+    # static: identity first (interned names, cached dtypes), then equality
+    if proto is val:
+        return True
+    try:
+        return type(proto) is type(val) and bool(proto == val)
+    except Exception:
+        return False
+
+
+def _fast_record(fast, fn, args, kwargs):
+    """Match one op against the template cursor.  On a hit, returns the
+    output pytree (new LazyArrays bound to the TEMPLATE node — prior steps'
+    arrays are materialized, so identity stays unambiguous) without any of
+    the full recording path's skeleton/aval/Node work."""
+    node = fast.tpl.nodes[fast.cursor]
+    if fn is not node.fn:
+        return _MISS
+    ap = node.args_proto
+    if len(args) != len(ap):
+        return _MISS
+    n_before = len(fast.leaves)
+    ok = True
+    for p, v in zip(ap, args):
+        if not _match_arg(p, v, fast):
+            ok = False
+            break
+    if ok:
+        kp = node.kwargs_proto
+        if kwargs or kp:
+            if list(kwargs) != list(kp):
+                ok = False
+            else:
+                for k in kp:
+                    if not _match_arg(kp[k], kwargs[k], fast):
+                        ok = False
+                        break
+    if not ok:
+        del fast.leaves[n_before:]  # roll back this op's slot assignments
+        return _MISS
+    outs = [LazyArray(av, node, i) for i, av in enumerate(node.out_avals)]
+    fast.outs.append(tuple(weakref.ref(o) for o in outs))
+    fast.cursor += 1
+    _stats["nodes"] += 1
+    _stats["fast_ops"] += 1
+    return _tree_unflatten(node.treedef, outs)
+
+
+def _remap_proto(proto, mapping):
+    """Rewrite _Refs from template nodes to their prefix clones (namedtuple
+    check must precede the generic tuple branch)."""
+    tp = type(proto)
+    if tp is _Ref:
+        return _Ref(mapping[id(proto.node)], proto.pos)
+    if tp is _Leaf:
+        return proto
+    if isinstance(proto, list):
+        return [_remap_proto(p, mapping) for p in proto]
+    if isinstance(proto, tuple):
+        return tuple(_remap_proto(p, mapping) for p in proto)
+    if isinstance(proto, dict):
+        return {k: _remap_proto(v, mapping) for k, v in proto.items()}
+    return proto
+
+
+def _fast_leave(fast):
+    """Structure diverged mid-template: clone the matched prefix into a
+    normal fragment (protos remapped onto fresh nodes, live outputs
+    retargeted) and hand recording back to the full path.  O(prefix) of
+    pure structure work — no shape inference, no hashing."""
+    global _frag, _fast
+    _fast = None
+    _stats["fast_fallbacks"] += 1
+    k = fast.cursor
+    frag = _Fragment()
+    if k:
+        tpl = fast.tpl
+        mapping = {}
+        for j in range(k):
+            old = tpl.nodes[j]
+            clone = _Node(old.fn, None, None)
+            clone.args_proto = _remap_proto(old.args_proto, mapping)
+            clone.kwargs_proto = _remap_proto(old.kwargs_proto, mapping)
+            clone.out_avals = old.out_avals
+            clone.treedef = old.treedef
+            clone._idx = j
+            refs = fast.outs[j]
+            for r in refs:
+                la = r()
+                if la is not None and la._value is None:
+                    la._node = clone
+            clone.out_refs = refs
+            mapping[id(old)] = clone
+            frag.nodes.append(clone)
+            frag.sig.append(tpl.sig[j])
+        frag.leaves = fast.leaves
+        frag.leaf_avals = list(tpl.leaf_avals[: len(fast.leaves)])
+        frag.leaf_ids = {id(a): i for i, a in enumerate(fast.leaves)}
+    _frag = frag
+
+
+class _FragShim:
+    __slots__ = ("nodes", "leaves")
+
+    def __init__(self, nodes, leaves):
+        self.nodes = nodes
+        self.leaves = leaves
+
+
+def _fast_flush(fast):
+    """Dispatch a fully-matched step: the template's cached runner gets the
+    new leaves directly — zero re-recording."""
+    global _fast
+    tpl = fast.tpl
+    _fast = None
+    _stats["flushes"] += 1
+    _stats["fast_flushes"] += 1
+    outputs = []
+    for ni, refs in enumerate(fast.outs):
+        for pi, r in enumerate(refs):
+            la = r()
+            if la is not None and la._value is None:
+                outputs.append((ni, pi, la))
+    out_index = tuple((ni, pi) for ni, pi, _ in outputs)
+    runner = tpl.runners.get(out_index)
+    if runner is None:
+        runner = _build_runner(tpl, list(out_index))
+        tpl.runners[out_index] = runner
+        _stats["compiles"] += 1
+    try:
+        vals = runner(tpl.nodes, fast.leaves)
+    except Exception:
+        vals = _replay_eager(
+            _FragShim(tpl.nodes, fast.leaves), list(out_index)
+        )
+        _stats["eager_fallback_fragments"] += 1
+    for (ni, pi, la), v in zip(outputs, vals):
+        la._value = v
+        la._node = None
+    _touch_template(tpl)
+    _fast = _FastState(tpl)
+
+
+def _touch_template(tpl):
+    try:
+        _templates.remove(tpl)
+    except ValueError:
+        pass
+    _templates.insert(0, tpl)
+
+
+def _promote(frag, out_index, runner):
+    """After a successful compiled flush, make the fragment the active
+    template for the next step.  An existing template with the same sig is
+    updated in place (alternating phases reuse their runners) instead of
+    piling up duplicates."""
+    global _fast
+    for t in _templates:
+        if t.sig == frag.sig:
+            t.runners[tuple(out_index)] = runner
+            # adopt the fresh nodes/avals: protos in the old template refer
+            # to ITS node objects; keep them consistent by replacing whole
+            t.nodes = frag.nodes
+            t.leaf_avals = frag.leaf_avals
+            _touch_template(t)
+            _fast = _FastState(t)
+            return
+    tpl = _Template(frag)
+    tpl.runners[tuple(out_index)] = runner
+    _templates.insert(0, tpl)
+    del _templates[_MAX_TEMPLATES:]
+    _fast = _FastState(tpl)
 
 
 class LazyArray:
@@ -269,23 +557,35 @@ class LazyArray:
         """Python scalars become traced 0-d inputs in the operand's dtype
         (bf16 purity; traced so changing values don't change the fragment
         signature).  jnp.issubdtype, not np: bf16 is an ml_dtypes extension
-        outside numpy's type lattice."""
+        outside numpy's type lattice.
+
+        The coerced array is CACHED by (type, value, dtype): recurring
+        constants (the 1.0 in ``x + 1.0``, an optimizer epsilon) come back
+        as the SAME object every step, so leaf dedup-by-identity folds them
+        into one fragment input and the structural fast path's identity
+        check holds across steps.  jnp ops never mutate inputs, so sharing
+        is safe."""
         if isinstance(other, LazyArray):
             return other
         if isinstance(other, bool):
             return other  # static
-        import jax.numpy as jnp
+        if isinstance(other, (int, float, np.integer, np.floating)):
+            key = (type(other), other, self.aval.dtype)
+            c = _SCALAR_CACHE.get(key)
+            if c is None:
+                import jax.numpy as jnp
 
-        if isinstance(other, (int, np.integer)):
-            dt = self.aval.dtype
-            if jnp.issubdtype(dt, jnp.floating):
-                return np.asarray(other, dt)
-            return np.asarray(other, np.int32)
-        if isinstance(other, (float, np.floating)):
-            dt = self.aval.dtype
-            if jnp.issubdtype(dt, jnp.floating):
-                return np.asarray(other, dt)
-            return np.asarray(other, np.float32)
+                dt = self.aval.dtype
+                if jnp.issubdtype(dt, jnp.floating):
+                    c = np.asarray(other, dt)
+                elif isinstance(other, (int, np.integer)):
+                    c = np.asarray(other, np.int32)
+                else:
+                    c = np.asarray(other, np.float32)
+                if len(_SCALAR_CACHE) > 65536:  # bounded (scheduled lrs etc.)
+                    _SCALAR_CACHE.clear()
+                _SCALAR_CACHE[key] = c
+            return c
         return other  # jax/np arrays pass through as traced leaves
 
     def _bin(self, name, other, reverse=False):
@@ -509,6 +809,7 @@ def record_call(fn, args, kwargs):
     static.  Returns the output pytree with LazyArray leaves.  Falls back to
     eager execution (materializing lazy inputs) when shape inference fails
     — e.g. data-dependent output shapes like boolean masking."""
+    global _fast
     import jax
 
     # inside an active jit/grad trace (CompiledTrainStep & co. run the model
@@ -519,6 +820,31 @@ def record_call(fn, args, kwargs):
         return _passthrough_call(fn, args, kwargs)
 
     with _LOCK:
+        # ---- structural-replay fast path: match against the template
+        fast = _fast
+        if fast is not None:
+            if fast.cursor >= len(fast.tpl.nodes):
+                # the step recorded MORE ops than the template: the matched
+                # window is a complete known step — dispatch it, then try to
+                # match the extra op as the start of the next structure
+                _fast_flush(fast)
+                fast = _fast
+            out = _fast_record(fast, fn, args, kwargs)
+            if out is _MISS and fast.cursor == 0:
+                for tpl in list(_templates):
+                    if tpl is fast.tpl or not tpl.nodes:
+                        continue
+                    cand = _FastState(tpl)
+                    out = _fast_record(cand, fn, args, kwargs)
+                    if out is not _MISS:
+                        _fast = cand
+                        _touch_template(tpl)
+                        fast = cand
+                        break
+            if out is not _MISS:
+                return out
+            _fast_leave(fast)  # prefix-clone into _frag; fall through
+
         frag = _frag
         skel = []
         aval_sig = []
@@ -632,6 +958,14 @@ mark_step = flush  # torch/XLA-familiar alias
 
 def _flush_locked():
     global _frag
+    fast = _fast
+    if fast is not None:
+        if fast.cursor == 0:
+            return  # nothing recorded since the last flush
+        if fast.cursor == len(fast.tpl.nodes):
+            _fast_flush(fast)  # full structural match: replay, no recording
+            return
+        _fast_leave(fast)  # partial match: normal-flush the cloned prefix
     frag = _frag
     if not frag.nodes:
         return
@@ -655,12 +989,14 @@ def _flush_locked():
         _runner_cache[key] = runner
         _stats["compiles"] += 1
 
+    compiled_ok = False
     if runner == "eager":
         vals = _replay_eager(frag, [(ni, pi) for ni, pi, _ in outputs])
         _stats["eager_fallback_fragments"] += 1
     else:
         try:
             vals = runner(frag.nodes, frag.leaves)
+            compiled_ok = True
         except Exception:
             # mark uncompilable and degrade this and future identical
             # fragments to eager replay
@@ -671,6 +1007,10 @@ def _flush_locked():
     for (ni, pi, la), v in zip(outputs, vals):
         la._value = v
         la._node = None
+
+    if compiled_ok and frag.nodes:
+        # promote: the next step matches this structure via the fast path
+        _promote(frag, [(ni, pi) for ni, pi, _ in outputs], runner)
 
 
 def _build_runner(frag, out_index):

@@ -293,3 +293,96 @@ def test_reference_script_shape_via_shim(lazy_mode):
         Graph.free_graph_all()
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0] * 1.5
+
+
+def test_structural_replay_steady_state():
+    """r3 VERDICT item 3: after the first two steps, every further step is a
+    pure template replay — zero full re-recording (`fast_flushes` grows per
+    step, no fallbacks, compiles flat)."""
+    lazy.enable()
+    try:
+        df.manual_seed(0)
+        m = _cnn()
+        crit = nn.CrossEntropyLoss()
+        opt = optim.Adam(m.parameters(), lr=1e-3)
+        X, Y = _data()
+        m.train()
+
+        def one_step():
+            loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            return float(loss.data.numpy())
+
+        one_step()  # records init+step, promotes template A
+        one_step()  # records step-only, promotes template B
+        before = lazy.lazy_stats()
+        for _ in range(4):
+            one_step()  # must all replay template B structurally
+        after = lazy.lazy_stats()
+        assert after["fast_flushes"] - before["fast_flushes"] == 4
+        assert after["fast_fallbacks"] == before["fast_fallbacks"]
+        assert after["compiles"] == before["compiles"]
+        assert after["eager_fallback_fragments"] == before["eager_fallback_fragments"]
+    finally:
+        lazy.disable()
+
+
+def test_structural_replay_mismatch_falls_back_correctly():
+    """A mid-loop structure change (different op sequence) must produce
+    correct values via the prefix-clone fallback, then re-stabilize."""
+    lazy.enable()
+    try:
+        t = df.Tensor(np.full((4, 4), 2.0, np.float32), device=dev)
+        for i in range(3):  # stabilize a (mul, add) template
+            r = (t.data * 3.0) + 1.0
+            np.testing.assert_allclose(r.numpy(), np.full((4, 4), 7.0))
+        before = lazy.lazy_stats()["fast_fallbacks"]
+        # same first op, DIFFERENT second op: matched prefix must clone
+        r2 = (t.data * 3.0) - 1.0
+        np.testing.assert_allclose(r2.numpy(), np.full((4, 4), 5.0))
+        assert lazy.lazy_stats()["fast_fallbacks"] == before + 1
+        # the diverged structure promotes its own template; replay resumes
+        s0 = lazy.lazy_stats()["fast_flushes"]
+        r3 = (t.data * 3.0) - 1.0
+        np.testing.assert_allclose(r3.numpy(), np.full((4, 4), 5.0))
+        assert lazy.lazy_stats()["fast_flushes"] == s0 + 1
+    finally:
+        lazy.disable()
+
+
+def test_structural_replay_alternating_phases():
+    """Train/eval-style alternation: both step structures stay cached as
+    templates (MRU list), so a phase switch re-matches instead of
+    recompiling."""
+    lazy.enable()
+    try:
+        t = df.Tensor(np.ones((4, 4), np.float32), device=dev)
+
+        def phase_a():
+            return float(((t.data * 2.0) + 3.0).sum().numpy())
+
+        def phase_b():
+            return float(((t.data + 7.0) * 0.5).mean().numpy())
+
+        for _ in range(2):  # learn both structures
+            assert phase_a() == 80.0
+            assert phase_b() == 4.0
+        before = lazy.lazy_stats()
+        for _ in range(3):
+            assert phase_a() == 80.0
+            assert phase_b() == 4.0
+        after = lazy.lazy_stats()
+        assert after["compiles"] == before["compiles"]
+        assert after["fast_flushes"] - before["fast_flushes"] == 6
+    finally:
+        lazy.disable()
+
+
+def test_structural_replay_trajectory_long_horizon():
+    """20-step trajectory equality eager vs lazy — long enough that replay
+    covers the bulk of the run (guards against leaf-slot aliasing bugs)."""
+    e = _train(steps=20, lazy_on=False)
+    l = _train(steps=20, lazy_on=True)
+    np.testing.assert_allclose(e, l, rtol=5e-5, atol=5e-5)
