@@ -1,38 +1,52 @@
-"""Benchmark: training throughput (images/sec/chip) on the real TPU.
+"""Benchmark: training throughput on the real TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
+Prints ONE JSON line.  With no env vars the artifact of record is a
+MULTI-ROW suite (r3 VERDICT item 1) — ``rows`` holds one dict per config:
 
-Methodology (r1 items 2+3; r2 item 1):
-- ``value`` is the MEDIAN of BENCH_REPEATS (default 5) timed repeats, each a
-  chain of BENCH_STEPS compiled steps ending in a host readback — the only
-  sound timing shape through this environment's TPU tunnel (BENCH_NOTES.md).
-  ``spread_pct`` = (max-min)/median over the repeats; ``samples`` lists them.
+  1. ``resnet50``      — the FLOP-bound conv flagship (224px bf16 bs128),
+                         paired-interleaved vs its raw-JAX twin.
+  2. ``transformer_lm``— the framework's best class: d2048x8 h16 L1024
+                         V8192 B8 bf16, Pallas flash attention + fused
+                         LM-head CE, paired-interleaved vs a naive-attention
+                         raw-JAX LM twin (rawjax_twin.py).  MFU is ANALYTIC
+                         (documented in-row) because the Pallas kernels are
+                         invisible to XLA's cost analysis.
+  3. ``cifar10_cnn``   — the eager-ratio row: the per-op eager tape is the
+                         faithful stand-in for the reference's per-op CUDA
+                         dispatch (BASELINE.md — the reference publishes no
+                         throughput numbers), so ``vs_baseline`` is the
+                         compiled/eager ratio at a MATCHED config (same
+                         model, batch, dtype).  Measured LAST so its per-op
+                         compile warm-up cannot disturb the rows of record.
+
+Top-level fields mirror the flagship row (driver compatibility) except
+``vs_baseline``, which carries the matched-config eager ratio from the row
+that can measure it (annotated by ``vs_baseline_row``).
+
+Setting BENCH_MODEL selects a single-row run (round-3 behavior).
+
+Methodology (r1 items 2+3; r2 item 1; r3 item 1):
+- ``value`` is the MEDIAN of ``repeats`` timed repeats, each a chain of
+  ``steps`` compiled steps ending in ONE host readback — the only sound
+  timing shape through this environment's TPU tunnel (BENCH_NOTES.md).
+  ``spread_pct`` = (max-min)/median over the repeats.
 - ``vs_rawjax`` anchors against a pure-JAX twin of the same model/optimizer
   (`rawjax_twin.py`: jax.grad + hand-rolled Adam, no tape).  Framework and
   twin are timed INTERLEAVED (A/B/A/B within one session) and the published
-  ratio is the median of the PER-ROUND paired ratios, so a drift in tunnel
-  state between rounds cancels instead of landing on one side (r2 VERDICT
-  item 1: the round-2 artifact timed all framework repeats before all twin
-  repeats and captured 0.745 at 26% spread on a dispatch-bound config).
-- The no-env default is the FLOP-bound flagship — ResNet50-224 bf16 bs128 —
-  whose step time (~57 ms) dwarfs tunnel dispatch jitter (0.1-0.5% spread
-  across rounds) rather than the tiny dispatch-bound CIFAR CNN.
-- ``mfu`` = achieved FLOP/s ÷ chip peak (bf16 MXU peak by device kind), with
-  FLOPs/step taken from the compiled program's own cost analysis.
-- ``vs_baseline`` is the speedup over eager per-op tape execution (the
-  faithful stand-in for the reference's per-op CUDA kernel dispatch,
-  `DeepFlows/backend/backend_src/ndarray_backend_cuda.cu`), since the
-  reference publishes no throughput numbers (BASELINE.md).  It is measured
-  AFTER the interleaved headline timing so its compile warm-up cannot
-  disturb the numbers of record, and is budget-capped.
+  ratio is the median of the PER-ROUND paired ratios, so tunnel drift
+  between rounds cancels instead of landing on one side.
+- ``mfu`` = achieved FLOP/s ÷ chip bf16 peak.  Conv rows count FLOPs from
+  the compiled program's own cost analysis; the LM row uses the analytic
+  convention (2*T*P_mat + 2*T*D*V + full-quadratic attention, x3 fwd+bwd,
+  recompute not counted) because Pallas kernel FLOPs are invisible to XLA
+  cost analysis — both conventions are reported per row.
 
 Env knobs: BENCH_MODEL (resnet50|cifar10_cnn|resnet18|vit_tiny|transformer_lm),
-BENCH_BATCH, BENCH_SEQLEN (LM sequence length),
-BENCH_STEPS, BENCH_REPEATS, BENCH_DTYPE (f32|bf16), BENCH_IMAGE (input size),
-BENCH_EAGER=0 (skip eager baseline), BENCH_RAWJAX=0 (skip twin),
-BENCH_IMPL=rawjax (report the twin as the headline instead),
-BENCH_REMAT=1 (rematerialise residual blocks — nn.Remat).
+BENCH_BATCH, BENCH_SEQLEN, BENCH_STEPS, BENCH_REPEATS, BENCH_DTYPE (f32|bf16),
+BENCH_IMAGE, BENCH_EAGER=0/1, BENCH_RAWJAX=0, BENCH_IMPL=rawjax,
+BENCH_REMAT=1, BENCH_FLASH=0/1, BENCH_LM_DIM/DEPTH/HEADS/VOCAB,
+BENCH_FUSED_CE=0/1, BENCH_ROWS=resnet50,transformer_lm,cifar10_cnn (suite
+row selection).
 """
 
 from __future__ import annotations
@@ -57,20 +71,33 @@ _PEAK_TFLOPS = [
     ("v2", 46.0),
 ]
 
-# per-model no-env defaults; the global default model is the FLOP-bound
-# flagship so the artifact of record is tunnel-jitter-proof.
-# eager=False: the eager tape at ResNet50-224 scale holds EVERY intermediate
-# live (no XLA memory planning) and exhausts HBM at bs128 — and warming its
-# ~100s of per-op compiles through the tunnel takes >10 min even at bs16 —
-# so the default flagship run reports vs_baseline=null with a note; eager
-# ratios for feasible configs live in BENCH_NOTES.md (r02: 69x on the CNN).
+# per-model single-row defaults (BENCH_MODEL set).
+# eager=False on resnet50: the eager tape at 224px bs128 holds EVERY
+# intermediate live (no XLA memory planning) and exhausts HBM — and warming
+# its ~100s of per-op compiles through the tunnel takes >10 min — so the
+# eager ratio of record comes from the cifar10_cnn suite row instead.
 _MODEL_DEFAULTS = {
     "resnet50": {"batch": 128, "image": 224, "dtype": "bf16", "eager": False},
     "resnet18": {"batch": 256, "image": 32, "dtype": "bf16", "eager": True},
     "cifar10_cnn": {"batch": 256, "image": 32, "dtype": "f32", "eager": True},
     "vit_tiny": {"batch": 256, "image": 32, "dtype": "bf16", "eager": True},
-    "transformer_lm": {"batch": 64, "image": 32, "dtype": "bf16", "eager": True},
+    "transformer_lm": {"batch": 8, "image": 32, "dtype": "bf16", "eager": False},
 }
+
+# the no-env suite (r3 VERDICT item 1): flagship conv + best-class LM +
+# matched-config eager ratio.  steps/repeats sized so the whole suite stays
+# well inside the driver window while every row keeps the chained-readback
+# protocol (LM step ~175 ms -> 30-step chains).
+_SUITE = [
+    {"model": "resnet50", "batch": 128, "image": 224, "dtype": "bf16",
+     "steps": 200, "repeats": 5, "eager": False, "twin": True},
+    {"model": "transformer_lm", "batch": 8, "seq_len": 1024, "dtype": "bf16",
+     "lm_dim": 2048, "lm_depth": 8, "lm_heads": 16, "lm_vocab": 8192,
+     "flash": True, "fused_ce": True,
+     "steps": 30, "repeats": 5, "eager": False, "twin": True},
+    {"model": "cifar10_cnn", "batch": 256, "image": 32, "dtype": "f32",
+     "steps": 100, "repeats": 3, "eager": True, "twin": True},
+]
 
 
 def _peak_tflops(device_kind: str):
@@ -79,6 +106,20 @@ def _peak_tflops(device_kind: str):
         if sub in kind:
             return peak
     return None
+
+
+def lm_analytic_flops(B, L, D, depth, V, causal_half=False):
+    """Analytic LM train-step FLOPs (tools/lm_bench_hunt.py convention):
+    fwd = 2*T*(depth*12*D^2) matmuls + 2*T*D*V head + depth*4*B*L^2*D
+    full-quadratic attention (PaLM); total = 3x fwd (bwd = 2x fwd;
+    flash/fused-CE recompute NOT counted — MFU counts model FLOPs)."""
+    T = B * L
+    f_mat = 2 * T * (depth * 12 * D * D)
+    f_head = 2 * T * D * V
+    f_att = depth * 4 * B * L * L * D
+    if causal_half:
+        f_att /= 2
+    return 3.0 * (f_mat + f_head + f_att)
 
 
 def _flops_of(jitted, *args):
@@ -104,34 +145,46 @@ def _flops_of(jitted, *args):
     return None
 
 
-def main() -> None:
+def run_row(cfg):
+    """Measure one benchmark row; returns the row dict.
+
+    cfg keys: model, batch, steps, repeats, dtype, image, seq_len, eager,
+    twin, impl, remat, flash, fused_ce, lm_dim/depth/heads/vocab,
+    eager_steps, eager_budget_s, warmup.
+    """
+    import jax
+    import jax.numpy as jnp
+
     import deepflows_tpu as df
     from deepflows_tpu import Tensor, models, nn, optim
     from deepflows_tpu.jit import CompiledTrainStep
 
-    model_name = os.environ.get("BENCH_MODEL", "resnet50")
-    defaults = _MODEL_DEFAULTS.get(model_name, _MODEL_DEFAULTS["cifar10_cnn"])
-    batch_size = int(os.environ.get("BENCH_BATCH", str(defaults["batch"])))
-    steps = int(os.environ.get("BENCH_STEPS", "200"))
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "5")))
-    impl = os.environ.get("BENCH_IMPL", "framework")
-    warmup = 5
-
-    dtype_name = os.environ.get("BENCH_DTYPE", defaults["dtype"])
+    model_name = cfg["model"]
+    batch_size = int(cfg["batch"])
+    steps = int(cfg["steps"])
+    repeats = max(1, int(cfg["repeats"]))
+    impl = cfg.get("impl", "framework")
+    warmup = int(cfg.get("warmup", 5))
+    remat = bool(cfg.get("remat", False))
+    dtype_name = cfg.get("dtype", "f32")
     compute_dtype = None
     if dtype_name in ("bf16", "bfloat16"):
-        import jax.numpy as jnp
-
         compute_dtype = jnp.bfloat16
         dtype_name = "bf16"
-
-    image_size = int(os.environ.get("BENCH_IMAGE", str(defaults["image"])))
-    seq_len = int(os.environ.get("BENCH_SEQLEN", "128"))
-    vocab = 256
+    image_size = int(cfg.get("image", 32))
+    seq_len = int(cfg.get("seq_len", 128))
+    lm_cfg = {
+        "dim": int(cfg.get("lm_dim", 512)),
+        "depth": int(cfg.get("lm_depth", 6)),
+        "heads": int(cfg.get("lm_heads", 8)),
+        "vocab": int(cfg.get("lm_vocab", 256)),
+    }
+    fused_ce = bool(cfg.get("fused_ce", False))
+    flash = cfg.get("flash")  # None = model auto
 
     rng = np.random.default_rng(0)
     if model_name == "transformer_lm":
-        # token sequences; "images/sec" is sequences/sec for the LM
+        vocab = lm_cfg["vocab"]
         x = rng.integers(0, vocab, (batch_size, seq_len)).astype(np.int32)
         y = rng.integers(0, vocab, (batch_size, seq_len)).astype(np.int32)
     else:
@@ -141,15 +194,11 @@ def main() -> None:
         y = rng.integers(0, 10, batch_size).astype(np.int32)
     # stage the batch on device once: the bench measures chip throughput, not
     # host->device tunnel bandwidth (12.6 MB/step at bs=256 otherwise)
-    import jax
-
     device_kind = jax.devices()[0].device_kind
     peak = _peak_tflops(device_kind)
     x, y = jax.device_put(x), jax.device_put(y)
 
     df.manual_seed(0)
-
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     def build_model():
         if model_name == "resnet18":
@@ -163,15 +212,12 @@ def main() -> None:
                 remat=remat,
             )
         if model_name == "transformer_lm":
-            # BENCH_FLASH: 1 forces the Pallas flash-attention path, 0 the
-            # naive materialized-softmax path, unset = auto (flash on TPU)
-            flash = {"1": True, "0": False}.get(os.environ.get("BENCH_FLASH"))
             return models.TransformerLM(
-                vocab_size=vocab,
+                vocab_size=lm_cfg["vocab"],
                 max_len=seq_len,
-                dim=int(os.environ.get("BENCH_LM_DIM", "512")),
-                depth=int(os.environ.get("BENCH_LM_DEPTH", "6")),
-                num_heads=int(os.environ.get("BENCH_LM_HEADS", "8")),
+                dim=lm_cfg["dim"],
+                depth=lm_cfg["depth"],
+                num_heads=lm_cfg["heads"],
                 device="tpu",
                 remat=remat,
                 flash=flash,
@@ -187,15 +233,13 @@ def main() -> None:
         return models.CIFAR10_CNN(device="tpu")
 
     # with remat on, the non-remat rawjax twin is not the same program —
-    # a vs_rawjax ratio would misread the remat trade as framework overhead;
-    # vit/lm have no twin at all
-    has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50")
+    # a vs_rawjax ratio would misread the remat trade as framework overhead
+    has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50",
+                              "transformer_lm")
     if impl == "rawjax" and not has_twin:
-        raise SystemExit(f"no rawjax twin for BENCH_MODEL={model_name}")
+        raise SystemExit(f"no rawjax twin for model={model_name}")
     want_twin = (
-        has_twin
-        and not remat
-        and (impl == "rawjax" or os.environ.get("BENCH_RAWJAX", "1") == "1")
+        has_twin and not remat and (impl == "rawjax" or cfg.get("twin", True))
     )
 
     # ---------------------------------------------------------- framework
@@ -206,10 +250,18 @@ def main() -> None:
     if impl != "rawjax":
         model = build_model()
         opt = optim.Adam(model.parameters(), lr=5e-3, weight_decay=5e-4)
-        # CrossEntropyLoss accepts (B, L, V) sequence logits directly
-        step = CompiledTrainStep(
-            model, opt, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
-        )
+        if model_name == "transformer_lm" and fused_ce:
+            # fused LM-head CE: the head matmul + CE run as one Pallas
+            # kernel; the (B, L, V) logits never reach HBM
+            step = CompiledTrainStep(
+                model.trunk(), opt, nn.LMHeadCrossEntropy(model.head),
+                compute_dtype=compute_dtype,
+            )
+        else:
+            # CrossEntropyLoss accepts (B, L, V) sequence logits directly
+            step = CompiledTrainStep(
+                model, opt, nn.CrossEntropyLoss(), compute_dtype=compute_dtype
+            )
 
         for _ in range(warmup):
             loss = step(x, y)
@@ -235,16 +287,19 @@ def main() -> None:
             y,
         )
         # independent FLOP estimate: forward-only program x3 (the standard
-        # fwd+bwd analytic convention) — cross-checks the train-step HLO count
-        from deepflows_tpu.jit import CompiledEvalStep
+        # fwd+bwd analytic convention) — cross-checks the train-step HLO
+        # count.  Skipped for the fused-CE LM (trunk-only forward would
+        # undercount; the LM row's MFU of record is analytic anyway).
+        if not (model_name == "transformer_lm" and fused_ce):
+            from deepflows_tpu.jit import CompiledEvalStep
 
-        ev = CompiledEvalStep(model)
-        fwd_flops = _flops_of(
-            ev._jitted,
-            [p.data.array for p in ev._params],
-            [b.data.array for b in ev._buffers],
-            x,
-        )
+            ev = CompiledEvalStep(model)
+            fwd_flops = _flops_of(
+                ev._jitted,
+                [p.data.array for p in ev._params],
+                [b.data.array for b in ev._buffers],
+                x,
+            )
 
     # ---------------------------------------------------------- rawjax twin
     raw_chain = None
@@ -259,6 +314,10 @@ def main() -> None:
             compute_dtype=compute_dtype,
             lr=5e-3,
             weight_decay=5e-4,
+            lm_cfg={"seq_len": seq_len, "vocab": lm_cfg["vocab"],
+                    "dim": lm_cfg["dim"], "depth": lm_cfg["depth"],
+                    "heads": lm_cfg["heads"]}
+            if model_name == "transformer_lm" else None,
         )
         xr, yr = jax.device_put(xr), jax.device_put(yr)
         rawjax_flops = _flops_of(jitted, params, state, opt_state, np.int32(0), xr, yr)
@@ -311,20 +370,21 @@ def main() -> None:
     # interleaved numbers of record
     vs_baseline = None
     vs_baseline_note = None
-    eager_default = "1" if defaults.get("eager", True) else "0"
-    if os.environ.get("BENCH_EAGER", eager_default) != "1":
-        if impl != "rawjax" and not defaults.get("eager", True):
+    if not cfg.get("eager", False):
+        if impl != "rawjax" and model_name == "resnet50":
             vs_baseline_note = (
                 "eager tape at this config exhausts HBM (holds all "
-                "intermediates live); eager ratios on feasible configs are "
-                "in BENCH_NOTES.md (r02: 69x on cifar10_cnn bs256)"
+                "intermediates live); the matched-config eager ratio of "
+                "record is the cifar10_cnn suite row (r3 feasible-config "
+                "eager rows in BENCH_NOTES.md: ResNet50-224 f32 bs64 "
+                "eager 99 img/s vs compiled 1044 img/s)"
             )
     elif impl != "rawjax":
         df.manual_seed(0)
         emodel = build_model()
         eopt = optim.Adam(emodel.parameters(), lr=5e-3, weight_decay=5e-4)
         crit = nn.CrossEntropyLoss()
-        eager_steps = max(2, int(os.environ.get("BENCH_EAGER_STEPS", "3")))
+        eager_steps = max(2, int(cfg.get("eager_steps", 3)))
 
         def eager_one():
             out = emodel(Tensor(x, device="tpu"))
@@ -337,7 +397,7 @@ def main() -> None:
         eager_one()  # warm per-op compile caches
         t0 = time.perf_counter()
         done = 0
-        budget_s = float(os.environ.get("BENCH_EAGER_BUDGET_S", "120"))
+        budget_s = float(cfg.get("eager_budget_s", 120))
         for _ in range(eager_steps):
             eager_one()
             done += 1
@@ -366,14 +426,15 @@ def main() -> None:
             3 * fwd_flops * (headline_ips / batch_size) / (peak * 1e12), 4
         )
 
-    out = {
+    row = {
         "metric": f"{model_name}_train_throughput",
         "value": round(headline_ips, 1),
-        "unit": "images/sec/chip",
+        "unit": ("sequences/sec/chip" if model_name == "transformer_lm"
+                 else "images/sec/chip"),
         "vs_baseline": vs_baseline,
         "vs_baseline_note": vs_baseline_note,
         "impl": impl,
-        "remat": remat,  # resnet/vit/lm models; ignored for cifar10_cnn
+        "remat": remat,
         "seq_len": seq_len if model_name == "transformer_lm" else None,
         "batch_size": batch_size,
         "steps": steps,
@@ -381,7 +442,7 @@ def main() -> None:
         "spread_pct": spread_pct,
         "samples": [round(s, 1) for s in headline_samples],
         "dtype": dtype_name,
-        "image_size": image_size,
+        "image_size": None if model_name == "transformer_lm" else image_size,
         "device_kind": device_kind,
         "flops_per_step": flops_per_step,
         "fwd_flops": fwd_flops,
@@ -393,6 +454,114 @@ def main() -> None:
         "vs_rawjax": vs_rawjax,
         "vs_rawjax_rounds": [round(r, 3) for r in paired_ratios] or None,
         "rawjax_ips": round(rawjax_ips, 1) if rawjax_ips else None,
+    }
+
+    if model_name == "transformer_lm":
+        # MFU of record for the LM row is ANALYTIC: the flash-attention and
+        # fused-CE Pallas kernels are invisible to XLA cost analysis, so the
+        # HLO-counted mfu above (kept as mfu_hlo) undercounts.
+        D, depth, V = lm_cfg["dim"], lm_cfg["depth"], lm_cfg["vocab"]
+        fl = lm_analytic_flops(batch_size, seq_len, D, depth, V)
+        fl_c = lm_analytic_flops(batch_size, seq_len, D, depth, V,
+                                 causal_half=True)
+        row["mfu_hlo"] = row["mfu"]
+        if headline_ips and peak:
+            row["mfu"] = round(
+                fl * (headline_ips / batch_size) / (peak * 1e12), 4)
+            row["mfu_causal"] = round(
+                fl_c * (headline_ips / batch_size) / (peak * 1e12), 4)
+            row["achieved_tflops"] = round(
+                fl * (headline_ips / batch_size) / 1e12, 2)
+        row["flops_per_step"] = fl
+        row["mfu_convention"] = (
+            "analytic: 3x(2*T*P_mat + 2*T*D*V + full-quadratic attention); "
+            "recompute not counted; mfu_causal = causal-half attention"
+        )
+        row["tokens_per_sec"] = (
+            round(headline_ips * seq_len) if headline_ips else None
+        )
+        row["lm_config"] = {**lm_cfg, "seq_len": seq_len,
+                            "flash": flash if flash is not None else "auto",
+                            "fused_ce": fused_ce}
+    return row
+
+
+def _env_cfg():
+    """Single-row config from BENCH_* env (round-3 compatible)."""
+    model_name = os.environ["BENCH_MODEL"]
+    defaults = _MODEL_DEFAULTS.get(model_name, _MODEL_DEFAULTS["cifar10_cnn"])
+    flash = {"1": True, "0": False}.get(os.environ.get("BENCH_FLASH"))
+    eager_default = defaults.get("eager", True)
+    return {
+        "model": model_name,
+        "batch": int(os.environ.get("BENCH_BATCH", str(defaults["batch"]))),
+        "steps": int(os.environ.get("BENCH_STEPS", "200")),
+        "repeats": max(1, int(os.environ.get("BENCH_REPEATS", "5"))),
+        "impl": os.environ.get("BENCH_IMPL", "framework"),
+        "dtype": os.environ.get("BENCH_DTYPE", defaults["dtype"]),
+        "image": int(os.environ.get("BENCH_IMAGE", str(defaults["image"]))),
+        "seq_len": int(os.environ.get("BENCH_SEQLEN", "128")),
+        "remat": os.environ.get("BENCH_REMAT", "0") == "1",
+        "twin": os.environ.get("BENCH_RAWJAX", "1") == "1",
+        "eager": os.environ.get(
+            "BENCH_EAGER", "1" if eager_default else "0") == "1",
+        "flash": flash,
+        "fused_ce": os.environ.get("BENCH_FUSED_CE", "0") == "1",
+        "lm_dim": int(os.environ.get("BENCH_LM_DIM", "512")),
+        "lm_depth": int(os.environ.get("BENCH_LM_DEPTH", "6")),
+        "lm_heads": int(os.environ.get("BENCH_LM_HEADS", "8")),
+        "lm_vocab": int(os.environ.get("BENCH_LM_VOCAB", "256")),
+        "eager_steps": int(os.environ.get("BENCH_EAGER_STEPS", "3")),
+        "eager_budget_s": float(os.environ.get("BENCH_EAGER_BUDGET_S", "120")),
+    }
+
+
+def main() -> None:
+    if os.environ.get("BENCH_MODEL"):
+        print(json.dumps(run_row(_env_cfg())))
+        return
+
+    # ------------------------------------------------------- no-env suite
+    want = os.environ.get("BENCH_ROWS")
+    suite = _SUITE
+    if want:
+        names = [n.strip() for n in want.split(",") if n.strip()]
+        suite = [c for c in _SUITE if c["model"] in names]
+    rows = []
+    for cfg in suite:
+        try:
+            rows.append(run_row(dict(cfg)))
+        except Exception as e:  # a row failure must not sink the artifact
+            rows.append({"metric": f"{cfg['model']}_train_throughput",
+                         "error": repr(e)[:400]})
+    by_model = {r["metric"].split("_train_")[0]: r for r in rows}
+    flagship = by_model.get("resnet50", rows[0] if rows else {})
+    # top-level vs_baseline: the matched-config eager ratio from whichever
+    # row measured one (the suite's cifar10_cnn row)
+    vs_baseline, vs_baseline_row = None, None
+    for r in rows:
+        if r.get("vs_baseline") is not None:
+            vs_baseline, vs_baseline_row = r["vs_baseline"], r["metric"]
+            break
+    lm = by_model.get("transformer_lm", {})
+    out = {
+        "metric": "train_throughput_suite",
+        "value": flagship.get("value"),
+        "unit": flagship.get("unit"),
+        "vs_baseline": vs_baseline,
+        "vs_baseline_row": vs_baseline_row,
+        "vs_baseline_note": (
+            "compiled/eager ratio at a matched config (same model, batch, "
+            "dtype); the per-op eager tape stands in for the reference's "
+            "per-op CUDA dispatch (BASELINE.md: reference publishes no "
+            "throughput numbers)"
+        ),
+        "flagship_mfu": flagship.get("mfu"),
+        "flagship_vs_rawjax": flagship.get("vs_rawjax"),
+        "lm_mfu": lm.get("mfu"),
+        "lm_vs_rawjax": lm.get("vs_rawjax"),
+        "device_kind": flagship.get("device_kind"),
+        "rows": rows,
     }
     print(json.dumps(out))
 
