@@ -874,6 +874,100 @@ def _flash_blocks(lq, lk, block_q, block_k):
     return bq, bk
 
 
+# ---------------------- single-block (short-L) head-packed flash fast path
+# When the whole sequence fits one block (nq == nk == 1, i.e. L <= 512 at
+# default block sizes) the online-softmax machinery is pure overhead: no
+# running (max, sum) rescale is needed, and the backward's two kernels each
+# recomputing the scores collapse into ONE kernel with ONE recompute that
+# emits dq/dk/dv together.  Packing g heads per grid step amortizes the
+# per-step DMA/grid overhead that dominates at short L (a (128, 64) bf16
+# q block is a 16 KB DMA — latency-bound; g=8 makes it 128 KB) — this is
+# the r3-measured regime where the multi-block kernel lost to XLA's batched
+# matmuls (0.58x at L=128, BENCH_NOTES "Flash attention").
+
+
+def _flash_packed_mask(lqp, lkp, lk, causal, window):
+    """(lqp, lkp) bool mask, True = masked out; shared across the g heads."""
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (lqp, lkp), 1)
+    mask = kpos >= lk  # padded KV tail
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (lqp, lkp), 0)
+        mask = jnp.logical_or(mask, kpos > qpos)
+        if window:
+            mask = jnp.logical_or(mask, kpos <= qpos - window)
+    return mask
+
+
+def _flash_packed_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, g, causal, lk, window,
+):
+    lqp, lkp = q_ref.shape[1], k_ref.shape[1]
+    mask = _flash_packed_mask(lqp, lkp, lk, causal, window)
+    for h in range(g):  # static unroll: one MXU chain per packed head
+        q = q_ref[h]
+        s = jax.lax.dot_general(
+            q, k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(mask, _NEG_INF, s)
+        m = jnp.max(s, axis=1, keepdims=True)  # one-pass: no running rescale
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[h] = (
+            jax.lax.dot(
+                p.astype(v_ref.dtype), v_ref[h],
+                preferred_element_type=jnp.float32,
+            ) / l_safe
+        ).astype(o_ref.dtype)
+        lse_ref[h] = jnp.broadcast_to(
+            m + jnp.log(l_safe), lse_ref.shape[1:]
+        )
+
+
+def _flash_packed_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, g, causal, lk, window,
+):
+    lqp, lkp = q_ref.shape[1], k_ref.shape[1]
+    mask = _flash_packed_mask(lqp, lkp, lk, causal, window)
+    for h in range(g):
+        q = q_ref[h]
+        kb = k_ref[h]
+        do = do_ref[h]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(mask, _NEG_INF, s)
+        p = jnp.exp(s - lse_ref[h][:, 0:1])  # masked -> 0
+        dv_ref[h] = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[h][:, 0:1]) * scale
+        dq_ref[h] = jax.lax.dot(
+            ds.astype(kb.dtype), kb, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[h] = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _flash_pack_g(bh, lqp, lkp, rows_budget):
+    """Heads per grid step: fill ~rows_budget of q rows per step, bounded
+    by the f32 (lqp, lkp) score temporaries the unrolled loop keeps live."""
+    g = max(1, rows_budget // max(lqp, 1))
+    while g > 1 and (bh % g or g * lqp * lkp * 4 > 4 * 1024 * 1024):
+        g -= 1
+    return g
+
+
 def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k, window):
     """q,k,v: (BH, L, D) -> (out (BH, L, D), lse (BH, Lqp) f32)."""
     bh, lq, d = q.shape
@@ -888,6 +982,35 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k, window):
     kp = _flash_pad(k, lkp, dp)
     vp = _flash_pad(v, lkp, dp)
     nq, nk = lqp // bq, lkp // bk
+    if nq == 1 and nk == 1:
+        # short-L fast path: one-pass softmax, g heads per grid step
+        g = _flash_pack_g(bh, lqp, lkp, rows_budget=1024)
+        blk = pl.BlockSpec((g, lqp, dp), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        blk_kvp = pl.BlockSpec((g, lkp, dp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_lsep = pl.BlockSpec((g, lqp, _LSE_LANES), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_packed_fwd_kernel, scale=scale, g=g,
+                causal=causal, lk=lk, window=window,
+            ),
+            grid=(bh // g,),
+            in_specs=[blk, blk_kvp, blk_kvp],
+            out_specs=(blk, blk_lsep),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+                jax.ShapeDtypeStruct((bh, lqp, _LSE_LANES), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * lqp * lkp * dp,
+                bytes_accessed=2 * bh * (lqp + 2 * lkp) * dp * q.dtype.itemsize,
+                transcendentals=bh * lqp * lkp,
+            ),
+            interpret=_interpret(),
+        )(qp, kp, vp)
+        return out[:, :lq, :d], lse[:, :, 0]
     blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
     blk_lse = pl.BlockSpec(
@@ -945,6 +1068,42 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q,
     lse = jnp.broadcast_to(lse[:, :, None], (bh, lqp, _LSE_LANES))
     delta = jnp.broadcast_to(delta[:, :, None], (bh, lqp, _LSE_LANES))
     nq, nk = lqp // bq, lkp // bk
+
+    if nq == 1 and nk == 1:
+        # short-L fast path: ONE kernel, ONE score recompute, emits
+        # dq/dk/dv together (the multi-block path recomputes scores in both
+        # the dq and dkv kernels); g heads per step amortize DMA/grid cost.
+        # Tighter rows budget than forward: the unrolled loop keeps the
+        # f32 (lqp, lkp) s/p/dp temporaries live per head.
+        g = _flash_pack_g(bh, lqp, lkp, rows_budget=512)
+        blk = pl.BlockSpec((g, lqp, dp), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        blk_kvp = pl.BlockSpec((g, lkp, dp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_lsep = pl.BlockSpec((g, lqp, _LSE_LANES), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_packed_bwd_kernel, scale=scale, g=g,
+                causal=causal, lk=lk, window=window,
+            ),
+            grid=(bh // g,),
+            in_specs=[blk, blk_kvp, blk_kvp, blk, blk_lsep, blk_lsep],
+            out_specs=(blk, blk_kvp, blk_kvp),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+                jax.ShapeDtypeStruct((bh, lkp, dp), k.dtype),
+                jax.ShapeDtypeStruct((bh, lkp, dp), v.dtype),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bh * lqp * lkp * dp,
+                bytes_accessed=4 * bh * (2 * lqp + 2 * lkp) * dp
+                * q.dtype.itemsize,
+                transcendentals=bh * lqp * lkp,
+            ),
+            interpret=_interpret(),
+        )(qp, kp, vp, dop, lse, delta)
+        return dq[:, :lq, :d], dk[:, :lk, :d], dv[:, :lk, :d]
 
     blk_q = pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
