@@ -95,10 +95,18 @@ class Optimizer:
 
         mask = tuple(g is not None for g in grad_arrays)
         # lazy mode: record the whole update into the pending fragment so
-        # forward+backward+optimizer flush as ONE compiled program
+        # forward+backward+optimizer flush as ONE compiled program.  Any
+        # lazy input triggers recording: after lazy.enable() mid-program
+        # the params are still concrete while the grads are already lazy —
+        # feeding those grads to jax.jit would crash at abstractification.
         from ..backend.lazy import LazyArray
 
-        if any(isinstance(a, LazyArray) for a in param_arrays):
+        if any(
+            isinstance(a, LazyArray)
+            for a in param_arrays
+            + [g for g in grad_arrays if g is not None]
+            + jax.tree.leaves(state)
+        ):
             from ..backend import lazy
 
             rec = self._jit_cache.get(("lazy", mask))

@@ -386,3 +386,37 @@ def test_structural_replay_trajectory_long_horizon():
     e = _train(steps=20, lazy_on=False)
     l = _train(steps=20, lazy_on=True)
     np.testing.assert_allclose(e, l, rtol=5e-5, atol=5e-5)
+
+
+def test_enable_after_model_creation():
+    """lazy.enable() mid-program: params are still concrete device arrays
+    while the first backward's grads are already lazy — the optimizer
+    dispatch must record the update instead of feeding LazyArrays to
+    jax.jit (regression: ValueError at abstractification)."""
+    def run(switch):
+        df.manual_seed(0)
+        m = _cnn()
+        crit = nn.CrossEntropyLoss()
+        opt = optim.Adam(m.parameters(), lr=1e-3)
+        X, Y = _data()
+        m.train()
+        losses = []
+        try:
+            for i in range(4):
+                if switch and i == 1:  # enable AFTER step 0 ran eagerly
+                    lazy.enable()
+                loss = crit(
+                    m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev)
+                )
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+                losses.append(float(loss.data.numpy()))
+        finally:
+            if switch:
+                lazy.disable()
+        return losses
+
+    eager = run(switch=False)
+    mixed = run(switch=True)
+    np.testing.assert_allclose(eager, mixed, rtol=5e-5, atol=5e-5)
