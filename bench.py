@@ -91,12 +91,20 @@ _MODEL_DEFAULTS = {
 _SUITE = [
     {"model": "resnet50", "batch": 128, "image": 224, "dtype": "bf16",
      "steps": 200, "repeats": 5, "eager": False, "twin": True},
+    # d1024x12 h8 is the largest hunt config whose naive-attention twin
+    # CO-RESIDES with the framework model in 16 GB HBM (the d2048x8 h16
+    # MFU-0.644 headline from tools/lm_bench_hunt.py OOMs once the twin's
+    # saved L^2 softmax tensors join it — that config's number lives in
+    # BENCH_NOTES "Transformer-LM headline config hunt")
     {"model": "transformer_lm", "batch": 8, "seq_len": 1024, "dtype": "bf16",
-     "lm_dim": 2048, "lm_depth": 8, "lm_heads": 16, "lm_vocab": 8192,
+     "lm_dim": 1024, "lm_depth": 12, "lm_heads": 8, "lm_vocab": 8192,
      "flash": True, "fused_ce": True,
      "steps": 30, "repeats": 5, "eager": False, "twin": True},
+    # twin=False: this row exists for the eager ratio only — a tiny-CNN
+    # vs_rawjax is dispatch-bound through the tunnel (the r2 artifact's
+    # 26%-spread lesson) and says nothing about the framework
     {"model": "cifar10_cnn", "batch": 256, "image": 32, "dtype": "f32",
-     "steps": 100, "repeats": 3, "eager": True, "twin": True},
+     "steps": 100, "repeats": 3, "eager": True, "twin": False},
 ]
 
 
@@ -527,6 +535,10 @@ def main() -> None:
     if want:
         names = [n.strip() for n in want.split(",") if n.strip()]
         suite = [c for c in _SUITE if c["model"] in names]
+    import gc
+
+    import jax
+
     rows = []
     for cfg in suite:
         try:
@@ -534,6 +546,12 @@ def main() -> None:
         except Exception as e:  # a row failure must not sink the artifact
             rows.append({"metric": f"{cfg['model']}_train_throughput",
                          "error": repr(e)[:400]})
+        # release the row's HBM (params, Adam state, twin, compiled
+        # programs) before the next row compiles — without this the LM
+        # row inherits the conv row's live buffers
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
     by_model = {r["metric"].split("_train_")[0]: r for r in rows}
     flagship = by_model.get("resnet50", rows[0] if rows else {})
     # top-level vs_baseline: the matched-config eager ratio from whichever

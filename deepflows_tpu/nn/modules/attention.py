@@ -133,10 +133,14 @@ class MultiheadAttention(Module):
         return getattr(self.q_proj.weight.device, "is_jax", False)
 
     # auto-mode crossover: measured on-chip (v5e, LM bs32-64, head_dim 64,
-    # BENCH_NOTES "Flash attention") — XLA's fused attention wins at short
-    # L (its batched matmuls amortize better than sequential kernel grid
-    # steps), parity at L=512, flash wins beyond as the naive (L, L)
-    # softmax turns HBM-bound.  flash=True/False always overrides.
+    # BENCH_NOTES "Flash attention", r4 re-measure with the head-packed
+    # single-block kernels) — end-to-end flash/naive train-step ratio:
+    # 0.75 @ L=128, 0.81 @ 256, 1.14 @ 512, 1.14 @ 1024.  XLA's fused
+    # attention still wins below 512 (its batched matmuls amortize better
+    # than per-head kernel steps at tiny block counts); from the gate up,
+    # flash WINS outright and additionally never materializes the (L, L)
+    # softmax (far higher batch ceiling).  flash=True/False always
+    # overrides.
     FLASH_AUTO_MIN_LEN = 512
 
     def _use_flash(self, need_weights: bool, q_len: int = 0) -> bool:

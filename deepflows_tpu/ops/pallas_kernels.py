@@ -984,7 +984,7 @@ def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k, window):
     nq, nk = lqp // bq, lkp // bk
     if nq == 1 and nk == 1:
         # short-L fast path: one-pass softmax, g heads per grid step
-        g = _flash_pack_g(bh, lqp, lkp, rows_budget=1024)
+        g = _flash_pack_g(bh, lqp, lkp, rows_budget=2048)
         blk = pl.BlockSpec((g, lqp, dp), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
         blk_kvp = pl.BlockSpec((g, lkp, dp), lambda b: (b, 0, 0),
@@ -1075,7 +1075,7 @@ def _flash_bwd_impl(q, k, v, out, lse, do, causal, scale, block_q,
         # the dq and dkv kernels); g heads per step amortize DMA/grid cost.
         # Tighter rows budget than forward: the unrolled loop keeps the
         # f32 (lqp, lkp) s/p/dp temporaries live per head.
-        g = _flash_pack_g(bh, lqp, lkp, rows_budget=512)
+        g = _flash_pack_g(bh, lqp, lkp, rows_budget=1024)
         blk = pl.BlockSpec((g, lqp, dp), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
         blk_kvp = pl.BlockSpec((g, lkp, dp), lambda b: (b, 0, 0),
