@@ -1266,6 +1266,42 @@ def disable() -> None:
     if isinstance(dev.mod, LazyModule):
         flush()
         dev.mod = dev.mod.inner
+        _materialize_escaped()
+
+
+def _materialize_escaped() -> None:
+    """Replace every LazyArray still held by live BackendTensors and
+    dict/list containers (optimizer state, grad caches) with its concrete
+    device value.  After the switch back to eager, plain jnp ops would
+    force a LazyArray through ``__jax_array__``, but JITTED kernels
+    (pallas matmul, the one-program optimizer update) reject it at
+    abstractification — params/Adam state from lazy-mode steps crashed the
+    first eager op after disable().  flush() has already run, so force()
+    just unwraps the computed value."""
+    import gc
+
+    from .ndarray import BackendTensor
+
+    for obj in gc.get_objects():
+        t = type(obj)
+        if t is dict:
+            for k, v in obj.items():
+                if isinstance(v, LazyArray):
+                    obj[k] = v.force()
+        elif t is list:
+            for i, v in enumerate(obj):
+                if isinstance(v, LazyArray):
+                    obj[i] = v.force()
+        elif isinstance(obj, BackendTensor) and isinstance(
+            obj.array, LazyArray
+        ):
+            obj.array = obj.array.force()
+    # the sweep just rewrote any lazy-keyed scalar-constant cache entries
+    # to plain arrays in place — drop them so the next enable() rebuilds
+    # proper lazy-mode constants instead of force()-ing plain ones
+    from .. import tensor as _tensor
+
+    _tensor._scalar_const_cache.clear()
 
 
 def enabled() -> bool:

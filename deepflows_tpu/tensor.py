@@ -531,6 +531,39 @@ class UnaryOperator(Tensor):
         return f"Tensor({self.data}, op={self.__class__.__name__})"
 
 
+_scalar_const_cache: dict = {}
+
+
+def _scalar_const(value, dtype, device) -> BackendTensor:
+    """Device constant for a Python-scalar operand, cached by
+    (type, value, dtype, device).  Module code rebuilds the same eps/
+    momentum/0.5/... constants every training step; without the cache each
+    binary op pays a numpy alloc + device_put (measured 51 device_puts per
+    ResNet50 step in lazy mode).  Results built inside a jit trace are
+    Tracers owned by that trace and are NEVER cached (omnistaging — a
+    cached tracer poisons every later trace).  The key includes the lazy
+    switch: an eager-cached PLAIN jax scalar used under lazy mode would sit
+    on the left of comparisons and force the LazyArray operand
+    (``__jax_array__`` -> flush mid-backward, splitting the step fragment),
+    and a lazy-cached LazyArray used eagerly would leak into jit traces."""
+    from .backend import lazy as _lazy
+
+    try:
+        key = (type(value), value, str(dtype), id(device), _lazy.enabled())
+        bt = _scalar_const_cache.get(key)
+    except TypeError:  # unhashable (array-likes take the uncached path)
+        key, bt = None, None
+    if bt is not None:
+        return bt
+    bt = BackendTensor(np.asarray(value, dtype=dtype), device=device)
+    if key is not None:
+        from jax.core import Tracer
+
+        if not isinstance(bt.array, Tracer):
+            _scalar_const_cache[key] = bt
+    return bt
+
+
 class BinaryOperator(Tensor):
     """Binary op base: coerces scalar/BackendTensor operands and asserts the
     operands share a device (reference `tensor.py:581-619`)."""
@@ -548,14 +581,18 @@ class BinaryOperator(Tensor):
         if not isinstance(x, Tensor):
             if isinstance(y, Tensor) and not isinstance(x, (Tensor, BackendTensor)):
                 x = Tensor(
-                    np.asarray(x, dtype=self._scalar_dtype(y)), device=y.device
+                    _scalar_const(x, self._scalar_dtype(y), y.device),
+                    device=y.device,
                 )
             else:
                 x = Tensor(x, device=y.device if isinstance(y, Tensor) else None)
         if isinstance(y, BackendTensor):
             y = Tensor(y)
         elif not isinstance(y, Tensor):
-            y = Tensor(np.asarray(y, dtype=self._scalar_dtype(x)), device=x.device)
+            y = Tensor(
+                _scalar_const(y, self._scalar_dtype(x), x.device),
+                device=x.device,
+            )
         if x is y:
             # grad dispatch is by parent identity; alias one operand through
             # an identity node so (x - x), (x / x), x @ x etc. accumulate the

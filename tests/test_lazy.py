@@ -420,3 +420,42 @@ def test_enable_after_model_creation():
     eager = run(switch=False)
     mixed = run(switch=True)
     np.testing.assert_allclose(eager, mixed, rtol=5e-5, atol=5e-5)
+
+
+def test_disable_restores_jitted_eager_paths():
+    """After lazy training + disable(), params/optimizer state must be
+    concrete again: the first eager op routes them into JITTED kernels
+    (matmul, one-program Adam) which reject LazyArray arguments at
+    abstractification (regression: crash on the first post-disable step)."""
+    df.manual_seed(0)
+    m = nn.Sequential(
+        nn.Linear(16, 32, device=dev), nn.ReLU(), nn.Linear(32, 4, device=dev)
+    )
+    opt = optim.Adam(m.parameters(), lr=1e-2)
+    crit = nn.CrossEntropyLoss()
+    rng = np.random.RandomState(0)
+    X = rng.randn(32, 16).astype(np.float32)
+    Y = rng.randint(0, 4, (32,))
+    lazy.enable()
+    try:
+        for _ in range(3):
+            loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        float(loss.data.numpy())
+    finally:
+        lazy.disable()
+    from deepflows_tpu.backend.lazy import LazyArray
+
+    assert not any(
+        isinstance(p.data.array, LazyArray) for p in m.parameters()
+    )
+    losses = []
+    for _ in range(3):
+        loss = crit(m(df.Tensor(X, device=dev)), df.Tensor(Y, device=dev))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.data.numpy()))
+    assert np.isfinite(losses).all()

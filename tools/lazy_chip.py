@@ -56,11 +56,15 @@ def main(steps=50, rb=10, batch=64, image=224):
         return 1000.0 * (time.perf_counter() - t0) / steps
 
     # ---------------- lazy imperative loop
+    # enable BEFORE model creation (the DEEPFLOWS_LAZY=1 placement): params
+    # are lazy leaves from the start, so every step matches one step
+    # template.  Enabling mid-program is correct but fragments the step
+    # (concrete params rebind each flush -> template mismatches).
+    lazy.enable()
     df.manual_seed(0)
     model_l = models.ResNet50(num_classes=10, small_input=False, device="tpu")
     opt_l = optim.Adam(model_l.parameters(), lr=1e-3)
     crit = nn.CrossEntropyLoss()
-    lazy.enable()
 
     def lazy_step():
         out = model_l(Tensor(xd, device="tpu"))
