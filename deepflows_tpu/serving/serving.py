@@ -45,9 +45,13 @@ class PredictService:
         draft_model=None, spec_gamma: int = 4,
     ):
         """``decode_dtype``/``decode_quant`` configure the Generate RPC's
-        KV-cache decoder (e.g. ``decode_dtype=jnp.bfloat16,
-        decode_quant="int8"`` serves int8-weight decode — the
-        weight-bandwidth fast path); Predict is unaffected.
+        KV-cache decoder (e.g. ``decode_dtype=jnp.bfloat16``); Predict is
+        unaffected.  ``decode_quant="int8"`` is EXPERIMENTAL: measured on
+        v5e it loses to plain bf16 decode at every scale tried, including
+        B=1 on 0.8-1.6 B-param models where bf16 already streams weights at
+        ~80% of HBM peak — the in-kernel int8->bf16 widening is VPU-bound
+        (BENCH_NOTES "int8 regime hunt").  Use bf16 unless you have
+        measured otherwise on your hardware.
 
         ``draft_model`` turns on SPECULATIVE DECODING for Generate
         (``models.SpeculativeDecoder``): the small draft proposes

@@ -69,7 +69,7 @@ def run(dim=2048, depth=16, B=1, new_tokens=256, prompt=32, vocab=1024,
     return out
 
 
-DEFAULT = ["2048,16,1,256", "2048,16,4,256", "2816,24,1,128"]
+DEFAULT = ["2048,16,1,256", "2048,16,4,256", "2560,20,1,128"]
 
 if __name__ == "__main__":
     for spec in (sys.argv[1:] or DEFAULT):
