@@ -102,9 +102,12 @@ _SUITE = [
      "steps": 30, "repeats": 5, "eager": False, "twin": True},
     # twin=False: this row exists for the eager ratio only — a tiny-CNN
     # vs_rawjax is dispatch-bound through the tunnel (the r2 artifact's
-    # 26%-spread lesson) and says nothing about the framework
+    # 26%-spread lesson) and says nothing about the framework.  400-step
+    # chains: at ~2.4 ms/step a 100-step chain was readback-dominated
+    # (52% spread measured); ~1 s chains amortize the tunnel round trip.
     {"model": "cifar10_cnn", "batch": 256, "image": 32, "dtype": "f32",
-     "steps": 100, "repeats": 3, "eager": True, "twin": False},
+     "steps": 400, "repeats": 5, "eager": True, "eager_steps": 5,
+     "twin": False},
 ]
 
 

@@ -36,13 +36,23 @@ _QKV_KEYS = frozenset(("q_w", "k_w", "v_w", "q_b", "k_b", "v_b"))
 
 def _mm(x, w):
     """x @ w where ``w`` is either a dense array or an int8-quantized
-    ``{"q": int8, "s": per-channel scale}`` pair, routed through the Pallas
-    dequant-in-kernel matmul (``ops.pallas_kernels.int8_matmul``)."""
+    ``{"q": int8, "s": per-channel scale, "mode": "int8"|"w8a8"}`` pair.
+    mode "int8" keeps activations full-width and dequantizes the weight
+    inside the Pallas kernel; mode "w8a8" additionally quantizes the
+    activations per row and runs the native s8 x s8 -> s32 MXU matmul
+    (``ops.pallas_kernels.w8a8_matmul``) — no widening of either operand."""
     if isinstance(w, dict):
-        from ..ops.pallas_kernels import int8_matmul
-
         lead = x.shape[:-1]
-        y = int8_matmul(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+        x2 = x.reshape(-1, x.shape[-1])
+        if "w8a8" in w:
+            from ..ops.pallas_kernels import quantize_int8_rows, w8a8_matmul
+
+            xq, sx = quantize_int8_rows(x2)
+            y = w8a8_matmul(xq, sx, w["w8a8"], w["s"], out_dtype=x.dtype)
+        else:
+            from ..ops.pallas_kernels import int8_matmul
+
+            y = int8_matmul(x2, w["q"], w["s"])
         return y.reshape(*lead, y.shape[-1])
     return x @ w
 
@@ -176,8 +186,10 @@ class KVCacheDecoder:
         for bf16 activations over int8 weights."""
         import jax
 
-        if quant not in (None, "int8"):
-            raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+        if quant not in (None, "int8", "w8a8"):
+            raise ValueError(
+                f"quant must be None, 'int8' or 'w8a8', got {quant!r}"
+            )
         from ..nn.lora import assert_no_unmerged_lora
 
         assert_no_unmerged_lora(lm, "KVCacheDecoder")
@@ -212,12 +224,18 @@ class KVCacheDecoder:
                 return a.astype(compute_dtype)
             return a
 
-        if quant == "int8":
+        if quant in ("int8", "w8a8"):
             from ..ops.pallas_kernels import quantize_int8
+
+            # the mode is encoded in the KEY NAME (the prep tree is a jit
+            # output — a string leaf would not be a valid jax type):
+            # {"q": ...} = weight-only dequant-in-kernel, {"w8a8": ...} =
+            # per-row activation quant + native s8 x s8 MXU matmul
+            qkey = "w8a8" if quant == "w8a8" else "q"
 
             def _wprep(w):
                 q, s = quantize_int8(w)
-                return {"q": q, "s": s}
+                return {qkey: q, "s": s}
         else:
             _wprep = _cast_leaf
 
@@ -327,6 +345,13 @@ class KVCacheDecoder:
             if "head_b" in params else jnp.float32(0.0)
         )
         if isinstance(hw, dict):
+            if "w8a8" in hw:
+                from ..ops.pallas_kernels import quantize_int8_rows, w8a8_matmul
+
+                xq, sx = quantize_int8_rows(x)
+                return w8a8_matmul(
+                    xq, sx, hw["w8a8"], hw["s"], out_dtype=jnp.float32
+                ) + hb
             from ..ops.pallas_kernels import int8_matmul
 
             return int8_matmul(x, hw["q"], hw["s"], out_dtype=jnp.float32) + hb

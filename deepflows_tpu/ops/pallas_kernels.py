@@ -671,6 +671,113 @@ def fused_linear_ce(x, w, b, targets, block_rows: int = 128, block_vocab: int = 
     return run(x, w, b, targets.astype(jnp.float32))
 
 
+# ----------------------------------------------- w8a8 native-MXU int8 matmul
+# The weight-only int8 path loses to bf16 decode on v5e because its
+# in-kernel int8->bf16 widening is VPU-bound (BENCH_NOTES "int8 regime
+# hunt": one convert per weight byte costs more than the DMA bytes saved).
+# The MXU itself runs s8 x s8 -> s32 natively at 2x bf16 peak, so the
+# dequant-free path is to quantize the ACTIVATIONS too: per-row dynamic
+# symmetric int8 (computed cheaply in XLA — activation bytes are
+# negligible next to weights in decode) against the per-output-channel
+# weight scale.  Numerics tradeoff: ~1/127 relative quantization noise on
+# activations — experimental, decode-only.
+
+
+def quantize_int8_rows(x):
+    """Per-row dynamic symmetric int8 quantization of (M, K) activations.
+    Returns (xq int8, sx f32 (M,)) with xq * sx[:, None] ~= x."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1)
+    sx = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _w8a8_kernel(xq_ref, wq_ref, sx_ref, sw_ref, out_ref, acc_ref, *, k_steps):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # native s8 x s8 -> s32 MXU matmul: no widening of either operand
+    acc_ref[:] += jax.lax.dot(
+        xq_ref[:], wq_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        out_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * sx_ref[:, 0:1] * sw_ref[:]
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "tile_k")
+)
+def w8a8_matmul(
+    xq, sx, wq, sw, out_dtype=jnp.float32,
+    tile_m: int = 128, tile_n: int = 256, tile_k: int = 512,
+):
+    """(xq * sx[row]) @ (wq * sw[col]) with s8 x s8 -> s32 MXU accumulation.
+
+    xq: (M, K) int8; sx: (M,) f32; wq: (K, N) int8; sw: (N,) f32.  The
+    int32 accumulator is exact (|sum| <= K * 127^2 < 2^31 for K < 133k),
+    so the only quantization error is in the inputs."""
+    m, k = xq.shape
+    _, n = wq.shape
+    out_dtype = jnp.dtype(out_dtype)
+    tile_m = min(tile_m, _round_up(m, 32))
+    mp = _round_up(m, tile_m)
+    kp = _round_up(k, tile_k)
+    np_ = _round_up(n, tile_n)
+    xq_p = jnp.pad(xq, ((0, mp - m), (0, kp - k)))
+    wq_p = jnp.pad(wq, ((0, kp - k), (0, np_ - n)))
+    # row scale enters as an (M, 1)-broadcastable column, lane-padded to 128
+    sx_p = jnp.pad(sx.reshape(-1, 1), ((0, mp - m), (0, 127)))
+    sw_p = jnp.pad(sw.reshape(1, -1), ((0, 0), (0, np_ - n)))
+    k_steps = kp // tile_k
+    grid = (mp // tile_m, np_ // tile_n, k_steps)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, k_steps=k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, tile_k), lambda i, j, kk: (i, kk),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_k, tile_n), lambda i, j, kk: (kk, j),
+                memory_space=pltpu.VMEM,
+            ),
+            # the row-scale block must span the full 128-lane dim (Mosaic:
+            # last block dim == array dim or a 128-multiple); the kernel
+            # reads column 0
+            pl.BlockSpec(
+                (tile_m, 128), lambda i, j, kk: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j, kk: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j, kk: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * np_,
+            bytes_accessed=mp * kp + kp * np_ + out_dtype.itemsize * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xq_p, wq_p, sx_p, sw_p)
+    return out[:m, :n]
+
+
 # ------------------------------------------------------------ flash attention
 # FlashAttention-2-style online-softmax tiled attention (fwd + recompute
 # backward) for (B, H, L, D) inputs.  The naive tape path materializes the

@@ -331,3 +331,66 @@ def test_decoder_compile_counts_bucketed():
     s8 = dec.generate(prompt, 8, temperature=0.8, seed=3)
     np.testing.assert_array_equal(s5, s8[:, : 6 + 5])
     assert dec._prefill_jit._cache_size() == 1
+
+
+def test_w8a8_matmul_kernel_matches_dequant_reference():
+    """w8a8_matmul: per-row int8 activations x per-column int8 weights on
+    the native s8xs8->s32 MXU path equals the explicitly dequantized f32
+    matmul (the kernel's int32 accumulator is exact, so the reference is
+    built the same way: exact integer matmul, then f64 scaling — a f32
+    dequant-then-matmul reference would inject ITS OWN accumulation noise
+    above the kernel's two final f32 multiplies)."""
+    import jax.numpy as jnp
+
+    from deepflows_tpu.ops.pallas_kernels import (
+        quantize_int8,
+        quantize_int8_rows,
+        w8a8_matmul,
+    )
+
+    rng = np.random.default_rng(3)
+    for m, k, n in [(1, 96, 80), (5, 256, 128), (33, 512, 300)]:
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+        xq, sx = quantize_int8_rows(x)
+        wq, sw = quantize_int8(w)
+        got = np.asarray(w8a8_matmul(xq, sx, wq, sw))
+        acc = np.asarray(xq, np.int64) @ np.asarray(wq, np.int64)
+        want = (
+            acc.astype(np.float64)
+            * np.asarray(sx, np.float64)[:, None]
+            * np.asarray(sw, np.float64)[None, :]
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+        # and it approximates the unquantized product to int8 noise
+        full = np.asarray(x) @ np.asarray(w)
+        err = np.max(np.abs(got - full)) / max(1.0, np.max(np.abs(full)))
+        assert err < 0.05, err
+
+
+def test_kv_decode_w8a8():
+    """quant="w8a8" (EXPERIMENTAL): int8 weights AND per-row int8
+    activations through the native s8xs8 MXU matmul.  Well-separated
+    logits keep the greedy output equal to f32; prefill logits stay
+    within w8a8 tolerance (looser than weight-only int8)."""
+    import jax.numpy as jnp
+
+    lm = _lm(seed=13)
+    dec32 = KVCacheDecoder(lm)
+    dq = KVCacheDecoder(lm, compute_dtype=jnp.bfloat16, quant="w8a8")
+    p = dq._prep_jit(dq._gather())
+    assert p["blocks"][0]["qkv_w"]["w8a8"].dtype == jnp.int8
+    assert p["head_w"]["w8a8"].dtype == jnp.int8
+    idx = RNG.integers(0, 48, (2, 6)).astype(np.int64)
+
+    prompt = np.zeros((2, lm.max_len), np.int32)
+    prompt[:, :6] = idx
+    _, _, lg32 = dec32._prefill_jit(dec32._prep_jit(dec32._gather()),
+                                    jnp.asarray(prompt), 6)
+    _, _, lgq = dq._prefill_jit(p, jnp.asarray(prompt), 6)
+    scale = np.maximum(1.0, np.abs(np.asarray(lg32)))
+    assert np.max(np.abs(np.asarray(lgq) - np.asarray(lg32)) / scale) < 0.25
+
+    out_q = dq.generate(idx.copy(), 8)
+    out_32 = dec32.generate(idx.copy(), 8)
+    np.testing.assert_array_equal(out_q, out_32)
