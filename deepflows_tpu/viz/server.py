@@ -12,8 +12,10 @@ Same HTTP/WS contract on stdlib http.server (FastAPI is absent here):
 - ``GET  /api/models``         → available model names
 - ``GET  /api/history``        → finished-run summaries (config, final
   loss/accuracy, wall time, outcome)
-- ``GET  /``                   → built-in single-file dashboard (replaces
-  the reference's Vue app; no node build needed)
+- ``GET  /``                   → the SPA shell (``viz/static/index.html``);
+  ``/js/*`` and ``/css/*`` serve the ES-module frontend from
+  ``viz/static/`` (replaces the reference's Vue 3 + Vite app with the same
+  store/router/api/views architecture, native modules, no node build)
 - ``WS   /ws``                 → pushes ``{type: "metrics", data: {epoch,
   batch, loss, accuracy}}`` every 10 batches, ``{type: "resources"}`` at
   1 Hz (psutil), ``{type: "status"}`` transitions — message shapes per the
@@ -31,13 +33,39 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
 from .websocket import WSConnection, perform_handshake
 
-from .frontend import DASHBOARD_HTML as _DASHBOARD_HTML
+STATIC_ROOT = Path(__file__).resolve().parent / "static"
+
+_CONTENT_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "text/javascript; charset=utf-8",
+    ".css": "text/css; charset=utf-8",
+    ".json": "application/json",
+    ".svg": "image/svg+xml",
+    ".png": "image/png",
+    ".ico": "image/x-icon",
+}
+
+
+def resolve_static(url_path: str) -> Optional[Path]:
+    """Map a URL path onto ``viz/static/``, refusing traversal outside it.
+    ``/`` serves the SPA shell; unknown extensions are refused."""
+    if url_path in ("/", "/index.html"):
+        return STATIC_ROOT / "index.html"
+    candidate = (STATIC_ROOT / url_path.lstrip("/")).resolve()
+    if (
+        STATIC_ROOT not in candidate.parents
+        or candidate.suffix not in _CONTENT_TYPES
+        or not candidate.is_file()
+    ):
+        return None
+    return candidate
 
 
 class ConnectionManager:
@@ -371,10 +399,14 @@ def make_server(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
                 manager.start_monitoring()
                 conn.serve_reads()  # blocks this handler thread
                 return
-            if self.path in ("/", "/index.html"):
-                body = _DASHBOARD_HTML.encode()
+            if not self.path.startswith("/api/"):
+                static = resolve_static(self.path.split("?", 1)[0])
+                if static is None:
+                    self._json({"error": "not found"}, 404)
+                    return
+                body = static.read_bytes()
                 self.send_response(200)
-                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Type", _CONTENT_TYPES[static.suffix])
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

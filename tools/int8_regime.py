@@ -44,9 +44,13 @@ def run(dim=2048, depth=16, B=1, new_tokens=256, prompt=32, vocab=1024,
 
     out = {"dim": dim, "depth": depth, "B": B, "params_m": round(n_params / 1e6),
            "new_tokens": new_tokens}
-    for name, kw in (("bf16", {"compute_dtype": jnp.bfloat16}),
-                     ("int8", {"compute_dtype": jnp.bfloat16,
-                               "quant": "int8"})):
+    modes = (("bf16", {"compute_dtype": jnp.bfloat16}),
+             ("int8", {"compute_dtype": jnp.bfloat16, "quant": "int8"}),
+             ("w8a8", {"compute_dtype": jnp.bfloat16, "quant": "w8a8"}))
+    if os.environ.get("INT8_MODES"):
+        want = set(os.environ["INT8_MODES"].split(","))
+        modes = tuple(m for m in modes if m[0] in want)
+    for name, kw in modes:
         dec = KVCacheDecoder(lm, **kw)
         _ = dec.generate(idx.copy(), new_tokens)  # compile warmup
         times = []
@@ -61,8 +65,12 @@ def run(dim=2048, depth=16, B=1, new_tokens=256, prompt=32, vocab=1024,
             "spread_pct": round(100 * (max(times) - min(times)) / med, 1),
         }
         del dec
-    out["int8_over_bf16"] = round(
-        out["int8"]["tok_per_s"] / out["bf16"]["tok_per_s"], 3)
+    if "int8" in out and "bf16" in out:
+        out["int8_over_bf16"] = round(
+            out["int8"]["tok_per_s"] / out["bf16"]["tok_per_s"], 3)
+    if "w8a8" in out and "bf16" in out:
+        out["w8a8_over_bf16"] = round(
+            out["w8a8"]["tok_per_s"] / out["bf16"]["tok_per_s"], 3)
     # weight-bound sanity: bytes of weights the decode loop streams per step
     out["weight_mb_per_step_bf16"] = round(2 * n_params / 1e6, 1)
     print(json.dumps(out), flush=True)
