@@ -1269,16 +1269,37 @@ def disable() -> None:
         _materialize_escaped()
 
 
+def _force_nested(v):
+    """force() LazyArrays in ``v``, rebuilding immutable containers (tuples)
+    as needed.  Returns ``v`` itself when nothing changed so the sweep can
+    skip the rewrite."""
+    if isinstance(v, LazyArray):
+        return v.force()
+    if type(v) is tuple:
+        new = tuple(_force_nested(x) for x in v)
+        if any(n is not o for n, o in zip(new, v)):
+            return new
+    return v
+
+
 def _materialize_escaped() -> None:
     """Replace every LazyArray still held by live BackendTensors and
-    dict/list containers (optimizer state, grad caches) with its concrete
+    containers (optimizer state, grad caches, closures) with its concrete
     device value.  After the switch back to eager, plain jnp ops would
     force a LazyArray through ``__jax_array__``, but JITTED kernels
     (pallas matmul, the one-program optimizer update) reject it at
     abstractification — params/Adam state from lazy-mode steps crashed the
     first eager op after disable().  flush() has already run, so force()
-    just unwraps the computed value."""
+    just unwraps the computed value.
+
+    Coverage: dict values and list items (instance ``__dict__``s are swept
+    as dicts, so object attributes are covered), TUPLES nested inside
+    those (rebuilt, e.g. optimizer pytrees with tuple nodes), closure
+    cells, and ``BackendTensor.array``.  Dict keys and set members are NOT
+    rewritten — forced values are unhashable jax.Arrays, and nothing
+    in-tree keys containers by array."""
     import gc
+    from types import CellType
 
     from .ndarray import BackendTensor
 
@@ -1286,12 +1307,22 @@ def _materialize_escaped() -> None:
         t = type(obj)
         if t is dict:
             for k, v in obj.items():
-                if isinstance(v, LazyArray):
-                    obj[k] = v.force()
+                nv = _force_nested(v)
+                if nv is not v:
+                    obj[k] = nv
         elif t is list:
             for i, v in enumerate(obj):
-                if isinstance(v, LazyArray):
-                    obj[i] = v.force()
+                nv = _force_nested(v)
+                if nv is not v:
+                    obj[i] = nv
+        elif t is CellType:
+            try:
+                v = obj.cell_contents
+            except ValueError:  # empty cell
+                continue
+            nv = _force_nested(v)
+            if nv is not v:
+                obj.cell_contents = nv
         elif isinstance(obj, BackendTensor) and isinstance(
             obj.array, LazyArray
         ):

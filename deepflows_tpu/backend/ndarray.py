@@ -40,7 +40,7 @@ def _coerce_dtype(a: np.ndarray, dtype):
 
 
 class BackendTensor:
-    __slots__ = ("array", "device")
+    __slots__ = ("array", "device", "_frozen")
 
     def __init__(self, other, device: BackendDevice | None = None, dtype=None):
         if isinstance(other, BackendTensor):
@@ -141,7 +141,18 @@ class BackendTensor:
     def astype(self, dtype) -> "BackendTensor":
         return self._wrap(self.device.astype(self.array, dtype), self.device)
 
+    def _check_mutable(self):
+        """Cached shared constants (tensor._scalar_const) are process-wide;
+        mutating one in place would corrupt every later op reusing the
+        value.  Raise instead."""
+        if getattr(self, "_frozen", False):
+            raise RuntimeError(
+                "in-place mutation of a frozen shared-constant BackendTensor"
+                " (see tensor._scalar_const); operate on a copy instead"
+            )
+
     def fill(self, value) -> "BackendTensor":
+        self._check_mutable()
         self.array = self.device.fill(self.shape, value, dtype=self.dtype)
         return self
 
@@ -182,6 +193,7 @@ class BackendTensor:
         return self._wrap(self.array[idx], self.device)
 
     def __setitem__(self, idx, value):
+        self._check_mutable()
         if isinstance(value, BackendTensor):
             value = value.array
         if isinstance(idx, BackendTensor):
@@ -224,18 +236,22 @@ class BackendTensor:
         return self._wrap(-self.array, self.device)
 
     def __iadd__(self, other):
+        self._check_mutable()
         self.array = self.array + self._other(other)
         return self
 
     def __isub__(self, other):
+        self._check_mutable()
         self.array = self.array - self._other(other)
         return self
 
     def __imul__(self, other):
+        self._check_mutable()
         self.array = self.array * self._other(other)
         return self
 
     def __itruediv__(self, other):
+        self._check_mutable()
         self.array = self.array / self._other(other)
         return self
 

@@ -35,12 +35,14 @@ _QKV_KEYS = frozenset(("q_w", "k_w", "v_w", "q_b", "k_b", "v_b"))
 
 
 def _mm(x, w):
-    """x @ w where ``w`` is either a dense array or an int8-quantized
-    ``{"q": int8, "s": per-channel scale, "mode": "int8"|"w8a8"}`` pair.
-    mode "int8" keeps activations full-width and dequantizes the weight
-    inside the Pallas kernel; mode "w8a8" additionally quantizes the
-    activations per row and runs the native s8 x s8 -> s32 MXU matmul
-    (``ops.pallas_kernels.w8a8_matmul``) — no widening of either operand."""
+    """x @ w where ``w`` is either a dense array or an int8-quantized dict.
+    The mode is encoded in the KEY NAME holding the int8 weight:
+    ``{"q": int8, "s": per-channel scale}`` is weight-only quantization
+    (activations stay full-width; the weight dequantizes inside the Pallas
+    kernel), while ``{"w8a8": int8, "s": per-channel scale}`` additionally
+    quantizes the activations per row and runs the native s8 x s8 -> s32
+    MXU matmul (``ops.pallas_kernels.w8a8_matmul``) — no widening of
+    either operand.  There is no "mode" key."""
     if isinstance(w, dict):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])

@@ -725,6 +725,11 @@ def w8a8_matmul(
     int32 accumulator is exact (|sum| <= K * 127^2 < 2^31 for K < 133k),
     so the only quantization error is in the inputs."""
     m, k = xq.shape
+    if k * 127 * 127 >= 2**31:
+        raise ValueError(
+            f"w8a8_matmul: K={k} can overflow the int32 accumulator "
+            "(K * 127^2 >= 2^31); split the contraction dimension"
+        )
     _, n = wq.shape
     out_dtype = jnp.dtype(out_dtype)
     tile_m = min(tile_m, _round_up(m, 32))

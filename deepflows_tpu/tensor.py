@@ -532,6 +532,10 @@ class UnaryOperator(Tensor):
 
 
 _scalar_const_cache: dict = {}
+# bounded like backend/lazy.py's _SCALAR_CACHE: per-step-varying scalars
+# (scheduled lrs, warmup multipliers, loss scales) would otherwise pin a
+# device buffer per distinct value forever
+_SCALAR_CONST_CACHE_MAX = 65536
 
 
 def _scalar_const(value, dtype, device) -> BackendTensor:
@@ -545,7 +549,13 @@ def _scalar_const(value, dtype, device) -> BackendTensor:
     switch: an eager-cached PLAIN jax scalar used under lazy mode would sit
     on the left of comparisons and force the LazyArray operand
     (``__jax_array__`` -> flush mid-backward, splitting the step fragment),
-    and a lazy-cached LazyArray used eagerly would leak into jit traces."""
+    and a lazy-cached LazyArray used eagerly would leak into jit traces.
+
+    SHARING CONTRACT: one BackendTensor is returned for every Tensor
+    wrapping a given scalar (``BackendTensor.to`` returns self on the same
+    device), so cached constants are process-wide shared state.  They are
+    marked ``_frozen``; BackendTensor's in-place mutators raise on them
+    instead of silently corrupting every later op that reuses the value."""
     from .backend import lazy as _lazy
 
     try:
@@ -560,6 +570,9 @@ def _scalar_const(value, dtype, device) -> BackendTensor:
         from jax.core import Tracer
 
         if not isinstance(bt.array, Tracer):
+            if len(_scalar_const_cache) > _SCALAR_CONST_CACHE_MAX:
+                _scalar_const_cache.clear()
+            bt._frozen = True
             _scalar_const_cache[key] = bt
     return bt
 

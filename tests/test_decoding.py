@@ -394,3 +394,20 @@ def test_kv_decode_w8a8():
     out_q = dq.generate(idx.copy(), 8)
     out_32 = dec32.generate(idx.copy(), 8)
     np.testing.assert_array_equal(out_q, out_32)
+
+
+def test_w8a8_k_overflow_guard():
+    """ADVICE r4 (low): K at or above the exactness bound (K * 127^2 >=
+    2^31) must fail loudly rather than silently overflow the int32
+    accumulator."""
+    import jax.numpy as jnp
+
+    from deepflows_tpu.ops.pallas_kernels import w8a8_matmul
+
+    k = 133_632  # k * 127^2 = 2.155e9 >= 2^31
+    xq = jnp.zeros((8, k), jnp.int8)
+    wq = jnp.zeros((k, 8), jnp.int8)
+    sx = jnp.ones((8,), jnp.float32)
+    sw = jnp.ones((8,), jnp.float32)
+    with pytest.raises(ValueError, match="int32 accumulator"):
+        w8a8_matmul(xq, sx, wq, sw)

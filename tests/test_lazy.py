@@ -459,3 +459,34 @@ def test_disable_restores_jitted_eager_paths():
         opt.step()
         losses.append(float(loss.data.numpy()))
     assert np.isfinite(losses).all()
+
+
+def test_disable_materializes_nested_containers():
+    """ADVICE r4 (medium): LazyArrays escaping disable() inside tuples
+    (optimizer pytrees with tuple nodes), nested tuples, or closure cells
+    must be materialized by the sweep — an escaped LazyArray crashes the
+    first jitted eager consumer at abstractification."""
+    from deepflows_tpu.backend.lazy import LazyArray
+
+    lazy.enable()
+    t = df.Tensor(np.ones((3, 3), np.float32), device=dev)
+    u = (t.data * 2.0).array
+    assert isinstance(u, LazyArray)
+    holder = {"state": (u, 5)}  # tuple inside a dict value
+    lst = [((u,), "tag")]  # tuple nested in a tuple inside a list
+
+    def _make_closure(v):
+        def f():
+            return v
+
+        return f
+
+    clo = _make_closure(u)
+    lazy.disable()
+    assert not isinstance(holder["state"][0], LazyArray)
+    assert not isinstance(lst[0][0][0], LazyArray)
+    assert not isinstance(clo(), LazyArray)
+    np.testing.assert_allclose(
+        np.asarray(holder["state"][0]), 2 * np.ones((3, 3))
+    )
+    np.testing.assert_allclose(np.asarray(clo()), 2 * np.ones((3, 3)))

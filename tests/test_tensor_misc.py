@@ -119,3 +119,40 @@ def test_np_asarray_uses_array_protocol():
     assert len(Graph.node_list) == n0  # no tape nodes created
     assert dt < 2.0, dt
     np.testing.assert_array_equal(a, t.numpy())
+
+
+def test_scalar_const_cache_bounded(monkeypatch):
+    """ADVICE r4 (medium): per-step-varying Python scalars (scheduled lrs,
+    loss scales) must not pin device buffers forever — the cache clears
+    when it exceeds its bound, like backend/lazy.py's _SCALAR_CACHE."""
+    from deepflows_tpu import tensor as T
+
+    monkeypatch.setattr(T, "_SCALAR_CONST_CACHE_MAX", 8)
+    T._scalar_const_cache.clear()
+    t = Tensor(A, device="tpu")
+    for i in range(40):
+        _ = t * (1.0 + i * 1e-4)  # a fresh scalar key per step
+    assert len(T._scalar_const_cache) <= 9  # bound + the insert after clear
+    T._scalar_const_cache.clear()
+
+
+def test_scalar_const_cache_frozen():
+    """ADVICE r4 (low): cached scalar constants are process-wide shared;
+    in-place mutation must raise instead of corrupting every later op."""
+    from deepflows_tpu import tensor as T
+
+    T._scalar_const_cache.clear()
+    t = Tensor(A, device="tpu")
+    _ = t + 0.1234567
+    frozen = [bt for bt in T._scalar_const_cache.values()]
+    assert frozen, "scalar constant was not cached"
+    bt = frozen[0]
+    with pytest.raises(RuntimeError, match="frozen"):
+        bt.fill(0.0)
+    with pytest.raises(RuntimeError, match="frozen"):
+        bt += 1.0
+    with pytest.raises(RuntimeError, match="frozen"):
+        bt[...] = 0.0
+    # the shared value is intact and later ops still see the right constant
+    np.testing.assert_allclose((t + 0.1234567).numpy(), A + 0.1234567, rtol=1e-6)
+    T._scalar_const_cache.clear()
