@@ -617,6 +617,31 @@ class PipelinedTrainStep:
         def _constrain(v, spec):
             return lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
 
+        n_pipe = mesh.shape[pipe_axis]
+
+        def _stagewise(fn, n_in):
+            """vmap ``fn`` over the stage dim, MANUALLY sharded over the
+            pipe axis (jax.shard_map partial-auto: 'data' stays GSPMD).
+            Without this, the conv-stage vjp's grouped-conv lowering merges
+            the pipe-sharded S dim with the data-sharded batch dim (lhs
+            S*b pipe-major, rhs b x S*C) and GSPMD falls back to
+            "Involuntary full rematerialization" — replicate-then-
+            repartition on every backward tick.  Manual pipe sharding makes
+            the stage dim LOCAL (size S/n_pipe) inside the vjp, so the
+            grouped merge never crosses a sharded dim."""
+            vf = jax.vmap(fn, in_axes=(0,) * n_in)
+            if S % n_pipe:
+                return vf
+            spec = P(pipe_axis)
+            return jax.shard_map(
+                vf,
+                mesh=mesh,
+                axis_names={pipe_axis},
+                in_specs=(spec,) * n_in,
+                out_specs=spec,
+                check_vma=False,
+            )
+
         x_in = (
             x.astype(cd)
             if cd is not None and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
@@ -681,7 +706,7 @@ class PipelinedTrainStep:
                 stash = stash.at[jnp.mod(t - sidx, W), sidx].set(fstate)
                 stash = _constrain(stash, stash_spec)
                 if buffered:
-                    y_all, newb = jax.vmap(stage_fn, in_axes=(0, 0, 0))(
+                    y_all, newb = _stagewise(stage_fn, 3)(
                         stack_run, bufs, fstate
                     )
                     svalid = (t - sidx >= 0) & (t - sidx < M)
@@ -693,7 +718,7 @@ class PipelinedTrainStep:
                     ]
                     bufs = [_constrain(b_, P(pipe_axis)) for b_ in bufs]
                 else:
-                    y_all = jax.vmap(stage_fn, in_axes=(0, 0))(stack_run, fstate)
+                    y_all = _stagewise(stage_fn, 2)(stack_run, fstate)
                 y_all = _constrain(y_all, act_spec)
             if do_head:
                 # steady phase only: w = t-(S-1) is exactly in [0, M)
@@ -718,6 +743,7 @@ class PipelinedTrainStep:
                 mb = t - 2 * S + 2 + sidx
                 bvalid = (mb >= 0) & (mb < M)
                 xin = stash[jnp.mod(mb, W), sidx]
+                xin = _constrain(xin, act_spec)
 
                 def stage_vjp(p_s, b_s, xx, dy):
                     f = (
@@ -728,7 +754,7 @@ class PipelinedTrainStep:
                     _, vjp_f = jax.vjp(f, p_s, xx)
                     return vjp_f(dy)
 
-                dp_all, dx_all = jax.vmap(stage_vjp, in_axes=(0, 0, 0, 0))(
+                dp_all, dx_all = _stagewise(stage_vjp, 4)(
                     stack_run, bufs, xin, bstate
                 )
                 dstack = [
