@@ -185,7 +185,21 @@ class KVCacheDecoder:
         full-width weights every step.  Quantization happens in one fused
         device program per generate(), so live weight updates are picked up
         like the dense path.  Combine with ``compute_dtype=jnp.bfloat16``
-        for bf16 activations over int8 weights."""
+        for bf16 activations over int8 weights.
+
+        ``quant="w8a8"`` additionally quantizes activations per row each
+        step and runs the native s8 x s8 -> s32 MXU matmul
+        (``ops.pallas_kernels.w8a8_matmul``) — no operand widening.
+
+        BOTH quant modes are EXPERIMENTAL and measured SLOWER than plain
+        bf16 on v5e at every regime tried (B=1..16, 811 M and 1.58 B
+        params; BENCH_NOTES.md "int8 regime hunt" + "w8a8 on chip"):
+        bf16 B=1 decode already streams ~80% of HBM peak, weight-only
+        int8's in-kernel widening costs more than the bytes it saves
+        (0.50-0.75x), and w8a8's per-token activation quantization eats
+        its MXU win (0.75x at B=1, at best 1.07x at B=4, 0.87x at B=16).
+        Use them for the memory footprint, not for speed; the recommended
+        decode path on this hardware is ``compute_dtype=jnp.bfloat16``."""
         import jax
 
         if quant not in (None, "int8", "w8a8"):
