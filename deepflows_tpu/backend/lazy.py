@@ -1257,6 +1257,36 @@ def enable() -> None:
     if isinstance(dev.mod, LazyModule):
         return
     dev.mod = LazyModule(dev.mod)
+    _adopt_concrete()
+
+
+def _adopt_concrete() -> None:
+    """Mid-program enable: wrap every live BackendTensor's CONCRETE jax
+    array in a concrete-valued LazyArray (the inverse of
+    ``_materialize_escaped``).  Module code that does raw ``.array`` math
+    (e.g. BatchNorm's running-stats EMA, ``nn/modules/batchnorm.py:71``)
+    otherwise puts a plain jax.Array on the LEFT of a binary op with a
+    lazy operand: jax's ``deferring_binary_op`` coerces the LazyArray via
+    ``__jax_array__`` -> force() -> flush, splitting the step fragment at
+    EVERY such site (ResNet18: ~40 mid-step flushes/step, the measured 7x
+    enable-after-build cliff, BENCH_NOTES r4).  With buffers adopted as
+    concrete-valued LazyArrays, their dunders record lazily and
+    enable-after-build replays at the same template as enable-before-build.
+
+    Only jax.Array values on the jax ('tpu') device are wrapped; numpy
+    tensors on the host device and optimizer-state dicts (plain arrays
+    handled by the optimizer's own lazy dispatch) are untouched."""
+    import gc
+
+    import jax
+
+    from .ndarray import BackendTensor
+
+    for obj in gc.get_objects():
+        if isinstance(obj, BackendTensor):
+            a = obj.array
+            if isinstance(a, jax.Array):
+                obj.array = LazyArray(_Aval(a.shape, a.dtype), value=a)
 
 
 def disable() -> None:

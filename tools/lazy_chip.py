@@ -58,8 +58,9 @@ def main(steps=50, rb=10, batch=64, image=224):
     # ---------------- lazy imperative loop
     # enable BEFORE model creation (the DEEPFLOWS_LAZY=1 placement): params
     # are lazy leaves from the start, so every step matches one step
-    # template.  Enabling mid-program is correct but fragments the step
-    # (concrete params rebind each flush -> template mismatches).
+    # template.  (Round 5: enable() now adopts live concrete arrays as
+    # lazy leaves, so MID-program enable replays at the same template —
+    # measured below as lazy_mid.)
     lazy.enable()
     df.manual_seed(0)
     model_l = models.ResNet50(num_classes=10, small_input=False, device="tpu")
@@ -92,15 +93,54 @@ def main(steps=50, rb=10, batch=64, image=224):
         ls.append(chain_lazy())
     lazy.disable()
     stats = lazy.lazy_stats()
+
+    # ---------------- lazy MID-PROGRAM enable (r4 VERDICT item 6): the
+    # natural notebook flow — model built eagerly, lazy.enable() after.
+    # enable() adopts the live concrete params/buffers as lazy leaves, so
+    # this must replay within ~1.2x of the enable-before-build placement.
+    df.manual_seed(0)
+    model_m = models.ResNet50(num_classes=10, small_input=False, device="tpu")
+    opt_m = optim.Adam(model_m.parameters(), lr=1e-3)
+
+    def mid_step():
+        out = model_m(Tensor(xd, device="tpu"))
+        loss = crit(out, Tensor(yd, device="tpu"))
+        opt_m.zero_grad()
+        loss.backward()
+        opt_m.step()
+        return loss
+
+    lazy.enable()
+    for _ in range(3):
+        loss = mid_step()
+    _ = float(loss.numpy())
+
+    def chain_mid():
+        t0 = time.perf_counter()
+        for i in range(steps):
+            loss = mid_step()
+            if (i + 1) % rb == 0:
+                _ = float(loss.numpy())
+        return 1000.0 * (time.perf_counter() - t0) / steps
+
+    ms = [chain_mid() for _ in range(3)]
+    lazy.disable()
+    stats_mid = lazy.lazy_stats()
+
     out = {
         "config": f"resnet50-{image} f32 bs{batch} rb{rb}",
         "compiled_ms_per_step": round(statistics.median(cs), 1),
         "lazy_ms_per_step": round(statistics.median(ls), 1),
+        "lazy_mid_enable_ms_per_step": round(statistics.median(ms), 1),
         "lazy_over_compiled": round(
             statistics.median(cs) / statistics.median(ls), 3),
+        "mid_over_pre": round(
+            statistics.median(ms) / statistics.median(ls), 3),
         "compiled_samples": [round(s, 1) for s in cs],
         "lazy_samples": [round(s, 1) for s in ls],
+        "lazy_mid_samples": [round(s, 1) for s in ms],
         "replay_stats": stats,
+        "replay_stats_mid": stats_mid,
     }
     print(json.dumps(out), flush=True)
 
