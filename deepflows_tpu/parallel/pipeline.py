@@ -401,13 +401,49 @@ class PipelinedTrainStep:
           (the (M, b, vocab) logits buffer GPipe materialises never exists),
           so ``criterion`` must be a per-sample mean (or sum) reduction —
           every standard loss.  Same PipelineStack/pre/post/compute_dtype/
-          param_rules surface as GPipe."""
-        if schedule not in ("gpipe", "1f1b"):
+          param_rules surface as GPipe.
+        - ``"interleaved_1f1b"``: virtual pipeline stages (Megatron-style
+          interleaving).  The stack's ``S`` stages become ``C = S`` chunks
+          laid ROUND-ROBIN over the ``P = mesh[pipe]`` devices (chunk ``c``
+          on device ``c mod P``, ``v = S/P`` chunks per device; requires
+          ``S % P == 0``), so inter-chunk transfer is always
+          device->next-device (one ``ppermute`` per slice) and each device
+          computes exactly ONE chunk per schedule slice (1/v of a
+          per-device stage) under a partial-manual ``jax.shard_map`` over
+          the pipe axis.  Forward of microbatch ``m`` through chunk ``c``
+          runs at slice ``c + (m mod P) + C*(m div P)`` (bursts of P
+          microbatches per chunk phase — the Megatron interleaved forward
+          order); backward mirrors it at 1 chunk/slice with in-slice vjp
+          and local gradient accumulation, 1F1B-style.  Executed wall
+          (three scans: ``C-1`` forward-only warmup slices at tf/v each,
+          steady fwd+bwd slices at (tf+tb)/v, ``C-1`` backward-only drain
+          at tb/v) totals ``(vM + P - 1)(tf+tb)/v`` for ``M`` a multiple
+          of ``P`` — bubble ``(P-1)/(vM + P-1)``, the standard
+          interleaved-1F1B bound, vs non-interleaved ``(P-1)/(M+P-1)``:
+          the bubble term divides by ``v``.  Activation stash is a
+          2-generation ring per (phase, chunk): ``2*P*v`` microbatch
+          inputs per device vs 1F1B's ``2P-1`` — interleaving trades
+          activation memory (x ~v) for bubble, as upstream.
+          NOTE: the stacked parameters/optimizer state are PHYSICALLY
+          permuted to round-robin order at construction (stage ``c`` at
+          stacked row ``(c mod P)*v + c div P``); ``eval_logits`` and the
+          returned gradients account for it, but a state_dict saved from
+          an interleaved run holds the permuted stacking (see
+          ``self._stage_perm``)."""
+        if schedule not in ("gpipe", "1f1b", "interleaved_1f1b"):
             raise ValueError(f"unknown schedule {schedule!r}")
         self.schedule = schedule
         if pipe_axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {pipe_axis!r}")
-        if mesh.shape[pipe_axis] != stack.n_stages:
+        if schedule == "interleaved_1f1b":
+            n_pipe = mesh.shape[pipe_axis]
+            if stack.n_stages % n_pipe:
+                raise ValueError(
+                    f"interleaved_1f1b needs n_stages ({stack.n_stages}) "
+                    f"divisible by mesh {pipe_axis}={n_pipe}"
+                )
+            self.virtual_stages = stack.n_stages // n_pipe
+        elif mesh.shape[pipe_axis] != stack.n_stages:
             raise ValueError(
                 f"mesh {pipe_axis}={mesh.shape[pipe_axis]} != "
                 f"{stack.n_stages} stages"
@@ -483,6 +519,27 @@ class PipelinedTrainStep:
         # pre-place params + buffers + optimizer state on the mesh (first
         # call sees the committed layout; avoids a second trace)
         dev = tpu()
+        self._stage_perm = None
+        self._stage_inv = None
+        if schedule == "interleaved_1f1b":
+            # physical stacked row q holds logical chunk (q%v)*P + q//v, so
+            # block sharding over 'pipe' gives device d exactly its
+            # round-robin chunks {d, P+d, ..., (v-1)P+d} as a contiguous
+            # local block.  Optimizer state is freshly-initialized zeros
+            # (permutation-invariant); the scalar step counter is global.
+            v_ = self.virtual_stages
+            n_pipe = mesh.shape[pipe_axis]
+            perm = np.array(
+                [(q % v_) * n_pipe + q // v_ for q in range(stack.n_stages)]
+            )
+            self._stage_perm = perm
+            self._stage_inv = np.argsort(perm)
+            s0 = self._n_pre
+            s1 = s0 + len(stack_params)
+            for p in self._params[s0:s1]:
+                p.data = BackendTensor._wrap(_lz(p.data.array)[perm], dev)
+            for b in self._buffers:
+                b.data = BackendTensor._wrap(_lz(b.data.array)[perm], dev)
         for p, sh in zip(self._params, pspec):
             p.data = BackendTensor._wrap(jax.device_put(_lz(p.data.array), sh), dev)
         for b, sh in zip(self._buffers, bspec):
@@ -497,7 +554,11 @@ class PipelinedTrainStep:
         batch_sh = NamedSharding(mesh, P(data_axis))
         in_sh = (pspec, bspec, opt_sh, rep, batch_sh, batch_sh)
         out_sh = (rep, pspec, bspec, opt_sh)
-        step_fn = self._pure_step if schedule == "gpipe" else self._pure_step_1f1b
+        step_fn = {
+            "gpipe": self._pure_step,
+            "1f1b": self._pure_step_1f1b,
+            "interleaved_1f1b": self._pure_step_interleaved,
+        }[schedule]
         self._jitted = jax.jit(
             step_fn,
             in_shardings=in_sh,
@@ -520,6 +581,11 @@ class PipelinedTrainStep:
 
     def _forward(self, param_arrays, buffer_arrays, x, stage_fn):
         pre_arrays, stack_arrays, post_arrays = self._split(param_arrays)
+        if self._stage_inv is not None:
+            # interleaved storage is round-robin-permuted; the GPipe-style
+            # eval pipeline below walks stages in logical order
+            stack_arrays = [a[self._stage_inv] for a in stack_arrays]
+            buffer_arrays = [b[self._stage_inv] for b in buffer_arrays]
         if self._pre_fn is not None:
             x = self._pre_fn(pre_arrays, x)
         M = self.n_micro
@@ -580,11 +646,25 @@ class PipelinedTrainStep:
 
     @property
     def bubble_fraction(self) -> float:
-        """Idle fraction of the schedule grid, ``(S-1)/(M+S-1)`` — identical
-        for both schedules (non-interleaved 1F1B matches GPipe's bubble; its
-        win is the M-independent activation memory).  The 1F1B path
-        additionally pays ~fwd/3 extra FLOPs for per-stage recompute."""
+        """Idle fraction of the schedule grid.
+
+        ``gpipe``/``1f1b``: ``(S-1)/(M+S-1)`` — identical for both
+        (non-interleaved 1F1B matches GPipe's bubble; its win is the
+        M-independent activation memory).  ``interleaved_1f1b``: the wall
+        is ``(C-1)`` fwd-only + ``(C-1)`` bwd-only chunk-slices around the
+        steady phase, totalling ``(C + q_last)/v`` full-tick equivalents
+        where ``q_last = (M-1) mod P + C*((M-1) div P)`` — for ``M`` a
+        multiple of ``P`` this is ``M + (P-1)/v``, i.e. bubble
+        ``(P-1)/(vM + P-1)``: the non-interleaved bubble term divided by
+        ``v``.  The 1F1B paths additionally pay ~fwd/3 extra FLOPs for
+        per-stage recompute."""
         S, M = self.stack.n_stages, self.n_micro
+        if self.schedule == "interleaved_1f1b":
+            v = self.virtual_stages
+            n_pipe = self.mesh.shape[self.pipe_axis]
+            q_last = (M - 1) % n_pipe + S * ((M - 1) // n_pipe)
+            wall_ticks = (S + q_last) / v  # (C-1)/v fwd + steady + (C-1)/v bwd
+            return (wall_ticks - M) / wall_ticks
         return (S - 1) / (M + S - 1)
 
     def _pure_step_1f1b(self, param_arrays, buffer_arrays, opt_state, lr, x, y):
@@ -810,6 +890,311 @@ class PipelinedTrainStep:
         if vjp_pre is not None:
             (dpre_run,) = vjp_pre(outs_dx.reshape((B,) + feat[1:]))
             dpre = [g.astype(m.dtype) for g, m in zip(dpre_run, pre_m)]
+        else:
+            dpre = []
+        grads = dpre + list(dstack) + list(dpost)
+        new_bufs = (
+            [nb.astype(b_.dtype) for nb, b_ in zip(bufs, buffer_arrays)]
+            if cd is not None
+            else list(bufs)
+        )
+        if self.grad_transform is not None:
+            grads = self.grad_transform(grads)
+        new_params, new_state = self.optimizer.pure_update(
+            param_arrays, grads, opt_state, lr
+        )
+        return loss, new_params, new_bufs, new_state
+
+    def _pure_step_interleaved(
+        self, param_arrays, buffer_arrays, opt_state, lr, x, y
+    ):
+        """Interleaved (virtual-stage) 1F1B: ``C = S`` chunks round-robin
+        over ``P`` pipe devices (physical stacked row ``q`` = logical chunk
+        ``(q%v)*P + q//v``, so each device's contiguous block is its
+        round-robin chunk set), one chunk per device per schedule slice.
+
+        The whole grid runs inside one partial-manual ``jax.shard_map``
+        over the pipe axis ('data' and any tensor-parallel axes stay
+        auto/GSPMD): per slice each device dynamic-indexes its active
+        chunk's parameters, applies the purified stage once, and
+        ``ppermute``\\ s the activation to the next device (chunk ``c+1``
+        always lives on device ``d+1 mod P``).  Backward mirrors it with
+        per-chunk ``jax.vjp`` recompute from a 2-generation input stash
+        and in-scan gradient accumulation — 1F1B memory semantics, no
+        reverse-mode through any scan.
+
+        Slice algebra (C = v*P; all per-device, d = axis_index):
+        forward of microbatch ``m = g*P + r`` through chunk
+        ``c = j*P + d`` at slice  ``sigma = c + r + g*C``; backward at
+        ``beta = 2(C-1) - c + r + g*C`` (the loss + head vjp run in-slice
+        on device P-1 when its last chunk's forward lands, exactly like
+        the non-interleaved 1F1B path).  Both maps are bijections from
+        slices to (chunk, microbatch) per device, so one dynamic index
+        per side suffices.  Stash slot ``(g mod 2, r, j)`` is provably
+        free when rewritten: consecutive same-slot writes are 2C slices
+        apart while the stashed input is consumed after at most
+        ``2(C-1-c) <= 2C-2`` slices."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        C = self.stack.n_stages
+        n_pipe = self.mesh.shape[self.pipe_axis]
+        v = self.virtual_stages
+        M = self.n_micro
+        cd = self.compute_dtype
+        mesh, pipe_axis = self.mesh, self.pipe_axis
+        buffered = bool(self._buffers)
+        stage_fn = self._stage_fn
+
+        x_in = (
+            x.astype(cd)
+            if cd is not None and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else x
+        )
+        pre_m, stack_m, post_m = self._split(param_arrays)
+        if cd is not None:
+            pre_run = [p.astype(cd) for p in pre_m]
+            stack_run = [p.astype(cd) for p in stack_m]
+            post_run = [p.astype(cd) for p in post_m]
+        else:
+            pre_run, stack_run, post_run = list(pre_m), list(stack_m), list(post_m)
+
+        vjp_pre = None
+        if self._pre_fn is not None:
+            x1, vjp_pre = jax.vjp(lambda pa: self._pre_fn(pa, x_in), pre_run)
+        else:
+            x1 = x_in
+        B = x1.shape[0]
+        if B % M:
+            raise ValueError(f"batch {B} not divisible by n_micro {M}")
+        b = B // M
+        x_micro = x1.reshape((M, b) + x1.shape[1:])
+        y_micro = y.reshape((M, b) + y.shape[1:])
+        feat = x_micro.shape[1:]
+        track_dx = self._pre_fn is not None
+
+        def head_loss(post_p, yy, yt):
+            out = self._post_fn(post_p, yy) if self._post_fn is not None else yy
+            return self._criterion(out, yt)
+
+        # phase boundaries (module docstring): warmup [0, C-1) fwd-only;
+        # steady [C-1, F) fwd+head+bwd; drain [F, F+C-1) bwd-only, where
+        # F-1 = sigma(M-1, C-1) is the last forward slice anywhere
+        q_last = (M - 1) % n_pipe + C * ((M - 1) // n_pipe)
+        F = C + q_last  # exclusive fwd end: sigma_max + 1 = C-1 + q_last + 1
+
+        def _local(stack_loc, bufs_loc, post_p, xm, ym):
+            d = lax.axis_index(pipe_axis)
+
+            def fwd_decode(t):
+                delta = t - d
+                dc = jnp.mod(delta, C)
+                jj = dc // n_pipe
+                rr = jnp.mod(dc, n_pipe)
+                g = delta // C
+                m = g * n_pipe + rr
+                valid = (delta >= 0) & (m >= 0) & (m < M)
+                return jj, rr, g, m, valid
+
+            def bwd_decode(t):
+                e = t - 2 * (C - 1) + d
+                xx = jnp.mod(e, C)
+                rb = jnp.mod(xx, n_pipe)
+                k = xx // n_pipe
+                jb = jnp.mod(v - k, v)
+                gb = (e - rb + jb * n_pipe) // C
+                mb = gb * n_pipe + rb
+                valid = (gb >= 0) & (mb < M)
+                return jb, rb, gb, mb, valid
+
+            def pick(arrs, j):
+                return [
+                    lax.dynamic_index_in_dim(a, j, axis=0, keepdims=False)
+                    for a in arrs
+                ]
+
+            def apply_stage(p_j, b_j, xx):
+                if buffered:
+                    return stage_fn(p_j, b_j, xx)
+                return stage_fn(p_j, xx), []
+
+            def stage_vjp(p_j, b_j, xx, dy):
+                f = (
+                    (lambda pp, xq: stage_fn(pp, b_j, xq)[0])
+                    if buffered
+                    else stage_fn
+                )
+                _, vjp_f = jax.vjp(f, p_j, xx)
+                return vjp_f(dy)
+
+            is_last_dev = d == n_pipe - 1
+            is_first_dev = d == 0
+
+            def body(carry, t, do_fwd, do_head, do_bwd):
+                (act, bstate, stash, bufs, outs_dx, dstack, dpost,
+                 loss_acc) = carry
+                dy_head = None
+                if do_fwd:
+                    jj, rr, g, m, valid_f = fwd_decode(t)
+                    inj = (is_first_dev) & (jj == 0)
+                    x_here = jnp.where(
+                        inj, xm[jnp.clip(m, 0, M - 1)], act
+                    ).astype(act.dtype)
+                    # unmasked ring write (slot provably free, see
+                    # docstring; bubble values are real-data-derived so
+                    # recomputes on them stay finite)
+                    stash = stash.at[jnp.mod(g, 2), rr, jj].set(x_here)
+                    p_j = pick(stack_loc, jj)
+                    b_j = pick(bufs, jj) if buffered else []
+                    y_out, newb = apply_stage(p_j, b_j, x_here)
+                    if buffered:
+                        bufs = [
+                            bf.at[jj].set(jnp.where(valid_f, nb, bf_j))
+                            for bf, nb, bf_j in zip(bufs, newb, b_j)
+                        ]
+                    if do_head:
+                        w = jnp.clip(m, 0, M - 1)
+                        yt = ym[w]
+                        head_on = is_last_dev & (jj == v - 1) & valid_f
+                        if self._post_fn is not None:
+                            lval, vjp_h = jax.vjp(
+                                lambda pp, aa: head_loss(pp, aa, yt),
+                                post_p, y_out,
+                            )
+                            dpost_w, dyw = vjp_h(
+                                jnp.asarray(1.0 / M, lval.dtype)
+                            )
+                            dpost = [
+                                dp
+                                + jnp.where(head_on, c_, 0).astype(dp.dtype)
+                                for dp, c_ in zip(dpost, dpost_w)
+                            ]
+                        else:
+                            lval, vjp_h = jax.vjp(
+                                lambda aa: head_loss(None, aa, yt), y_out
+                            )
+                            (dyw,) = vjp_h(jnp.asarray(1.0 / M, lval.dtype))
+                        loss_acc = loss_acc + jnp.where(
+                            head_on, lval.astype(jnp.float32), 0.0
+                        ) / M
+                        dy_head = dyw.astype(bstate.dtype)
+                if do_bwd:
+                    jb, rb, gb, mb, valid_b = bwd_decode(t)
+                    # chunk C-1's cotangent is this slice's head vjp (device
+                    # P-1, jb == v-1); every other chunk's arrived from
+                    # device d+1 last slice
+                    dy_in = bstate
+                    if dy_head is not None:
+                        use_head = is_last_dev & (jb == v - 1)
+                        dy_in = jnp.where(use_head, dy_head, bstate)
+                    xin = stash[jnp.mod(gb, 2), rb, jb]
+                    p_jb = pick(stack_loc, jb)
+                    b_jb = pick(bufs, jb) if buffered else []
+                    dp_j, dx = stage_vjp(p_jb, b_jb, xin, dy_in)
+                    dstack = [
+                        ds.at[jb].add(
+                            jnp.where(valid_b, dpj, 0).astype(ds.dtype)
+                        )
+                        for ds, dpj in zip(dstack, dp_j)
+                    ]
+                    if track_dx:
+                        take = is_first_dev & (jb == 0) & valid_b
+                        mc = jnp.clip(mb, 0, M - 1)
+                        outs_dx = outs_dx.at[mc].set(
+                            jnp.where(take, dx, outs_dx[mc])
+                        )
+                    # backward transfer: chunk c's dx feeds chunk c-1 on
+                    # device d-1 next slice
+                    bstate = lax.ppermute(
+                        dx,
+                        axis_name=pipe_axis,
+                        perm=[(i, (i - 1) % n_pipe) for i in range(n_pipe)],
+                    )
+                if do_fwd:
+                    # forward transfer: chunk c's output feeds chunk c+1 on
+                    # device d+1 next slice (the wrap lands on device 0's
+                    # injection slot and is overwritten)
+                    act = lax.ppermute(
+                        y_out,
+                        axis_name=pipe_axis,
+                        perm=[(i, (i + 1) % n_pipe) for i in range(n_pipe)],
+                    )
+                return (
+                    act, bstate, stash, bufs, outs_dx, dstack, dpost,
+                    loss_acc,
+                ), None
+
+            from functools import partial
+
+            act0 = xm[0].astype(x_micro.dtype)
+            bstate0 = jnp.zeros_like(act0)
+            stash0 = jnp.broadcast_to(
+                xm[0], (2, n_pipe, v) + feat
+            ).astype(x_micro.dtype)
+            dstack0 = [jnp.zeros_like(a) for a in stack_loc]
+            dpost0 = [jnp.zeros(a.shape, a.dtype) for a in post_m]
+            outs_dx0 = (
+                jnp.zeros((M,) + feat, x_micro.dtype) if track_dx else None
+            )
+            carry = (
+                act0, bstate0, stash0, list(bufs_loc), outs_dx0, dstack0,
+                dpost0, jnp.zeros((), jnp.float32),
+            )
+            if C > 1:  # warmup: forward only
+                carry, _ = lax.scan(
+                    partial(body, do_fwd=True, do_head=False, do_bwd=False),
+                    carry, jnp.arange(C - 1, dtype=jnp.int32),
+                )
+            carry, _ = lax.scan(  # steady: 1 fwd + head + 1 bwd per slice
+                partial(body, do_fwd=True, do_head=True, do_bwd=True),
+                carry, jnp.arange(C - 1, F, dtype=jnp.int32),
+            )
+            if C > 1:  # drain: backward only
+                carry, _ = lax.scan(
+                    partial(body, do_fwd=False, do_head=False, do_bwd=True),
+                    carry, jnp.arange(F, F + C - 1, dtype=jnp.int32),
+                )
+            _, _, _, bufs, outs_dx, dstack, dpost, loss = carry
+            # only device P-1 accumulated loss/dpost; only device 0 wrote
+            # outs_dx — psum replicates them across the manual pipe axis
+            loss = lax.psum(loss, pipe_axis)
+            dpost = [lax.psum(g_, pipe_axis) for g_ in dpost]
+            if track_dx:
+                outs_dx = lax.psum(outs_dx, pipe_axis)
+            return loss, dstack, dpost, bufs, outs_dx
+
+        spec_p = P(pipe_axis)
+        spec_r = P()
+        n_bufs = len(self._buffers)
+        local = jax.shard_map(
+            _local,
+            mesh=mesh,
+            axis_names={pipe_axis},
+            in_specs=(
+                [spec_p] * len(stack_run),
+                [spec_p] * n_bufs,
+                [spec_r] * len(post_run),
+                spec_r,
+                spec_r,
+            ),
+            out_specs=(
+                spec_r,
+                [spec_p] * len(stack_run),
+                [spec_r] * len(post_run),
+                [spec_p] * n_bufs,
+                spec_r if track_dx else None,
+            ),
+            check_vma=False,
+        )
+        loss, dstack, dpost_run, bufs, outs_dx = local(
+            stack_run, list(buffer_arrays), post_run, x_micro, y_micro
+        )
+
+        dstack = [g_.astype(p.dtype) for g_, p in zip(dstack, stack_m)]
+        dpost = [g_.astype(p.dtype) for g_, p in zip(dpost_run, post_m)]
+        if vjp_pre is not None:
+            (dpre_run,) = vjp_pre(outs_dx.reshape((B,) + feat[1:]))
+            dpre = [g_.astype(p.dtype) for g_, p in zip(dpre_run, pre_m)]
         else:
             dpre = []
         grads = dpre + list(dstack) + list(dpost)
