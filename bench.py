@@ -428,21 +428,28 @@ def run_row(cfg):
     # the full swing in the ratio.
     fw_samples, raw_samples, paired_ratios = [], [], []
     eager_samples, eager_ratios = [], []
-    for _ in range(repeats):
-        if fw_chain is not None:
-            fw_samples.append(fw_chain())
-        if raw_chain is not None:
-            raw_samples.append(raw_chain())
-        if fw_chain is not None and raw_chain is not None:
-            paired_ratios.append(fw_samples[-1] / raw_samples[-1])
-        if eager_chain is not None:
-            eager_samples.append(eager_chain())
+    import gc as _gc
+
+    _gc.collect()
+    _gc.disable()  # GC pauses land asymmetrically on the eager tape side
+    try:
+        for _ in range(repeats):
             if fw_chain is not None:
-                c2 = fw_chain()  # close the sandwich
-                fw_samples.append(c2)
-                eager_ratios.append(
-                    0.5 * (fw_samples[-2] + c2) / eager_samples[-1]
-                )
+                fw_samples.append(fw_chain())
+            if raw_chain is not None:
+                raw_samples.append(raw_chain())
+            if fw_chain is not None and raw_chain is not None:
+                paired_ratios.append(fw_samples[-1] / raw_samples[-1])
+            if eager_chain is not None:
+                eager_samples.append(eager_chain())
+                if fw_chain is not None:
+                    c2 = fw_chain()  # close the sandwich
+                    fw_samples.append(c2)
+                    eager_ratios.append(
+                        0.5 * (fw_samples[-2] + c2) / eager_samples[-1]
+                    )
+    finally:
+        _gc.enable()
 
     framework_ips = statistics.median(fw_samples) if fw_samples else None
     rawjax_ips = statistics.median(raw_samples) if raw_samples else None
@@ -510,6 +517,21 @@ def run_row(cfg):
         "rawjax_ips": round(rawjax_ips, 1) if rawjax_ips else None,
         "eager_ips": round(eager_ips, 1) if eager_ips else None,
         "vs_baseline_rounds": [round(r, 2) for r in eager_ratios] or None,
+        "vs_baseline_spread_pct": (
+            round(100.0 * (max(eager_ratios) - min(eager_ratios))
+                  / statistics.median(eager_ratios), 1)
+            if len(eager_ratios) > 1 else None
+        ),
+        "spread_note": (
+            "this tiny-step row is HOST/TUNNEL-bound, not chip-bound: "
+            "compiled-chain throughput drifts up to 4-5x WITHIN a run on "
+            "an idle machine (r5 measured 42k..216k img/s samples), so "
+            "spread_pct here reflects the environment, not the chip or "
+            "the protocol; the drift-cancelling sandwich ratio "
+            "(vs_baseline, per-round in vs_baseline_rounds) is the "
+            "defensible statistic for this row"
+            if model_name == "cifar10_cnn" else None
+        ),
     }
 
     if model_name == "transformer_lm":
