@@ -304,6 +304,37 @@ def layernorm(x, p, eps=1e-5):
     return (x - m) * lax.rsqrt(v + eps) * p["g"] + p["b"]
 
 
+# r5 twin tightening (r4 VERDICT item 3): at matched naive-attention math
+# the framework beat this twin 1.293x with IDENTICAL HLO flops (1.008x) —
+# the gap was bytes: 89.4 GB accessed vs 63.3, temp 6.9 GB vs 4.0.  The
+# composed f32 token-CE saved full-vocab f32 residuals (the framework's
+# softmax_xent kernel recomputes softmax from the live logits in backward
+# and saves NOTHING).  A competent raw-JAX twin does the same with
+# custom_vjp: residual = (bf16 logits, labels); backward recomputes probs.
+@jax.custom_vjp
+def _ce_tokens(logits, labels):
+    sh = (logits - logits.max(-1, keepdims=True)).astype(jnp.float32)
+    logz = jnp.log(jnp.exp(sh).sum(-1, keepdims=True))
+    ll = jnp.take_along_axis(sh - logz, labels[:, None], axis=1)
+    return -ll.mean()
+
+
+def _ce_tokens_fwd(logits, labels):
+    return _ce_tokens(logits, labels), (logits, labels)
+
+
+def _ce_tokens_bwd(res, g):
+    logits, labels = res
+    e = jnp.exp((logits - logits.max(-1, keepdims=True)).astype(jnp.float32))
+    probs = e / e.sum(-1, keepdims=True)
+    n = logits.shape[0]
+    dl = probs.at[jnp.arange(n), labels].add(-1.0)
+    return ((g / n) * dl).astype(logits.dtype), None
+
+
+_ce_tokens.defvjp(_ce_tokens_fwd, _ce_tokens_bwd)
+
+
 def _lin(x, p):
     return x @ p["w"] + p["b"]
 
@@ -319,15 +350,23 @@ def transformer_lm_apply(params, tokens, heads, compute_dtype=None):
     D = p["tok"].shape[1]
     hd = D // heads
     x = p["tok"][tokens] + p["pos"][:, :L]
-    mask = jnp.tril(jnp.ones((L, L), bool))
-    neg = jnp.asarray(-1e9 if cd is None else -3e38, x.dtype)
+    # additive causal mask (0 / -inf-like constant): one add, no saved
+    # predicate residual — mirrors the framework's naive path
+    neg = -1e9 if cd is None else -3e38
+    mask = jnp.where(
+        jnp.tril(jnp.ones((L, L), bool)), 0.0, neg
+    ).astype(x.dtype)
     for blk in p["blocks"]:
         h = layernorm(x, blk["ln1"])
         q = _lin(h, blk["q"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
         k = _lin(h, blk["k"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
         v = _lin(h, blk["v"]).reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
-        scores = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd).astype(np.float32)
-        scores = jnp.where(mask, scores, neg)
+        # scale by a PYTHON float (weak type): a np.float32 scalar here
+        # silently promoted the whole (B,H,L,L) score/softmax chain to
+        # f32 — 2x the bytes of every attention whale vs the framework's
+        # bf16 chain (r5 twin-diff: 89.4 GB accessed vs 63.3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / float(np.sqrt(hd)))
+        scores = scores + mask
         att = jax.nn.softmax(scores, axis=-1)
         o = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + _lin(o, blk["o"])
@@ -373,7 +412,7 @@ def make_train_step(model_name, batch_size, image_size=None, num_classes=10,
             logits, new_state = apply_fn(params, state, x,
                                          compute_dtype=compute_dtype)
             V = logits.shape[-1]
-            return cross_entropy(
+            return _ce_tokens(
                 logits.reshape(-1, V), y.reshape(-1)
             ), new_state
 
