@@ -109,11 +109,14 @@ _SUITE = [
      "lm_dim": 1024, "lm_depth": 12, "lm_heads": 8, "lm_vocab": 8192,
      "flash": True, "fused_ce": True,
      "steps": 30, "repeats": 5, "eager": False, "twin": True},
-    # serving-path row (r4 VERDICT item 8): greedy KV-cache decode, whole-
-    # generation single-readback chains — tok/s at the LM row's arch
+    # serving-path row (r4 VERDICT item 8): greedy KV-cache decode at the
+    # LM row's arch.  value = chained decode-loop tok/s (8 back-to-back
+    # 128-step programs per readback — the loop runs AT its HBM streaming
+    # roofline, tools/decode_shares.py); generate_tok_s keeps r4's
+    # whole-generate protocol, which pays a tunnel readback per call
     {"model": "decode", "batch": 8, "prompt": 64, "new_tokens": 128,
      "lm_dim": 1024, "lm_depth": 12, "lm_heads": 8, "lm_vocab": 8192,
-     "repeats": 5},
+     "repeats": 5, "chains": 8},
     # twin=False: this row exists for the eager ratio only — a tiny-CNN
     # vs_rawjax is dispatch-bound through the tunnel (the r2 artifact's
     # 26%-spread lesson) and says nothing about the framework.  1600-step
@@ -566,12 +569,22 @@ def run_row(cfg):
 
 def run_decode_row(cfg):
     """Serving-path benchmark row (r4 VERDICT item 8): greedy KV-cache
-    decode throughput.  Protocol: whole-generation chains — one
-    ``KVCacheDecoder.generate`` call (prefill + ``new_tokens`` decode steps,
-    fixed prompt/new-token buckets so nothing recompiles) ends in exactly
-    ONE host readback; ``value`` is the median over ``repeats`` chains
-    (same soundness argument as the train rows: per-step readbacks through
-    the tunnel measure the ~45 ms round trip, not the chip)."""
+    decode throughput.
+
+    ``value`` is DECODE-LOOP throughput: chains of ``chains`` back-to-back
+    128-step ``_decode`` fori_loop programs (the carry — caches + last
+    token — stays on device; position resets to the prompt end each call
+    so attention depth is identical across the chain) ending in ONE host
+    readback, median over ``repeats`` chains.  This is the industry
+    decode-tok/s convention (prefill reported separately as TTFT) and the
+    same chained-readback soundness argument as the train rows: a single
+    ``generate()`` call per measurement pays the tunnel's ~20-45 ms
+    readback round trip on ~60 ms of chip work — r4's 11.1k tok/s row was
+    ~30% tunnel artifact (tools/decode_shares.py: the loop itself runs at
+    its HBM streaming roofline).
+
+    ``generate_tok_s`` keeps the end-to-end serving-path rate (weight
+    prep + prefill + decode + the readback) for continuity with r4."""
     import jax
     import jax.numpy as jnp
 
@@ -583,6 +596,7 @@ def run_decode_row(cfg):
     prompt = int(cfg.get("prompt", 64))
     new_tokens = int(cfg.get("new_tokens", 128))
     repeats = max(1, int(cfg.get("repeats", 5)))
+    chains = max(1, int(cfg.get("chains", 8)))
     lm_cfg = {
         "dim": int(cfg.get("lm_dim", 1024)),
         "depth": int(cfg.get("lm_depth", 12)),
@@ -604,12 +618,43 @@ def run_decode_row(cfg):
     rng = np.random.default_rng(0)
     idx = rng.integers(0, lm_cfg["vocab"], (B, prompt)).astype(np.int64)
 
+    # ---- serving-path generate() rate (r4's metric, kept as a side field)
     _ = dec.generate(idx.copy(), new_tokens)  # compile warmup
-    samples = []
+    gen_samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _ = dec.generate(idx.copy(), new_tokens)
-        samples.append(B * new_tokens / (time.perf_counter() - t0))
+        gen_samples.append(B * new_tokens / (time.perf_counter() - t0))
+    gen_med = statistics.median(gen_samples)
+
+    # ---- decode-loop rate (the value of record): chained fori_loop
+    # programs, one readback per chain.  Reuses generate()'s own jitted
+    # pieces so what is timed is exactly the production decode program.
+    params = dec._prep_jit(dec._gather())
+    pad = np.zeros((B, new_tokens), np.int32)
+    full_prompt = np.concatenate([idx.astype(np.int32), pad], 1)
+    kc, vc, logits0 = dec._prefill_jit(
+        params, jnp.asarray(full_prompt), prompt)
+    tok = jnp.argmax(logits0, -1).astype(jnp.int32)
+    pos0 = np.int32(prompt)
+    bucket = 1 << (new_tokens - 1).bit_length()
+
+    def one_call(kc, vc, tok):
+        tokens, (kc, vc) = dec._decode_jit(
+            params, (kc, vc), tok, pos0, bucket,
+            None, None, None, None, False, np.int32(new_tokens))
+        return kc, vc, tokens[:, new_tokens - 1]
+
+    kc, vc, tok = one_call(kc, vc, tok)  # compile + warm
+    _ = np.asarray(tok)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(chains):
+            kc, vc, tok = one_call(kc, vc, tok)
+        _ = np.asarray(tok)  # ONE readback per chain
+        samples.append(
+            chains * B * new_tokens / (time.perf_counter() - t0))
     med = statistics.median(samples)
     device_kind = jax.devices()[0].device_kind
     return {
@@ -621,15 +666,20 @@ def run_decode_row(cfg):
         "prompt": prompt,
         "new_tokens": new_tokens,
         "repeats": repeats,
+        "chains": chains,
         "spread_pct": round(100.0 * (max(samples) - min(samples)) / med, 1)
         if len(samples) > 1
         else None,
         "samples": [round(s, 1) for s in samples],
+        "generate_tok_s": round(gen_med, 1),
+        "generate_samples": [round(s, 1) for s in gen_samples],
         "dtype": "bf16",
         "params_m": round(n_params / 1e6),
         "weight_mb_per_decode_step": round(2 * n_params / 1e6, 1),
         "device_kind": device_kind,
-        "timing": "whole-generation single-readback chains",
+        "timing": "chained decode-loop programs, one readback per chain; "
+                  "generate_tok_s = whole-generate calls incl. prefill "
+                  "and per-call readback (r4 protocol)",
         "lm_config": {**lm_cfg, "quant": None},
     }
 
@@ -671,6 +721,7 @@ def main() -> None:
             "prompt": int(os.environ.get("BENCH_PROMPT", "64")),
             "new_tokens": int(os.environ.get("BENCH_NEWTOK", "128")),
             "repeats": max(1, int(os.environ.get("BENCH_REPEATS", "5"))),
+            "chains": max(1, int(os.environ.get("BENCH_CHAINS", "8"))),
             "lm_dim": int(os.environ.get("BENCH_LM_DIM", "1024")),
             "lm_depth": int(os.environ.get("BENCH_LM_DEPTH", "12")),
             "lm_heads": int(os.environ.get("BENCH_LM_HEADS", "8")),

@@ -701,7 +701,10 @@ class KVCacheDecoder:
             logits, kc, vc = self._forward_one(
                 params, kc, vc, tok, pos, positions
             )
-            k, sub = jax.random.split(k)
+            if do_sample:  # static: greedy programs carry no RNG ops
+                k, sub = jax.random.split(k)
+            else:
+                sub = k
             nxt = self._select(logits, sub, temperature, top_k, top_p, do_sample)
             tokens = lax.cond(
                 i + 1 < n_steps,
@@ -1229,7 +1232,10 @@ class LlamaKVCacheDecoder(KVCacheDecoder):
             logits, kc, vc = self._forward_one_ring(
                 params, kc, vc, tok, pos, positions
             )
-            k, sub = jax.random.split(k)
+            if do_sample:  # static: greedy programs carry no RNG ops
+                k, sub = jax.random.split(k)
+            else:
+                sub = k
             nxt = self._select(
                 logits, sub, temperature, top_k, top_p, do_sample
             )

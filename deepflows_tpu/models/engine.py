@@ -279,7 +279,10 @@ class InflightEngine:
             logits, kc, vc = self.dec._forward_multi(
                 params, kc, vc, tok, posv, positions
             )
-            key, sub = jax.random.split(key)
+            if any_sample:  # static: all-greedy programs carry no RNG ops
+                key, sub = jax.random.split(key)
+            else:
+                sub = key
             nxt = self.dec._select_multi(
                 logits, sub, temp, topp, smask, self.top_k, any_sample
             )
@@ -348,7 +351,10 @@ class InflightEngine:
             logits, kp, vp = self.dec._forward_multi_paged(
                 params, kp, vp, tbl, tok, posv, positions
             )
-            key, sub = jax.random.split(key)
+            if any_sample:  # static: all-greedy programs carry no RNG ops
+                key, sub = jax.random.split(key)
+            else:
+                sub = key
             nxt = self.dec._select_multi(
                 logits, sub, temp, topp, smask, self.top_k, any_sample
             )
