@@ -54,8 +54,9 @@ transformer_lm|decode), BENCH_BATCH, BENCH_SEQLEN, BENCH_STEPS,
 BENCH_REPEATS, BENCH_DTYPE (f32|bf16), BENCH_IMAGE, BENCH_EAGER=0/1,
 BENCH_RAWJAX=0, BENCH_IMPL=rawjax, BENCH_REMAT=1, BENCH_FLASH=0/1,
 BENCH_LM_DIM/DEPTH/HEADS/VOCAB, BENCH_FUSED_CE=0/1, BENCH_PROMPT /
-BENCH_NEWTOK (decode row), BENCH_ROWS=resnet50,transformer_lm,decode,
-cifar10_cnn (suite row selection).
+BENCH_NEWTOK (decode row), BENCH_NORM=free (BN-free NF-ResNet variant,
+resnet rows only — no rawjax twin), BENCH_ROWS=resnet50,transformer_lm,
+decode,cifar10_cnn (suite row selection).
 """
 
 from __future__ import annotations
@@ -212,6 +213,7 @@ def run_row(cfg):
     }
     fused_ce = bool(cfg.get("fused_ce", False))
     flash = cfg.get("flash")  # None = model auto
+    norm = cfg.get("norm", "batch")  # resnet rows: "batch" | "free" (NF)
 
     rng = np.random.default_rng(0)
     if model_name == "transformer_lm":
@@ -235,12 +237,12 @@ def run_row(cfg):
         if model_name == "resnet18":
             return models.ResNet18(
                 num_classes=10, small_input=image_size <= 64, device="tpu",
-                remat=remat,
+                remat=remat, norm=norm,
             )
         if model_name == "resnet50":
             return models.ResNet50(
                 num_classes=10, small_input=image_size <= 64, device="tpu",
-                remat=remat,
+                remat=remat, norm=norm,
             )
         if model_name == "transformer_lm":
             return models.TransformerLM(
@@ -267,6 +269,9 @@ def run_row(cfg):
     # a vs_rawjax ratio would misread the remat trade as framework overhead
     has_twin = model_name in ("cifar10_cnn", "resnet18", "resnet50",
                               "transformer_lm")
+    # the conv twins are BN-math; an NF-ResNet row is a different program
+    if norm != "batch":
+        has_twin = False
     if impl == "rawjax" and not has_twin:
         raise SystemExit(f"no rawjax twin for model={model_name}")
     want_twin = (
@@ -498,6 +503,7 @@ def run_row(cfg):
         "vs_baseline_note": vs_baseline_note,
         "impl": impl,
         "remat": remat,
+        "norm": norm if model_name.startswith("resnet") else None,
         "seq_len": seq_len if model_name == "transformer_lm" else None,
         "batch_size": batch_size,
         "steps": steps,
@@ -700,6 +706,7 @@ def _env_cfg():
         "image": int(os.environ.get("BENCH_IMAGE", str(defaults["image"]))),
         "seq_len": int(os.environ.get("BENCH_SEQLEN", "128")),
         "remat": os.environ.get("BENCH_REMAT", "0") == "1",
+        "norm": os.environ.get("BENCH_NORM", "batch"),
         "twin": os.environ.get("BENCH_RAWJAX", "1") == "1",
         "eager": os.environ.get(
             "BENCH_EAGER", "1" if eager_default else "0") == "1",

@@ -13,7 +13,7 @@ from .activation import (
 )
 from .batchnorm import BatchNorm1d, BatchNorm2d
 from .container import ModuleDict, ModuleList, Sequential
-from .conv import Conv1d, Conv2d
+from .conv import Conv1d, Conv2d, WSConv2d
 from .dropout import Dropout
 from .flatten import Flatten
 from .linear import Linear
@@ -38,6 +38,7 @@ __all__ = [
     "Linear",
     "Conv1d",
     "Conv2d",
+    "WSConv2d",
     "MaxPool1d",
     "MaxPool2d",
     "AvgPool1d",

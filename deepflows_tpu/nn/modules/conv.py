@@ -90,3 +90,57 @@ class Conv1d(_ConvNd):
         if self.bias is not None:
             out = out + self.bias
         return out
+
+
+class WSConv2d(Conv2d):
+    """Scaled Weight-Standardized conv (Brock et al. 2021, NF-ResNets) —
+    the architectural lever BENCH_NOTES' ResNet50 step-time accounting
+    identified: BatchNorm's per-ACTIVATION normalization traffic is 37% of
+    the memory-bound train step, while weight standardization normalizes
+    per WEIGHT (out-channel mean/var over fan-in, a few thousand FLOPs per
+    filter) and so costs nothing at the HBM roofline.
+
+    ``W_hat = gain * gamma * (W - mean) / sqrt(N * var + eps)`` with N the
+    fan-in, computed on the tape every forward (standardization must be
+    differentiated through, like torch's parametrized WS); ``gamma`` is
+    the activation-dependent signal-preserving constant (sqrt(2/(1-1/pi))
+    for ReLU) and ``gain`` a learnable per-out-channel scale.
+
+    No reference analog (the reference has only BatchNorm2d,
+    `DeepFlows/nn/modules/batchnorm.py`); used by
+    ``models.ResNet*(norm="free")``.
+    """
+
+    # signal-preserving gain for ReLU: E[relu(x)^2] = 1/2 - 1/(2*pi) ... var
+    # of relu(unit gaussian) is (1 - 1/pi)/2; gamma^2 * that = 1/2 per fan-in
+    GAMMA_RELU = math.sqrt(2.0 / (1.0 - 1.0 / math.pi))
+
+    def __init__(self, *args, gamma: float = 1.0, eps: float = 1e-4, **kw):
+        super().__init__(*args, **kw)
+        self.gamma = float(gamma)
+        self.eps = float(eps)
+        self.gain = Parameter(
+            tensor.ones(
+                (self.out_channels, 1, 1, 1),
+                dtype=self.weight.dtype,
+                device=self.device,
+            )
+        )
+
+    def standardized_weight(self):
+        w = self.weight
+        fan_in = (self.in_channels // self.groups) * self.kernel_size**2
+        mu = w.mean(axis=(1, 2, 3), keepdims=True)
+        centered = w - mu
+        var = (centered * centered).mean(axis=(1, 2, 3), keepdims=True)
+        scale = (var * float(fan_in) + self.eps) ** -0.5
+        return centered * (scale * (self.gain * self.gamma))
+
+    def forward(self, x):
+        out = F.conv2d(
+            x, self.standardized_weight(), self.padding, self.stride,
+            self.groups,
+        )
+        if self.bias is not None:
+            out = out + self.bias
+        return out
