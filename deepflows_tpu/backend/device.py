@@ -37,6 +37,11 @@ class BackendDevice:
     def enabled(self) -> bool:
         return self.mod is not None
 
+    def __deepcopy__(self, memo):
+        # devices are process-global singletons bound to a kernel MODULE;
+        # copying a model (e.g. nn.fusion.fuse_conv_bn) must share them
+        return self
+
     def __eq__(self, other):
         return isinstance(other, BackendDevice) and self.name == other.name
 

@@ -16,7 +16,7 @@ from .container import ModuleDict, ModuleList, Sequential
 from .conv import Conv1d, Conv2d, WSConv2d
 from .dropout import Dropout
 from .flatten import Flatten
-from .linear import Linear
+from .linear import Identity, Linear
 from .loss import (BCELoss, CrossEntropyLoss, L1Loss, LMHeadCrossEntropy,
                    MSELoss, NLLLoss)
 from .module import Module
@@ -35,6 +35,7 @@ from .pool import (
 
 __all__ = [
     "Module",
+    "Identity",
     "Linear",
     "Conv1d",
     "Conv2d",

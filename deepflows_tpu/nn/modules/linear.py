@@ -18,6 +18,18 @@ from ..parameter import Parameter
 from .module import Module
 
 
+class Identity(Module):
+    """Argument-insensitive pass-through (torch.nn.Identity parity; the
+    reference has no analog).  Used by ``nn.fusion.fuse_conv_bn`` to replace
+    folded BatchNorm layers without disturbing the parent architecture."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__()
+
+    def forward(self, input):
+        return input
+
+
 class Linear(Module):
     def __init__(
         self,

@@ -169,6 +169,29 @@ class Tensor:
         if self.requires_grad:
             Graph.add(self)
 
+    def __deepcopy__(self, memo):
+        """Copy data/state but NOT graph edges: a deep-copied tensor is a
+        fresh leaf (deepcopying ``children``/``parents`` would drag the whole
+        live autograd graph along — model copies, e.g. nn.fusion, recursed
+        into the warm-up tape otherwise)."""
+        import copy as _copy
+
+        global _tensor_count
+        cls = self.__class__
+        new = cls.__new__(cls)
+        memo[id(self)] = new
+        for k, v in self.__dict__.items():
+            if k in ("children", "parents"):
+                setattr(new, k, [])
+            elif k == "unique_id":
+                _tensor_count += 1
+                new.unique_id = _tensor_count
+            else:
+                setattr(new, k, _copy.deepcopy(v, memo))
+        if getattr(new, "requires_grad", False):
+            Graph.add(new)
+        return new
+
     # ------------------------------------------------------------- basics
     @staticmethod
     def make_const(t: "Tensor") -> "Tensor":
