@@ -418,3 +418,36 @@ def test_seq2seq_roundtrip_fresh_input(tmp_path):
     ref = np.asarray(m(df.Tensor(xb, device="tpu")).data.array)
     got = OnnxModel(p)(xb.astype(np.int32))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_export_is_bn_free_and_matches(tmp_path):
+    """fuse_conv_bn's re-scoped value (BENCH_NOTES "Conv→BN folding"): the
+    exported artifact loses the BN affine chains entirely and still matches
+    the unfused model's live logits."""
+    from deepflows_tpu.nn.fusion import fuse_conv_bn
+
+    df.manual_seed(0)
+    model = models.ResNet18(num_classes=10, small_input=True, device="tpu")
+    model.eval()
+    x = RNG.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    y_live = np.asarray(CompiledEvalStep(model)(x))
+
+    fused = fuse_conv_bn(model, x)
+    p_fused = str(tmp_path / "r18_fused.onnx")
+    export_onnx(fused, x, p_fused)
+    p_plain = str(tmp_path / "r18_plain.onnx")
+    export_onnx(model, x, p_plain)
+
+    info_f, info_p = check_onnx(p_fused), check_onnx(p_plain)
+    assert info_f["ops"]["Conv"] == info_p["ops"]["Conv"] == 20
+    # BN eval math exports as Sub/Div (+ Mul/Add affine) per BN — all gone
+    n_affine = lambda i: sum(i["ops"].get(k, 0) for k in ("Sub", "Div", "Mul"))
+    assert n_affine(info_p) >= 20, "unfused export lost its BN chains?"
+    assert n_affine(info_f) == 0
+    # the fused FILE is the smaller artifact
+    import os as _os
+
+    assert _os.path.getsize(p_fused) < _os.path.getsize(p_plain)
+    got = OnnxModel(p_fused)(x)
+    np.testing.assert_allclose(got, y_live, rtol=1e-4, atol=1e-4)
+    df.set_grad_enabled(True)
