@@ -91,9 +91,8 @@ def _np(t) -> np.ndarray:
 
 
 def _assign(param, arr: np.ndarray) -> None:
-    param.data = BackendTensor(
-        arr.astype(param.data.numpy().dtype), device=param.device, dtype=param.dtype
-    )
+    # BackendTensor casts the f64 fold result to the param's own dtype
+    param.data = BackendTensor(arr, device=param.device, dtype=param.dtype)
 
 
 def _fold(conv, bn) -> None:
@@ -122,13 +121,7 @@ def _fold(conv, bn) -> None:
         _assign(conv.bias, new_b)
     else:
         ref = conv.weight
-        conv.bias = Parameter(
-            Tensor(
-                new_b.astype(ref.data.numpy().dtype),
-                device=ref.device,
-                dtype=ref.dtype,
-            )
-        )
+        conv.bias = Parameter(Tensor(new_b, device=ref.device, dtype=ref.dtype))
 
 
 def fuse_conv_bn(model: Module, example_input, *, inplace: bool = False) -> Module:
@@ -153,8 +146,7 @@ def fuse_conv_bn(model: Module, example_input, *, inplace: bool = False) -> Modu
     """
     if not inplace:
         model = copy.deepcopy(model)
-    was_training = model.training if hasattr(model, "training") else False
-    model.eval()
+    model.eval()  # fused models stay eval: BN statistics freeze into the convs
 
     if not isinstance(example_input, Tensor):
         dev = next(model.parameters()).device
@@ -198,6 +190,4 @@ def fuse_conv_bn(model: Module, example_input, *, inplace: bool = False) -> Modu
         if len(Graph.node_list) > n_nodes:
             Graph.free_graph()
 
-    if was_training:
-        model.train(False)  # fused models stay eval; make the state explicit
     return model
