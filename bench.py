@@ -410,11 +410,14 @@ def run_row(cfg):
                 eopt.step()
             _ = float(loss.numpy())  # the single readback per chain
 
+        _eager_run(1)  # warm per-op compile caches (compile time excluded)
         t0 = time.perf_counter()
-        _eager_run(1)  # warm per-op compile caches
+        _eager_run(1)  # steady-state per-step cost, post-compile
         warm_s = time.perf_counter() - t0
         # keep the eager side inside its budget: repeats chains of
-        # eager_steps each, clamped by the measured warm per-step cost
+        # eager_steps each, clamped by the measured steady per-step cost
+        # (the FIRST run's compile time would collapse the chains to the
+        # readback-dominated 2-step shape this protocol exists to avoid)
         budget_s = float(cfg.get("eager_budget_s", 120))
         per_chain_budget = budget_s / max(1, repeats)
         eager_steps = max(2, min(eager_steps, int(per_chain_budget / max(warm_s, 1e-6))))
@@ -423,6 +426,16 @@ def run_row(cfg):
             t0 = time.perf_counter()
             _eager_run(eager_steps)
             return batch_size * eager_steps / (time.perf_counter() - t0)
+
+    else:
+        # BENCH_IMPL=rawjax BENCH_EAGER=1: the eager baseline is the
+        # framework's per-op tape — the raw-JAX twin has no eager analog,
+        # so the ratio is not measurable from this knob combination
+        vs_baseline_note = (
+            "eager baseline unavailable under BENCH_IMPL=rawjax (the "
+            "per-op eager tape is a framework path); run without "
+            "BENCH_IMPL for the compiled/eager ratio"
+        )
 
     # ------------------------------------------- interleaved paired timing
     # A/B/A/B within one session: each round times the framework chain, the

@@ -39,7 +39,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..autograd import enable_grad
+from ..autograd import enable_grad, is_grad_enabled, set_grad_enabled
 from ..backend import BackendTensor
 from ..tensor import Graph, Tensor
 from .modules import BatchNorm1d, BatchNorm2d, Conv1d, Conv2d, Identity, Linear
@@ -144,6 +144,7 @@ def fuse_conv_bn(model: Module, example_input, *, inplace: bool = False) -> Modu
     one bf16/f32 rounding of the folded weights) and must not be trained
     further — BN statistics are frozen into the convs.
     """
+    prev_grad = is_grad_enabled()  # model.eval() flips the GLOBAL grad flag
     if not inplace:
         model = copy.deepcopy(model)
     model.eval()  # fused models stay eval: BN statistics freeze into the convs
@@ -186,8 +187,22 @@ def fuse_conv_bn(model: Module, example_input, *, inplace: bool = False) -> Modu
             parent, name = parent_of[id(bn)]
             setattr(parent, name, Identity())
     finally:
-        # drop the trace's graph edges/intermediates (keep pre-existing)
-        if len(Graph.node_list) > n_nodes:
-            Graph.free_graph()
+        # drop ONLY the trace's own nodes and edges: a caller may hold a
+        # pending forward (loss not yet backwarded) whose graph must survive
+        new_nodes = Graph.node_list[n_nodes:]
+        if new_nodes:
+            del Graph.node_list[n_nodes:]
+            new_ids = set(map(id, new_nodes))
+            touched = [
+                p for n in new_nodes for p in n.parents if id(p) not in new_ids
+            ]
+            for p in touched:
+                p.children[:] = [c for c in p.children if id(c) not in new_ids]
+            for n in new_nodes:
+                n.children.clear()
+                n.parents.clear()
+        # Module.eval() disables grad recording process-wide; fusing a
+        # snapshot must not change the caller's grad mode
+        set_grad_enabled(prev_grad)
 
     return model

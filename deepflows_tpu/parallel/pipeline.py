@@ -521,12 +521,35 @@ class PipelinedTrainStep:
         dev = tpu()
         self._stage_perm = None
         self._stage_inv = None
+
+        def _permute_stage_rows(idx: np.ndarray) -> None:
+            """Reorder the stacked rows of stage params, buffers, and the
+            per-param optimizer slots (moments share the stacked shape)."""
+            s0 = self._n_pre
+            s1 = s0 + len(stack_params)
+            for p in self._params[s0:s1]:
+                p.data = BackendTensor._wrap(_lz(p.data.array)[idx], dev)
+            for b in self._buffers:
+                b.data = BackendTensor._wrap(_lz(b.data.array)[idx], dev)
+            n_s = stack.n_stages
+            for v_slot in optimizer._state.values():
+                if not isinstance(v_slot, list):
+                    continue  # scalar entries (step counter) are global
+                for i in range(s0, s1):
+                    a = v_slot[i]
+                    if a is not None and getattr(a, "ndim", 0) >= 1 and a.shape[0] == n_s:
+                        v_slot[i] = _lz(a)[idx]
+
+        # the stack remembers its physical row order so rebuilding a step
+        # over the SAME live stack (new n_micro/optimizer/schedule) composes
+        # instead of double-permuting (review regression)
+        prev = getattr(stack, "_stage_layout_perm", None)
+        ident = np.arange(stack.n_stages)
         if schedule == "interleaved_1f1b":
             # physical stacked row q holds logical chunk (q%v)*P + q//v, so
             # block sharding over 'pipe' gives device d exactly its
             # round-robin chunks {d, P+d, ..., (v-1)P+d} as a contiguous
-            # local block.  Optimizer state is freshly-initialized zeros
-            # (permutation-invariant); the scalar step counter is global.
+            # local block.  The scalar step counter is global.
             v_ = self.virtual_stages
             n_pipe = mesh.shape[pipe_axis]
             perm = np.array(
@@ -534,12 +557,15 @@ class PipelinedTrainStep:
             )
             self._stage_perm = perm
             self._stage_inv = np.argsort(perm)
-            s0 = self._n_pre
-            s1 = s0 + len(stack_params)
-            for p in self._params[s0:s1]:
-                p.data = BackendTensor._wrap(_lz(p.data.array)[perm], dev)
-            for b in self._buffers:
-                b.data = BackendTensor._wrap(_lz(b.data.array)[perm], dev)
+            eff = perm if prev is None else np.argsort(np.asarray(prev))[perm]
+            if not np.array_equal(eff, ident):
+                _permute_stage_rows(eff)
+            stack._stage_layout_perm = perm
+        elif prev is not None:
+            # a non-interleaved step over a previously-interleaved stack
+            # must see logical stage order again
+            _permute_stage_rows(np.argsort(np.asarray(prev)))
+            stack._stage_layout_perm = None
         for p, sh in zip(self._params, pspec):
             p.data = BackendTensor._wrap(jax.device_put(_lz(p.data.array), sh), dev)
         for b, sh in zip(self._buffers, bspec):
@@ -1131,7 +1157,12 @@ class PipelinedTrainStep:
             stash0 = jnp.broadcast_to(
                 xm[0], (2, n_pipe, v) + feat
             ).astype(x_micro.dtype)
-            dstack0 = [jnp.zeros_like(a) for a in stack_loc]
+            # accumulate in MASTER dtype (f32), matching gpipe/1f1b: a bf16
+            # running sum swallows late ~1/M-magnitude contributions at
+            # large M.  Local (sharded) shape, master dtype.
+            dstack0 = [
+                jnp.zeros(a.shape, m.dtype) for a, m in zip(stack_loc, stack_m)
+            ]
             dpost0 = [jnp.zeros(a.shape, a.dtype) for a in post_m]
             outs_dx0 = (
                 jnp.zeros((M,) + feat, x_micro.dtype) if track_dx else None

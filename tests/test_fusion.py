@@ -176,3 +176,45 @@ def test_fused_model_serves_under_jit():
     pred = CompiledEvalStep(fused)
     got = np.asarray(pred(np.ones((2, 3, 16, 16), np.float32)))
     np.testing.assert_allclose(got, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fuse_does_not_flip_global_grad_mode():
+    """Module.eval() inside fuse_conv_bn flips the process-wide grad flag;
+    fusing a snapshot must restore the caller's mode (review regression)."""
+    model = nn.Sequential(
+        nn.Conv2d(3, 4, 3, padding=1, device=DEV),
+        nn.BatchNorm2d(4, device=DEV),
+    )
+    _warm_bn(model, (4, 3, 8, 8))
+    x = df.Tensor(np.ones((2, 3, 8, 8), np.float32), device=DEV)
+
+    df.set_grad_enabled(True)
+    fuse_conv_bn(model, x)
+    assert df.is_grad_enabled() is True
+
+    df.set_grad_enabled(False)
+    try:
+        fuse_conv_bn(model, x)
+        assert df.is_grad_enabled() is False
+    finally:
+        df.set_grad_enabled(True)
+
+
+def test_fuse_preserves_pending_backward_graph():
+    """A caller's un-backwarded graph must survive fuse_conv_bn's trace
+    cleanup: only the trace's own nodes may be freed (review regression)."""
+    df.manual_seed(0)
+    live = nn.Linear(4, 3, device=DEV)
+    xs = df.Tensor(np.ones((2, 4), np.float32), device=DEV)
+    loss = (live(xs) ** 2).sum()  # pending graph, not yet backwarded
+
+    snap = nn.Sequential(
+        nn.Conv2d(3, 4, 3, padding=1, device=DEV),
+        nn.BatchNorm2d(4, device=DEV),
+    )
+    _warm_bn(snap, (4, 3, 8, 8))
+    fuse_conv_bn(snap, df.Tensor(np.ones((2, 3, 8, 8), np.float32), device=DEV))
+
+    loss.backward()  # edges severed by the old cleanup -> zero/missing grads
+    g = live.weight.grad
+    assert g is not None and float(np.abs(g.numpy()).max()) > 0.0
